@@ -1,0 +1,20 @@
+"""snnimageclassification_tpu: a TPU-native spiking-neural-network
+image-classification framework (JAX / XLA / Pallas / pjit).
+
+A ground-up re-design of JeremieGince/SNNImageClassification for TPU:
+spike encoding, LIF/ALIF/Izhikevich dynamics with surrogate-gradient BPTT,
+scan-compiled simulation, data-parallel training over device meshes,
+checkpoint/resume, hyperparameter sweeps, and result analysis.
+"""
+__version__ = "0.1.0"
+
+from .ops import (  # noqa: F401
+    LayerType,
+    SpikeFuncType,
+    ToSpikes,
+    batchwise_temporal_filter,
+    encode_spikes,
+    heaviside_phi,
+    heaviside_sigmoid,
+)
+from .models import SNNConfig, ReadoutMth, ForwardMth  # noqa: F401
