@@ -18,3 +18,13 @@ from .ops import (  # noqa: F401
     heaviside_sigmoid,
 )
 from .models import SNNConfig, ReadoutMth, ForwardMth  # noqa: F401
+from .models.api import SNN  # noqa: F401
+from .data import ArrayDataLoader, DatasetId, EncodeConfig, get_dataloaders  # noqa: F401
+from .train import (  # noqa: F401
+    CheckpointManager,
+    LoadCheckpointMode,
+    Trainer,
+    train_all_params,
+    train_with_params,
+)
+from .utils import LossHistory, mapping_update_recursively  # noqa: F401

@@ -1,0 +1,348 @@
+"""Training engine: jitted BPTT steps, fit loop, evaluation.
+
+Replaces the reference's eager per-batch loop (snn.py:280-415) with a
+fully jitted, donated train step: encode (on device) -> scan-simulate ->
+max-over-time logits -> NLL loss -> BPTT grads -> Adam+L2 update, all one
+XLA computation per batch.
+
+Optimizer parity: the reference uses ``torch.optim.Adam(lr=1e-3,
+weight_decay=1e-5)`` (snn.py:298-299), i.e. L2 added to the gradient
+*before* the Adam moments -- ``optax.chain(add_decayed_weights,
+adam)``, NOT decoupled AdamW.  A learnable ALIF beta has a dead gradient
+(quirk Q3); torch's Adam skips grad-less params entirely, so beta is
+masked out of both decay and the update via ``optax.multi_transform``
+(verified empirically: an unmasked Adam walks the zero-grad beta to 0 at
+lr-sized steps because adaptive normalization amplifies the tiny decay
+term).
+
+Loss parity: ``nn.NLLLoss`` on log-softmax of max-over-time logits
+(snn.py:296, 250-258, 228) == softmax cross-entropy on the logits, mean
+reduction.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.datasets import ArrayDataLoader, EncodeConfig
+from ..models import snn as model_lib
+from ..models.config import SNNConfig
+from ..ops.encoding import encode_spikes
+from ..utils.history import LossHistory
+from .checkpoint import CheckpointManager, LoadCheckpointMode
+
+__all__ = ["Trainer", "make_optimizer", "nll_loss", "default_criterion"]
+
+logger = logging.getLogger(__name__)
+
+
+def nll_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean NLL of log-softmax(logits) -- the reference's default criterion
+    (snn.py:296-297 with snn.py:258)."""
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+default_criterion = nll_loss
+
+
+def make_optimizer(
+    param_labels,
+    lr: float = 1e-3,
+    weight_decay: float = 1e-5,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """Adam + L2 matching ``torch.optim.Adam(lr, weight_decay)``
+    (snn.py:299), with dead-gradient leaves (label "beta") frozen."""
+    weight_tx = optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.adam(lr, b1=b1, b2=b2, eps=eps),
+    )
+    return optax.multi_transform(
+        {"weight": weight_tx, "beta": optax.set_to_zero()},
+        param_labels,
+    )
+
+
+def _encode_on_device(x: jax.Array, enc: EncodeConfig) -> jax.Array:
+    """Pixels -> model inputs, inside the jitted step."""
+    if not enc.as_timeseries:
+        return x  # 2-D: the model repeats pixels over time (snn.py:159-171)
+    return encode_spikes(
+        x,
+        n_steps=enc.n_steps,
+        use_periods=enc.use_periods,
+        tau=enc.tau,
+        thr=enc.thr,
+        epsilon=enc.epsilon,
+    )
+
+
+class Trainer:
+    """Owns params/opt_state and runs the fit/eval loops.
+
+    The public surface mirrors ``SNN.fit`` and the evaluators
+    (snn.py:280-350, 507-555); the compute path is jitted end-to-end.
+    """
+
+    def __init__(
+        self,
+        cfg: SNNConfig,
+        *,
+        checkpoint_folder: str = "checkpoints",
+        model_name: str = "snn",
+        seed: int = 0,
+        criterion: Optional[Callable] = None,
+    ):
+        self.cfg = cfg
+        self.params = model_lib.init(cfg, jax.random.PRNGKey(seed))
+        self.criterion = criterion or default_criterion
+        self.ckpt = CheckpointManager(checkpoint_folder, model_name)
+        self.loss_history = LossHistory()
+        self.opt_state = None
+        self._tx: Optional[optax.GradientTransformation] = None
+        self._step_cache: Dict = {}
+
+    # -- jitted step builders -------------------------------------------------
+    def _build_steps(self, enc: EncodeConfig, tx: optax.GradientTransformation):
+        """Build (train_step, eval_step) jitted for one encode config."""
+        cfg, criterion = self.cfg, self.criterion
+
+        def loss_fn(params, x, y):
+            inputs = _encode_on_device(x, enc)
+            logits = model_lib.forward_logits(cfg, params, inputs)
+            return criterion(logits, y), logits
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, x, y):
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, x, y)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        @jax.jit
+        def eval_step(params, x, y):
+            loss, logits = loss_fn(params, x, y)
+            preds = jnp.argmax(logits, axis=-1)
+            return loss, preds
+
+        return train_step, eval_step
+
+    def _steps_for(self, enc: EncodeConfig):
+        key = (enc, id(self._tx))
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_steps(enc, self._tx)
+        return self._step_cache[key]
+
+    def _ensure_optimizer(self, lr: float, weight_decay: float):
+        if self._tx is None:
+            labels = model_lib.param_labels(self.cfg, self.params)
+            self._tx = make_optimizer(labels, lr=lr, weight_decay=weight_decay)
+            self.opt_state = self._tx.init(self.params)
+
+    # -- fit -------------------------------------------------------------------
+    def fit(
+        self,
+        train_dataloader: ArrayDataLoader,
+        val_dataloader: ArrayDataLoader,
+        lr: float = 1e-3,
+        nb_epochs: int = 15,
+        weight_decay: float = 1e-5,
+        load_checkpoint_mode: Optional[LoadCheckpointMode] = None,
+        force_overwrite: bool = False,
+        early_stopping: bool = False,
+        early_stopping_patience: int = 5,
+        verbose: bool = True,
+        p_bar_position: Optional[int] = None,
+        p_bar_leave: Optional[bool] = None,
+    ) -> LossHistory:
+        """Train with per-epoch train+val phases, best-val checkpointing,
+        optional plateau early stopping (snn.py:280-350).
+
+        Resume semantics match the callers' contract (quirk Q5): with
+        ``load_checkpoint_mode=None`` an existing checkpoint folder
+        requires ``force_overwrite=True`` (then it is wiped,
+        snn.py:302-307); with a mode, a missing checkpoint downgrades to a
+        warning and training starts fresh (snn.py:308-317).
+        """
+        self._ensure_optimizer(lr, weight_decay)
+
+        start_epoch = 0
+        if load_checkpoint_mode is None:
+            if os.path.exists(self.ckpt.checkpoints_meta_path) and not force_overwrite:
+                raise AssertionError(
+                    f"{self.ckpt.checkpoints_meta_path} already exists. "
+                    "Set force_overwrite flag to True to overwrite existing saves."
+                )
+            if os.path.exists(self.ckpt.checkpoints_meta_path) and force_overwrite:
+                shutil.rmtree(self.ckpt.checkpoint_folder)
+        else:
+            try:
+                checkpoint = self.ckpt.load_checkpoint(load_checkpoint_mode)
+                self.params, self.opt_state = self.ckpt.restore(
+                    checkpoint, self.params, self.opt_state
+                )
+                start_epoch = int(checkpoint[self.ckpt.CHECKPOINT_EPOCH_KEY]) + 1
+                self.loss_history = self.ckpt.get_checkpoints_loss_history()
+            except FileNotFoundError:
+                if verbose:
+                    logger.warning("No such checkpoint. Fit from beginning.")
+
+        if start_epoch >= nb_epochs:
+            return self.loss_history
+
+        best_loss = self.loss_history.min("val")
+        epochs_iter = range(start_epoch, nb_epochs)
+        if verbose:
+            from tqdm.auto import tqdm
+
+            epochs_iter = tqdm(
+                epochs_iter,
+                desc="Training",
+                position=p_bar_position,
+                unit="epoch",
+                leave=p_bar_leave,
+            )
+        for epoch in epochs_iter:
+            epoch_loss = self._exec_phase(train_dataloader, val_dataloader)
+            epoch_val_acc = self.compute_classification_accuracy(
+                val_dataloader, verbose=False
+            )
+            self.loss_history.concat(epoch_loss)
+            is_best = epoch_loss["val"] < best_loss
+            self.ckpt.save_checkpoint(
+                self.params, self.opt_state, epoch, epoch_loss, is_best
+            )
+            if is_best:
+                best_loss = epoch_loss["val"]
+            if verbose:
+                epochs_iter.set_postfix(
+                    train_loss=f"{epoch_loss['train']:.5e}",
+                    val_loss=f"{epoch_loss['val']:.5e}",
+                    val_acc=f"{epoch_val_acc:.5f}",
+                )
+            if early_stopping and self._check_early_stopping(early_stopping_patience):
+                if verbose:
+                    logger.info(f"Early stopping stopped the training at epoch {epoch}.")
+                break
+        if verbose:
+            epochs_iter.close()
+        self.plot_loss_history(show=False)
+        return self.loss_history
+
+    def _check_early_stopping(self, patience: int, tol: float = 1e-2) -> bool:
+        """Plateau detector: all successive |diffs| of the last ``patience``
+        val losses below tol (snn.py:272-278, quirk Q6)."""
+        losses = self.loss_history["val"][-patience:]
+        return bool(np.all(np.abs(np.diff(losses)) < tol))
+
+    def _exec_phase(self, train_loader, val_loader) -> Dict[str, float]:
+        """One train epoch + one val epoch (snn.py:352-365)."""
+        train_step, eval_step = self._steps_for(train_loader.encode_config)
+        train_losses = []
+        for x, y in train_loader:
+            self.params, self.opt_state, loss = train_step(
+                self.params, self.opt_state, x, y
+            )
+            train_losses.append(loss)
+        val_step = self._steps_for(val_loader.encode_config)[1]
+        val_losses = []
+        for x, y in val_loader:
+            loss, _ = val_step(self.params, x, y)
+            val_losses.append(loss)
+        # Single host sync point per epoch: means computed after the loop.
+        return dict(
+            train=float(np.mean([float(l) for l in train_losses])),
+            val=float(np.mean([float(l) for l in val_losses])),
+        )
+
+    # -- prediction / evaluation ------------------------------------------------
+    def predict_logits(self, x, encode_config: Optional[EncodeConfig] = None):
+        enc = encode_config or EncodeConfig(n_steps=self.cfg.int_time_steps)
+        inputs = _encode_on_device(jnp.asarray(x, jnp.float32), enc)
+        return model_lib.forward_logits(self.cfg, self.params, inputs)
+
+    def compute_classification_accuracy(
+        self,
+        dataloader: ArrayDataLoader,
+        verbose: bool = False,
+        desc: Optional[str] = None,
+    ) -> float:
+        """Per-sample mean accuracy over a loader (snn.py:507-525)."""
+        self._ensure_optimizer(1e-3, 1e-5)
+        eval_step = self._steps_for(dataloader.encode_config)[1]
+        n_correct = 0
+        n_total = 0
+        batches = dataloader
+        if verbose:
+            from tqdm.auto import tqdm
+
+            batches = tqdm(dataloader, total=len(dataloader), desc=desc)
+        for x, y in batches:
+            _, preds = eval_step(self.params, x, y)
+            n_correct += int(np.sum(np.asarray(preds) == y))
+            n_total += y.shape[0]
+        return n_correct / max(n_total, 1)
+
+    def compute_confusion_matrix(
+        self,
+        nb_classes: int,
+        dataloaders: Dict[str, ArrayDataLoader],
+        fit: bool = False,
+        fit_kwargs: Optional[dict] = None,
+        load_checkpoint_mode: Optional[LoadCheckpointMode] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Per-split confusion matrices (snn.py:527-555)."""
+        if fit:
+            self.fit(dataloaders["train"], dataloaders["val"], **(fit_kwargs or {}))
+        if load_checkpoint_mode is not None:
+            self.load_checkpoint(load_checkpoint_mode)
+        return {
+            key: self._compute_single_confusion_matrix(nb_classes, d)
+            for key, d in dataloaders.items()
+        }
+
+    def _compute_single_confusion_matrix(
+        self, nb_classes: int, dataloader: ArrayDataLoader
+    ) -> np.ndarray:
+        self._ensure_optimizer(1e-3, 1e-5)
+        eval_step = self._steps_for(dataloader.encode_config)[1]
+        cm = np.zeros((nb_classes, nb_classes))
+        for x, y in dataloader:
+            _, preds = eval_step(self.params, x, y)
+            np.add.at(cm, (y.astype(int), np.asarray(preds).astype(int)), 1)
+        return cm
+
+    # -- checkpointing ------------------------------------------------------------
+    def load_checkpoint(
+        self, load_checkpoint_mode: LoadCheckpointMode = LoadCheckpointMode.BEST_EPOCH
+    ) -> dict:
+        """Load and install a checkpoint (snn.py:474-483)."""
+        self._ensure_optimizer(1e-3, 1e-5)
+        checkpoint = self.ckpt.load_checkpoint(load_checkpoint_mode)
+        self.params, self.opt_state = self.ckpt.restore(
+            checkpoint, self.params, self.opt_state
+        )
+        return checkpoint
+
+    def plot_loss_history(self, loss_history: Optional[LossHistory] = None, show=False):
+        """Save the loss plot into the checkpoint folder (snn.py:417-422)."""
+        history = loss_history or self.loss_history
+        if not len(history):
+            return
+        os.makedirs(self.ckpt.checkpoint_folder, exist_ok=True)
+        try:
+            history.plot(
+                f"{self.ckpt.checkpoint_folder}/loss_history.png", show
+            )
+        except ImportError:  # matplotlib not installed: plotting is optional
+            logger.warning("matplotlib unavailable; skipping loss plot")

@@ -1,0 +1,145 @@
+"""Data-pipeline tests: IDX parsing, loader splits/shuffling, synthetic
+fallback, encode-config plumbing."""
+import gzip
+import struct
+
+import numpy as np
+import pytest
+
+from snnimageclassification_tpu.data.datasets import (
+    ArrayDataLoader,
+    DatasetId,
+    EncodeConfig,
+    get_dataloaders,
+    load_raw,
+    read_idx,
+)
+
+
+def _write_idx(path, arr: np.ndarray, gz=False):
+    dtype_code = {np.uint8: 0x08, np.int32: 0x0C}[arr.dtype.type]
+    header = struct.pack("BBBB", 0, 0, dtype_code, arr.ndim)
+    header += struct.pack(f">{arr.ndim}I", *arr.shape)
+    payload = header + arr.astype(arr.dtype.newbyteorder(">")).tobytes()
+    opener = gzip.open if gz else open
+    with opener(path, "wb") as f:
+        f.write(payload)
+
+
+class TestIdx:
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_roundtrip(self, tmp_path, gz):
+        arr = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+        p = tmp_path / ("a.idx" + (".gz" if gz else ""))
+        _write_idx(p, arr, gz=gz)
+        got = read_idx(p)
+        np.testing.assert_array_equal(got, arr)
+
+    def test_bad_magic(self, tmp_path):
+        p = tmp_path / "bad.idx"
+        p.write_bytes(b"\x01\x02\x08\x01" + b"\x00" * 8)
+        with pytest.raises(ValueError):
+            read_idx(p)
+
+
+class TestLoadRaw:
+    def test_idx_folder_layout(self, tmp_path):
+        root = tmp_path / "mnist"
+        root.mkdir()
+        imgs = np.random.default_rng(0).integers(0, 256, (20, 28, 28)).astype(np.uint8)
+        labels = np.arange(20, dtype=np.uint8) % 10
+        timgs = imgs[:7]
+        tlabels = labels[:7]
+        _write_idx(root / "train-images-idx3-ubyte", imgs)
+        _write_idx(root / "train-labels-idx1-ubyte", labels)
+        _write_idx(root / "t10k-images-idx3-ubyte.gz", timgs, gz=True)
+        _write_idx(root / "t10k-labels-idx1-ubyte.gz", tlabels, gz=True)
+        raw = load_raw(DatasetId.MNIST, str(tmp_path), allow_synthetic=False)
+        assert raw["x_train"].shape == (20, 784)
+        assert raw["x_test"].shape == (7, 784)
+        assert raw["x_train"].dtype == np.float32
+        assert raw["x_train"].max() <= 1.0
+        np.testing.assert_array_equal(raw["y_train"], labels)
+        assert raw["source"].endswith("mnist")
+
+    def test_npz_layout(self, tmp_path):
+        np.savez(
+            tmp_path / "mnist.npz",
+            x_train=np.zeros((5, 28, 28), np.uint8),
+            y_train=np.arange(5),
+            x_test=np.zeros((2, 28, 28), np.uint8),
+            y_test=np.arange(2),
+        )
+        raw = load_raw(DatasetId.MNIST, str(tmp_path), allow_synthetic=False)
+        assert raw["x_train"].shape == (5, 784)
+        assert raw["source"].endswith("mnist.npz")
+
+    def test_synthetic_fallback(self, tmp_path):
+        raw = load_raw(
+            DatasetId.FASHION_MNIST, str(tmp_path / "nothing-here"),
+            synthetic_train=64, synthetic_test=16,
+        )
+        assert raw["source"] == "synthetic"
+        assert raw["x_train"].shape == (64, 784)
+        assert set(np.unique(raw["y_train"])) <= set(range(10))
+        # deterministic
+        raw2 = load_raw(
+            DatasetId.FASHION_MNIST, str(tmp_path / "nothing-here"),
+            synthetic_train=64, synthetic_test=16,
+        )
+        np.testing.assert_array_equal(raw["x_train"], raw2["x_train"])
+
+    def test_missing_raises_without_synthetic(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            load_raw(DatasetId.MNIST, str(tmp_path / "nope"), allow_synthetic=False)
+
+
+class TestArrayDataLoader:
+    def test_batching_and_len(self):
+        x = np.arange(10 * 3, dtype=np.float32).reshape(10, 3)
+        y = np.arange(10, dtype=np.int32)
+        loader = ArrayDataLoader(x, y, batch_size=4)
+        batches = list(loader)
+        assert len(loader) == 3
+        assert [b[0].shape[0] for b in batches] == [4, 4, 2]
+        np.testing.assert_array_equal(np.concatenate([b[1] for b in batches]), y)
+
+    def test_drop_last(self):
+        x = np.zeros((10, 3), np.float32)
+        y = np.zeros(10, np.int32)
+        loader = ArrayDataLoader(x, y, batch_size=4, drop_last=True)
+        assert len(loader) == 2
+        assert sum(b[0].shape[0] for b in loader) == 8
+
+    def test_shuffle_changes_across_epochs_and_keeps_pairs(self):
+        x = np.arange(32, dtype=np.float32).reshape(32, 1)
+        y = np.arange(32, dtype=np.int32)
+        loader = ArrayDataLoader(x, y, batch_size=32, shuffle=True, seed=0)
+        (x1, y1), = list(loader)
+        (x2, y2), = list(loader)
+        assert not np.array_equal(y1, y2)  # reshuffled per epoch
+        np.testing.assert_array_equal(x1[:, 0].astype(np.int32), y1)  # pairs intact
+        np.testing.assert_array_equal(x2[:, 0].astype(np.int32), y2)
+
+
+class TestGetDataloaders:
+    def test_split_and_encode_config(self, tmp_path):
+        loaders = get_dataloaders(
+            DatasetId.MNIST, batch_size=16, train_val_split_ratio=0.75,
+            n_steps=12, to_spikes_use_periods=True,
+            data_dir=str(tmp_path / "none"), allow_synthetic=True,
+        )
+        assert set(loaders) == {"train", "val", "test"}
+        n_train = loaders["train"].n_samples
+        n_val = loaders["val"].n_samples
+        assert n_train == int((n_train + n_val) * 0.75)
+        enc = loaders["train"].encode_config
+        assert enc == EncodeConfig(as_timeseries=True, n_steps=12, use_periods=True)
+        assert loaders["train"].shuffle and not loaders["test"].shuffle
+
+    def test_not_timeseries(self, tmp_path):
+        loaders = get_dataloaders(
+            DatasetId.MNIST, as_timeseries=False,
+            data_dir=str(tmp_path / "none"), allow_synthetic=True,
+        )
+        assert loaders["train"].encode_config.as_timeseries is False

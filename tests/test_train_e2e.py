@@ -1,0 +1,223 @@
+"""End-to-end training: fit on synthetic data must learn (the reference
+has no such test; config modeled on the fast n_steps=2 setup of
+__main__.py:69), plus resume, early stopping, beta freezing, and the SNN
+facade surface."""
+import numpy as np
+import pytest
+
+import snnimageclassification_tpu as st
+from snnimageclassification_tpu.data.datasets import (
+    ArrayDataLoader,
+    DatasetId,
+    EncodeConfig,
+    get_dataloaders,
+)
+from snnimageclassification_tpu.train.checkpoint import LoadCheckpointMode
+from snnimageclassification_tpu.train.trainer import Trainer
+
+
+def _toy_loaders(n_steps=2, batch_size=32, n=256, use_periods=False, seed=0):
+    """Small learnable 10-class problem: class prototypes + noise."""
+    rng = np.random.default_rng(seed)
+    protos = rng.random((10, 64)).astype(np.float32)
+    y = (np.arange(n) % 10).astype(np.int32)
+    x = np.clip(protos[y] + 0.1 * rng.standard_normal((n, 64)).astype(np.float32), 0, 1)
+    enc = EncodeConfig(n_steps=n_steps, use_periods=use_periods)
+    split = int(0.8 * n)
+    mk = lambda lo, hi, sh: ArrayDataLoader(
+        x[lo:hi], y[lo:hi], batch_size, shuffle=sh, encode_config=enc, seed=seed
+    )
+    return mk(0, split, True), mk(split, n, False)
+
+
+def _mk_cfg(tmp_path, **kw):
+    defaults = dict(
+        input_size=64, output_size=10, n_hidden_neurons=32,
+        hidden_layer_type=st.LayerType.ALIF, use_recurrent_connection=False,
+        int_time_steps=2,
+    )
+    defaults.update(kw)
+    return st.SNNConfig(**defaults)
+
+
+class TestFit:
+    def test_fit_learns_above_chance(self, tmp_path):
+        cfg = _mk_cfg(tmp_path)
+        trainer = Trainer(cfg, checkpoint_folder=str(tmp_path / "ck"), seed=0)
+        train, val = _toy_loaders()
+        history = trainer.fit(
+            train, val, nb_epochs=8, force_overwrite=True, verbose=False
+        )
+        assert len(history["train"]) == 8
+        assert history["train"][-1] < history["train"][0]
+        acc = trainer.compute_classification_accuracy(val)
+        # TTFS-encoded ALIF at T=2 (the reference's own fast __main__
+        # config) separates the toy prototypes far above 10-class chance.
+        assert acc > 0.6
+
+    def test_beta_frozen_during_fit(self, tmp_path):
+        cfg = _mk_cfg(tmp_path, learn_beta=True)
+        trainer = Trainer(cfg, checkpoint_folder=str(tmp_path / "ck"), seed=0)
+        beta0 = float(trainer.params["input"]["beta"])
+        train, val = _toy_loaders()
+        trainer.fit(train, val, nb_epochs=2, force_overwrite=True, verbose=False)
+        # Quirk Q3: dead gradient + masked optimizer -> bitwise frozen.
+        assert float(trainer.params["input"]["beta"]) == beta0
+
+    def test_resume_from_last_epoch(self, tmp_path):
+        cfg = _mk_cfg(tmp_path)
+        folder = str(tmp_path / "ck")
+        train, val = _toy_loaders()
+        t1 = Trainer(cfg, checkpoint_folder=folder, seed=0)
+        t1.fit(train, val, nb_epochs=3, force_overwrite=True, verbose=False)
+
+        t2 = Trainer(cfg, checkpoint_folder=folder, seed=1)
+        history = t2.fit(
+            train, val, nb_epochs=6,
+            load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH, verbose=False,
+        )
+        # 3 resumed epochs + 3 new ones
+        assert len(history["train"]) == 6
+
+    def test_resume_past_end_returns_immediately(self, tmp_path):
+        cfg = _mk_cfg(tmp_path)
+        folder = str(tmp_path / "ck")
+        train, val = _toy_loaders()
+        t1 = Trainer(cfg, checkpoint_folder=folder, seed=0)
+        t1.fit(train, val, nb_epochs=3, force_overwrite=True, verbose=False)
+        t2 = Trainer(cfg, checkpoint_folder=folder, seed=0)
+        history = t2.fit(
+            train, val, nb_epochs=3,
+            load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH, verbose=False,
+        )
+        assert len(history["train"]) == 3  # nothing new ran
+
+    def test_fresh_fit_without_overwrite_raises(self, tmp_path):
+        """Quirk Q5 caller contract: existing meta + no mode + no
+        force_overwrite -> assertion error (snn.py:302-307)."""
+        cfg = _mk_cfg(tmp_path)
+        folder = str(tmp_path / "ck")
+        train, val = _toy_loaders()
+        t1 = Trainer(cfg, checkpoint_folder=folder, seed=0)
+        t1.fit(train, val, nb_epochs=1, force_overwrite=True, verbose=False)
+        t2 = Trainer(cfg, checkpoint_folder=folder, seed=0)
+        with pytest.raises(AssertionError):
+            t2.fit(train, val, nb_epochs=1, verbose=False)
+
+    def test_early_stopping_plateau(self, tmp_path):
+        cfg = _mk_cfg(tmp_path)
+        trainer = Trainer(cfg, checkpoint_folder=str(tmp_path / "ck"), seed=0)
+        # Inject a flat val history; the detector reads the last `patience`
+        # entries (snn.py:272-278).
+        trainer.loss_history.concat({"val": [1.0, 1.0, 1.0, 1.0, 1.0]})
+        assert trainer._check_early_stopping(patience=5)
+        trainer.loss_history.concat({"val": [0.5]})
+        assert not trainer._check_early_stopping(patience=5)
+
+    def test_best_epoch_reload_gives_best_val(self, tmp_path):
+        cfg = _mk_cfg(tmp_path)
+        folder = str(tmp_path / "ck")
+        train, val = _toy_loaders()
+        trainer = Trainer(cfg, checkpoint_folder=folder, seed=0)
+        history = trainer.fit(
+            train, val, nb_epochs=5, force_overwrite=True, verbose=False
+        )
+        payload = trainer.load_checkpoint(LoadCheckpointMode.BEST_EPOCH)
+        best_epoch = int(np.argmin(history["val"]))
+        assert payload["epoch"] == best_epoch
+
+
+class TestSNNFacade:
+    def test_constructor_and_prediction_surface(self, tmp_path):
+        net = st.SNN(
+            inputs_size=64, output_size=10, n_hidden_neurons=32,
+            spike_func=st.SpikeFuncType.FastSigmoid,
+            hidden_layer_type=st.LayerType.ALIF,
+            use_recurrent_connection=True, int_time_steps=4,
+            checkpoint_folder=str(tmp_path / "ck"), learn_beta=True,
+        )
+        x = np.random.default_rng(0).random((3, 64)).astype(np.float32)
+        trace, hidden = net(x)
+        assert trace.shape == (3, 4, 10)
+        logits, trace2, hidden2 = net.get_prediction_logits(x)
+        assert logits.shape == (3, 10)
+        proba = net.get_prediction_proba(x, False, False)
+        np.testing.assert_allclose(np.asarray(proba).sum(-1), 1.0, rtol=1e-5)
+        logp = net.get_prediction_log_proba(x, False, False)
+        assert np.all(np.asarray(logp) <= 0)
+        counts = net.get_spikes_count_per_neuron(hidden)
+        assert counts.shape == (32,)
+
+    def test_unknown_kwarg_rejected(self, tmp_path):
+        with pytest.raises(TypeError):
+            st.SNN(inputs_size=4, output_size=2, bogus_kwarg=1)
+
+    def test_fit_and_eval_through_facade(self, tmp_path):
+        net = st.SNN(
+            inputs_size=64, output_size=10, n_hidden_neurons=32,
+            hidden_layer_type=st.LayerType.ALIF,
+            use_recurrent_connection=False, int_time_steps=2,
+            checkpoint_folder=str(tmp_path / "ck"),
+        )
+        train, val = _toy_loaders()
+        net.fit(train, val, nb_epochs=3, force_overwrite=True, verbose=False)
+        acc = net.compute_classification_accuracy(val)
+        assert 0.0 <= acc <= 1.0
+        cms = net.compute_confusion_matrix(10, {"val": val})
+        assert cms["val"].shape == (10, 10)
+        assert cms["val"].sum() == val.n_samples
+
+    def test_export_stablehlo(self, tmp_path):
+        net = st.SNN(
+            inputs_size=8, output_size=2, n_hidden_neurons=4,
+            int_time_steps=2, checkpoint_folder=str(tmp_path / "ck"),
+        )
+        text = net.export_stablehlo()
+        assert "stablehlo" in text or "module" in text
+
+
+class TestSweep:
+    def test_hash_params_stable(self):
+        from snnimageclassification_tpu.train.sweep import get_meta_name, hash_params
+
+        params = {"a": 1, "b": True}
+        assert get_meta_name(params) == "a-1_b-True"
+        assert hash_params(params) == hash_params({"a": 1, "b": True})
+        assert hash_params(params) != hash_params({"a": 2, "b": True})
+
+    def test_all_params_combinations(self):
+        from snnimageclassification_tpu.train.sweep import get_all_params_combinations
+
+        combos = get_all_params_combinations({"a": [1, 2], "b": ["x", "y", "z"]})
+        assert len(combos) == 6
+        assert {"a": 1, "b": "x"} in combos
+
+    def test_train_with_params_and_sweep_resume(self, tmp_path, monkeypatch):
+        """Mini sweep on synthetic data: runs, writes results.csv, resumes
+        by skipping completed hashes (training.py:176-177)."""
+        monkeypatch.chdir(tmp_path)
+        from snnimageclassification_tpu.train import sweep
+
+        grid = {
+            "dataset_id": [DatasetId.MNIST],
+            "to_spikes_use_periods": [False],
+            "n_steps": [2],
+            "n_hidden_neurons": [16],
+            "spike_func": [st.SpikeFuncType.FastSigmoid],
+            "hidden_layer_type": [st.LayerType.ALIF],
+            "use_recurrent_connection": [False],
+            "learn_beta": [False],
+            "nb_epochs": [1],
+        }
+        df = sweep.train_all_params(
+            grid, data_folder=str(tmp_path / "tr"), verbose=False,
+            batch_size=64, data_dir=str(tmp_path / "none"),
+        )
+        assert len(df) == 1
+        assert 0.0 <= df["test_accuracy"].iloc[0] <= 1.0
+        # resume: nothing new to run, same row count
+        df2 = sweep.train_all_params(
+            grid, data_folder=str(tmp_path / "tr"), verbose=False,
+            batch_size=64, data_dir=str(tmp_path / "none"),
+        )
+        assert len(df2) == 1
