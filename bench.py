@@ -1,0 +1,104 @@
+"""Throughput benchmark: BPTT training images/sec/chip on the flagship config.
+
+Measures the full jitted training pipeline -- on-device spike encoding ->
+T=100 scan simulation -> max-over-time logits -> cross-entropy -> BPTT
+gradients -> Adam update -- on the reference README's flagship model
+(MNIST ALIF-128, recurrent, learn_beta; reference ``__main__.py:58-74``).
+
+Baseline: the reference trains ~700 img/s effective (30 epochs in 39:33 on
+~55k images/epoch, README.md:131; see BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N, ...}
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+REFERENCE_IMG_PER_SEC = 700.0  # BASELINE.md: README.md:131 wall clock
+T = 100
+BATCH = 1024
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def build_step(cfg):
+    from snnimageclassification_tpu.models import snn as model_lib
+    from snnimageclassification_tpu.ops.encoding import encode_spikes
+    from snnimageclassification_tpu.train.trainer import make_optimizer, nll_loss
+
+    params = model_lib.init(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(model_lib.param_labels(cfg, params))
+    opt_state = tx.init(params)
+
+    def train_step(params, opt_state, x, y):
+        def loss_fn(p):
+            spikes = encode_spikes(x, n_steps=cfg.int_time_steps, use_periods=True)
+            logits = model_lib.forward_logits(cfg, p, spikes)
+            return nll_loss(logits, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return (
+        jax.jit(train_step, donate_argnums=(0, 1)),
+        params,
+        opt_state,
+    )
+
+
+def measure(cfg, batch=BATCH):
+    step, params, opt_state = build_step(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, 28 * 28)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, batch), jnp.int32)
+
+    for _ in range(WARMUP_STEPS):
+        params, opt_state, loss = step(params, opt_state, x, y)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        params, opt_state, loss = step(params, opt_state, x, y)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return batch * MEASURE_STEPS / dt, float(loss)
+
+
+def main():
+    from snnimageclassification_tpu.models.config import SNNConfig
+
+    flagship = dict(
+        input_size=28 * 28, output_size=10, n_hidden_neurons=128,
+        hidden_layer_type="ALIF", use_recurrent_connection=True,
+        learn_beta=True, int_time_steps=T,
+    )
+    img_per_sec, loss = measure(SNNConfig(**flagship))
+    bf16_img_per_sec, _ = measure(
+        SNNConfig(**flagship, compute_dtype="bfloat16")
+    )
+
+    result = {
+        "metric": "images/sec/chip (BPTT train, T=100, MNIST flagship ALIF-128 rec)",
+        "value": round(img_per_sec, 1),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 2),
+        "bf16_value": round(bf16_img_per_sec, 1),
+        "batch": BATCH,
+        "device": str(jax.devices()[0]),
+        "final_loss_finite": bool(np.isfinite(loss)),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,10 +44,19 @@ __all__ = ["Trainer", "make_optimizer", "nll_loss", "default_criterion"]
 logger = logging.getLogger(__name__)
 
 
-def nll_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+def nll_loss(
+    logits: jax.Array, labels: jax.Array, weights: Optional[jax.Array] = None
+) -> jax.Array:
     """Mean NLL of log-softmax(logits) -- the reference's default criterion
-    (snn.py:296-297 with snn.py:258)."""
-    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    (snn.py:296-297 with snn.py:258).
+
+    ``weights`` (0/1 per sample) keeps the mean exact when a batch is
+    padded up to the mesh size under data parallelism.
+    """
+    per_sample = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    if weights is None:
+        return per_sample.mean()
+    return jnp.sum(per_sample * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
 
 default_criterion = nll_loss
@@ -102,40 +111,83 @@ class Trainer:
         model_name: str = "snn",
         seed: int = 0,
         criterion: Optional[Callable] = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a "data" axis; when
+        given, every step runs data-parallel (params replicated, batch
+        sharded, XLA-inserted gradient all-reduce over ICI)."""
         self.cfg = cfg
         self.params = model_lib.init(cfg, jax.random.PRNGKey(seed))
         self.criterion = criterion or default_criterion
         self.ckpt = CheckpointManager(checkpoint_folder, model_name)
         self.loss_history = LossHistory()
         self.opt_state = None
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicated
+
+            self.params = jax.device_put(self.params, replicated(mesh))
         self._tx: Optional[optax.GradientTransformation] = None
         self._step_cache: Dict = {}
 
     # -- jitted step builders -------------------------------------------------
     def _build_steps(self, enc: EncodeConfig, tx: optax.GradientTransformation):
-        """Build (train_step, eval_step) jitted for one encode config."""
+        """Build (train_step, eval_step) jitted for one encode config.
+
+        With a mesh: params/opt_state replicated, batch sharded over the
+        "data" axis; the gradient all-reduce is inserted by GSPMD.
+        """
         cfg, criterion = self.cfg, self.criterion
 
-        def loss_fn(params, x, y):
+        def loss_fn(params, x, y, w):
             inputs = _encode_on_device(x, enc)
             logits = model_lib.forward_logits(cfg, params, inputs)
-            return criterion(logits, y), logits
+            return criterion(logits, y, w), logits
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, x, y):
-            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, x, y)
+        def train_step_fn(params, opt_state, x, y, w):
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, x, y, w
+            )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        @jax.jit
-        def eval_step(params, x, y):
-            loss, logits = loss_fn(params, x, y)
+        def eval_step_fn(params, x, y, w):
+            loss, logits = loss_fn(params, x, y, w)
             preds = jnp.argmax(logits, axis=-1)
             return loss, preds
 
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharded, replicated
+
+            repl = replicated(self.mesh)
+            bsh = batch_sharded(self.mesh)
+            train_step = jax.jit(
+                train_step_fn,
+                in_shardings=(repl, repl, bsh, bsh, bsh),
+                out_shardings=(repl, repl, repl),
+                donate_argnums=(0, 1),
+            )
+            eval_step = jax.jit(
+                eval_step_fn,
+                in_shardings=(repl, bsh, bsh, bsh),
+                out_shardings=(repl, bsh),
+            )
+        else:
+            train_step = jax.jit(train_step_fn, donate_argnums=(0, 1))
+            eval_step = jax.jit(eval_step_fn)
         return train_step, eval_step
+
+    def _prep_batch(self, x: np.ndarray, y: np.ndarray):
+        """Pad to the mesh size and shard, or pass through single-device."""
+        if self.mesh is None:
+            return x, y, np.ones((x.shape[0],), np.float32)
+        from ..parallel.mesh import pad_to_multiple, shard_batch
+
+        n_dev = self.mesh.size
+        x, w = pad_to_multiple(np.asarray(x), n_dev)
+        y, _ = pad_to_multiple(np.asarray(y), n_dev)
+        return shard_batch(self.mesh, x, y, w)
 
     def _steps_for(self, enc: EncodeConfig):
         key = (enc, id(self._tx))
@@ -250,14 +302,16 @@ class Trainer:
         train_step, eval_step = self._steps_for(train_loader.encode_config)
         train_losses = []
         for x, y in train_loader:
+            xb, yb, wb = self._prep_batch(x, y)
             self.params, self.opt_state, loss = train_step(
-                self.params, self.opt_state, x, y
+                self.params, self.opt_state, xb, yb, wb
             )
             train_losses.append(loss)
         val_step = self._steps_for(val_loader.encode_config)[1]
         val_losses = []
         for x, y in val_loader:
-            loss, _ = val_step(self.params, x, y)
+            xb, yb, wb = self._prep_batch(x, y)
+            loss, _ = val_step(self.params, xb, yb, wb)
             val_losses.append(loss)
         # Single host sync point per epoch: means computed after the loop.
         return dict(
@@ -288,9 +342,11 @@ class Trainer:
 
             batches = tqdm(dataloader, total=len(dataloader), desc=desc)
         for x, y in batches:
-            _, preds = eval_step(self.params, x, y)
-            n_correct += int(np.sum(np.asarray(preds) == y))
-            n_total += y.shape[0]
+            n_real = y.shape[0]
+            xb, yb, wb = self._prep_batch(x, y)
+            _, preds = eval_step(self.params, xb, yb, wb)
+            n_correct += int(np.sum(np.asarray(preds)[:n_real] == y))
+            n_total += n_real
         return n_correct / max(n_total, 1)
 
     def compute_confusion_matrix(
@@ -318,8 +374,12 @@ class Trainer:
         eval_step = self._steps_for(dataloader.encode_config)[1]
         cm = np.zeros((nb_classes, nb_classes))
         for x, y in dataloader:
-            _, preds = eval_step(self.params, x, y)
-            np.add.at(cm, (y.astype(int), np.asarray(preds).astype(int)), 1)
+            n_real = y.shape[0]
+            xb, yb, wb = self._prep_batch(x, y)
+            _, preds = eval_step(self.params, xb, yb, wb)
+            np.add.at(
+                cm, (y.astype(int), np.asarray(preds)[:n_real].astype(int)), 1
+            )
         return cm
 
     # -- checkpointing ------------------------------------------------------------
