@@ -72,7 +72,19 @@ class EncodeConfig:
 # IDX / npz readers
 # ---------------------------------------------------------------------------
 def read_idx(path: os.PathLike) -> np.ndarray:
-    """Parse an IDX-format file (optionally .gz), the MNIST wire format."""
+    """Parse an IDX-format file (optionally .gz), the MNIST wire format.
+
+    Uses the native C++ parser (native/dataio.cpp) when built; numpy
+    fallback otherwise -- identical output either way.
+    """
+    from .native_loader import read_idx_native
+
+    try:
+        native = read_idx_native(path)
+    except ValueError:
+        native = None  # let the numpy path raise with its own message
+    if native is not None:
+        return native
     path = pathlib.Path(path)
     opener = gzip.open if path.suffix == ".gz" else open
     with opener(path, "rb") as f:
@@ -303,9 +315,11 @@ class ArrayDataLoader:
             if self.drop_last
             else self.n_samples
         )
+        from .native_loader import gather_rows
+
         for start in range(0, end, self.batch_size):
             sel = idx[start:start + self.batch_size]
-            yield self.x[sel], self.y[sel]
+            yield gather_rows(self.x, sel), self.y[sel]
 
 
 def get_dataloaders(

@@ -90,6 +90,7 @@ class SNNConfig:
     # TPU execution knobs (no reference counterpart).
     compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly training
     remat: bool = False  # jax.checkpoint on the scan body (BPTT memory)
+    use_pallas: bool = True  # fused Pallas time-scan kernels where eligible
 
     def __post_init__(self):
         object.__setattr__(

@@ -114,6 +114,20 @@ def apply(
     the readout trace ``(B, T, output_size)`` (snn.py:218) and
     ``hidden_states`` is ``{layer_name: tuple of (B, T, width) arrays}``
     (snn.py:186-199) when ``return_hidden`` else ``None``.
+
+    Schedule: because the reference's ordering is layer-then-time
+    (snn.py:209-214), layer ``l``'s input at step ``t`` is layer ``l-1``'s
+    spike at the *same* step -- so the network factorizes into one scan
+    *per layer* over the full time axis.  Each layer becomes
+
+        one big ``(T*B, in) @ (in, out)`` MXU matmul  (input currents)
+        + a sequential scan of cheap elementwise dynamics
+          (plus the ``(B, out) @ (out, out)`` recurrent matmul, if any)
+
+    instead of one scan whose body interleaves every layer's small
+    matmuls.  The math (and therefore BPTT) is identical; the schedule
+    keeps the MXU busy and leaves only the irreducible recurrence
+    sequential.
     """
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     layer_cfgs = cfg.layer_configs
@@ -121,57 +135,98 @@ def apply(
     batch = x.shape[0]
 
     cparams = jax.tree.map(lambda p: p.astype(compute_dtype), params)
-    w_rec_effs = tuple(
-        masked_recurrent(lcfg, cparams[name]) if getattr(lcfg, "use_recurrent_connection", False) else None
-        for name, lcfg in layer_cfgs
-    )
-
-    # Hoist the first layer's input matmul out of the scan: one big MXU
-    # matmul over all time steps instead of T sequential small ones.
-    x_tm = jnp.swapaxes(x, 0, 1)  # (T, B, F)
-    first_name, first_cfg = layer_cfgs[0]
-    i0 = x_tm @ cparams[first_name]["w_in"]  # (T, B, H0)
-
     states0 = (
         initial_state
         if initial_state is not None
         else init_state(cfg, batch, compute_dtype)
     )
 
-    def step(states, i0_t):
-        new_states = []
-        fwd = i0_t
-        for idx, (name, lcfg) in enumerate(layer_cfgs):
-            step_fn = STEP_FNS[type(lcfg)]
-            fwd, ns = step_fn(
-                lcfg,
-                cparams[name],
-                states[idx],
-                fwd,
-                w_rec_eff=w_rec_effs[idx],
-                precomputed_input_current=(idx == 0),
+    x_tm = jnp.swapaxes(x, 0, 1)  # (T, B, F), time-major for scan
+    hidden_states = {} if return_hidden else None
+
+    for idx, (name, lcfg) in enumerate(layer_cfgs):
+        lparams = cparams[name]
+        step_fn = STEP_FNS[type(lcfg)]
+        w_rec_eff = (
+            masked_recurrent(lcfg, lparams)
+            if getattr(lcfg, "use_recurrent_connection", False)
+            else None
+        )
+        # Input currents for ALL time steps in one MXU matmul.  The
+        # readout bias is added per-step inside the cell (snn.py:407).
+        currents = x_tm @ lparams["w_in"]  # (T, B, out)
+
+        if _pallas_layer_eligible(cfg, lcfg, return_hidden):
+            x_tm = _pallas_layer_scan(lcfg, lparams, currents, w_rec_eff)
+            continue
+
+        def step(state, i_t, _lcfg=lcfg, _lparams=lparams, _step_fn=step_fn,
+                 _w_rec_eff=w_rec_eff):
+            out, new_state = _step_fn(
+                _lcfg, _lparams, state, i_t,
+                w_rec_eff=_w_rec_eff, precomputed_input_current=True,
             )
-            new_states.append(ns)
-        new_states = tuple(new_states)
-        emit = (fwd, new_states) if return_hidden else (fwd, None)
-        return new_states, emit
+            return new_state, (out, new_state if return_hidden else None)
 
-    if cfg.remat:
-        step = jax.checkpoint(step)
+        if cfg.remat:
+            step = jax.checkpoint(step)
 
-    _, (out_trace_tm, hidden_tm) = jax.lax.scan(step, states0, i0)
-
-    outputs_trace = jnp.swapaxes(out_trace_tm, 0, 1).astype(jnp.float32)  # (B, T, out)
-
-    hidden_states = None
-    if return_hidden:
-        hidden_states = {
-            name: tuple(
-                jnp.swapaxes(leaf, 0, 1).astype(jnp.float32) for leaf in hidden_tm[idx]
+        _, (out_tm, states_tm) = jax.lax.scan(step, states0[idx], currents)
+        if return_hidden:
+            hidden_states[name] = tuple(
+                jnp.swapaxes(leaf, 0, 1).astype(jnp.float32) for leaf in states_tm
             )
-            for idx, (name, _) in enumerate(layer_cfgs)
-        }
+        x_tm = out_tm  # next layer consumes this layer's full output trace
+
+    outputs_trace = jnp.swapaxes(x_tm, 0, 1).astype(jnp.float32)  # (B, T, out)
     return outputs_trace, hidden_states
+
+
+def _pallas_layer_eligible(cfg: SNNConfig, lcfg, return_hidden) -> bool:
+    """Use a fused Pallas time-scan kernel for this layer?
+
+    Covered: LIF/ALIF (feedforward or recurrent) with a static (or absent)
+    beta, float32 compute, hidden traces not requested, on a TPU backend.
+    Everything else takes the XLA lax.scan path (identical math).
+    """
+    if not cfg.use_pallas or return_hidden:
+        return False
+    if jnp.dtype(cfg.compute_dtype) != jnp.float32:
+        return False
+    from ..ops.cells import ALIFConfig, LIFConfig
+    from ..ops.pallas_scan import pallas_supported
+
+    if type(lcfg) not in (LIFConfig, ALIFConfig):
+        return False
+    return pallas_supported()
+
+
+def _pallas_layer_scan(lcfg, lparams, currents: jax.Array, w_rec_eff) -> jax.Array:
+    from ..ops.cells import ALIFConfig
+    from ..ops.pallas_rec import rec_alif_scan, rec_lif_scan
+    from ..ops.pallas_scan import alif_scan, lif_scan
+
+    if type(lcfg) is ALIFConfig:
+        # A learnable beta is a traced scalar; it rides in SMEM and gets a
+        # zero cotangent (quirk Q3), so the kernels stay applicable.
+        beta = lparams["beta"] if lcfg.learn_beta else lcfg.beta
+        if w_rec_eff is not None:
+            return rec_alif_scan(
+                currents, w_rec_eff, beta, lcfg.alpha, lcfg.rho,
+                lcfg.threshold, lcfg.gamma, lcfg.spike_func,
+            )
+        return alif_scan(
+            currents, beta, lcfg.alpha, lcfg.rho, lcfg.threshold,
+            lcfg.gamma, lcfg.spike_func,
+        )
+    if w_rec_eff is not None:
+        return rec_lif_scan(
+            currents, w_rec_eff, lcfg.alpha, lcfg.threshold, lcfg.gamma,
+            lcfg.spike_func,
+        )
+    return lif_scan(
+        currents, lcfg.alpha, lcfg.threshold, lcfg.gamma, lcfg.spike_func
+    )
 
 
 def prediction_logits(cfg: SNNConfig, outputs_trace: jax.Array) -> jax.Array:

@@ -336,7 +336,10 @@ def _currents(x, z, w_in, w_rec_eff, precomputed_input_current: bool):
     ``x @ w_in`` -- the model hoists the first layer's input matmul out of
     the scan into one large (T*B, F) @ (F, H) MXU matmul.
     """
-    i_in = x if precomputed_input_current else x @ w_in
+    if precomputed_input_current:
+        i_in = x
+    else:
+        i_in = x @ w_in
     if w_rec_eff is not None:
         i_in = i_in + z @ w_rec_eff
     return i_in
@@ -352,7 +355,7 @@ def lif_step(
     precomputed_input_current: bool = False,
 ):
     """One LIF time step (spiking_layers.py:156-171)."""
-    cur = _currents(x, state.z, params["w_in"], w_rec_eff, precomputed_input_current)
+    cur = _currents(x, state.z, params.get("w_in"), w_rec_eff, precomputed_input_current)
     v = (cfg.alpha * state.v + cur) * (1.0 - jax.lax.stop_gradient(state.z))
     z = cfg.spike_fn(v, cfg.threshold, cfg.gamma)
     return z, LIFState(v=v, z=z)
@@ -368,7 +371,7 @@ def alif_step(
     precomputed_input_current: bool = False,
 ):
     """One ALIF time step (spiking_layers.py:229-243)."""
-    cur = _currents(x, state.z, params["w_in"], w_rec_eff, precomputed_input_current)
+    cur = _currents(x, state.z, params.get("w_in"), w_rec_eff, precomputed_input_current)
     v = (cfg.alpha * state.v + cur) * (1.0 - jax.lax.stop_gradient(state.z))
     a = cfg.rho * state.a + state.z
     beta = params["beta"] if cfg.learn_beta else cfg.beta
@@ -387,7 +390,7 @@ def izhikevich_step(
     precomputed_input_current: bool = False,
 ):
     """One Izhikevich time step (spiking_layers.py:337-353)."""
-    cur = _currents(x, state.z, params["w_in"], w_rec_eff, precomputed_input_current)
+    cur = _currents(x, state.z, params.get("w_in"), w_rec_eff, precomputed_input_current)
     is_reset = jax.lax.stop_gradient(state.z)
     dvdt = cfg.k * (state.v - cfg.v_rest) * (state.v - cfg.v_th) - state.u + cur
     v = (state.v + cfg.dt * dvdt / cfg.C) * (1.0 - is_reset) + cfg.c * is_reset

@@ -1,0 +1,306 @@
+"""Pallas TPU kernels: fused *recurrent* LIF/ALIF time scans.
+
+The recurrent hidden layer is the irreducibly sequential part of the
+flagship model: per step, ``cur_t = i_t + z_{t-1} @ W_rec`` followed by
+elementwise dynamics.  XLA's ``lax.scan`` pays per-iteration loop overhead
+T times in the forward and T more in the backward; these kernels run the
+whole loop on-chip -- grid ``(B/bB, T)`` with time innermost, membrane
+state and ``W_rec`` resident in VMEM, the recurrent matmul on the MXU
+inside the kernel, and current/output tiles double-buffered from HBM.
+
+Backward derivation (see ops/pallas_scan.py for the feedforward case; the
+same two reference quirks kill the reset and adaptation gradient paths):
+
+    live consumers of z_t: downstream trace (g_z[t]) and cur_{t+1} matmul
+    carry: dcur_{t+1} = dv_{t+1} * (1 - z_t)
+
+    reverse step t:
+      dz_t   = g_z[t] + dcur_carry @ W_rec^T
+      dv_t   = dz_t * surr'(v_t, A_t) + alpha * dcur_carry
+      dcur_t = dv_t * (1 - z_{t-1})          -> g_i[t]
+      dW_rec += z_{t-1}^T @ dcur_t           (accumulated in VMEM)
+      dcur_carry <- dcur_t
+
+Per-batch-tile partial ``dW_rec`` blocks are summed outside the kernel.
+
+Batch rows are independent given the weights, so batch tiles parallelize
+over the grid's first axis.  The hidden width is processed whole (the
+matmul couples lanes); H is padded up to the 128-lane multiple -- padded
+lanes carry zero weights and zero currents, so they never spike and never
+contaminate real lanes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_scan import _shift_prev, _surrogate_grad
+from .surrogate import SpikeFuncType
+
+__all__ = ["rec_lif_scan", "rec_alif_scan"]
+
+_LANE = 128
+_SUBLANE = 8
+_MAX_BLOCK_B = 512
+
+
+def _block_b(batch: int) -> int:
+    return min(_MAX_BLOCK_B, -(-batch // _SUBLANE) * _SUBLANE)
+
+
+def _pad_bh(x, bb, H_pad):
+    T, B, H = x.shape
+    pb = (-B) % bb
+    ph = H_pad - H
+    if pb or ph:
+        x = jnp.pad(x, ((0, 0), (0, pb), (0, ph)))
+    return x
+
+
+def _pad_w(w, H_pad):
+    H = w.shape[0]
+    if H_pad != H:
+        w = jnp.pad(w, ((0, H_pad - H), (0, H_pad - H)))
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+def _rec_fwd_kernel(i_ref, w_ref, beta_ref, out_refs_and_scratch, *, alif,
+                    alpha, rho, threshold):
+    if alif:
+        z_ref, v_ref, a_ref, v_scr, a_scr, z_scr = out_refs_and_scratch
+    else:
+        z_ref, v_ref, v_scr, z_scr = out_refs_and_scratch
+        a_ref = a_scr = None
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        v_scr[:] = jnp.zeros_like(v_scr)
+        z_scr[:] = jnp.zeros_like(z_scr)
+        if alif:
+            a_scr[:] = jnp.zeros_like(a_scr)
+
+    z_prev = z_scr[:]
+    rec = jnp.dot(z_prev, w_ref[:], preferred_element_type=jnp.float32)
+    v = (alpha * v_scr[:] + i_ref[0] + rec) * (1.0 - z_prev)
+    if alif:
+        a = rho * a_scr[:] + z_prev
+        dyn_threshold = threshold + beta_ref[0, 0] * a
+        a_scr[:] = a
+        a_ref[0] = a
+    else:
+        dyn_threshold = threshold
+    z = (v >= dyn_threshold).astype(v.dtype)
+    v_scr[:] = v
+    z_scr[:] = z
+    z_ref[0] = z
+    v_ref[0] = v
+
+
+def _rec_fwd_call(currents, w_rec, beta, *, alif, alpha, rho, threshold,
+                  interpret):
+    T, B, H = currents.shape
+    H_pad = -(-H // _LANE) * _LANE
+    bb = _block_b(B)
+    ip = _pad_bh(currents, bb, H_pad)
+    wp = _pad_w(w_rec, H_pad)
+    beta_s = jnp.asarray(beta, currents.dtype).reshape(1, 1)
+    Bp = ip.shape[1]
+    grid = (Bp // bb, T)
+    tr_spec = pl.BlockSpec((1, bb, H_pad), lambda b, t: (t, b, 0),
+                           memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((H_pad, H_pad), lambda b, t: (0, 0),
+                          memory_space=pltpu.VMEM)
+    beta_spec = pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.SMEM)
+    n_out = 3 if alif else 2
+
+    def kernel(i_ref, w_ref, beta_ref, *rest):
+        _rec_fwd_kernel(i_ref, w_ref, beta_ref, rest, alif=alif, alpha=alpha,
+                        rho=rho, threshold=threshold)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tr_spec, w_spec, beta_spec],
+        out_specs=[tr_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((T, Bp, H_pad), currents.dtype)] * n_out,
+        scratch_shapes=[pltpu.VMEM((bb, H_pad), currents.dtype)] * n_out,
+        interpret=interpret,
+    )(ip, wp, beta_s)
+    return tuple(o[:, :B, :H] for o in outs)
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+def _rec_bwd_kernel(refs, *, alif, alpha, rho, threshold, gamma,
+                    spike_func):
+    if alif:
+        (gz_ref, v_ref, a_ref, zprev_ref, w_ref, beta_ref,
+         gi_ref, dwr_ref, dcur_scr) = refs
+    else:
+        gz_ref, v_ref, zprev_ref, w_ref, beta_ref, gi_ref, dwr_ref, dcur_scr = refs
+        a_ref = None
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dcur_scr[:] = jnp.zeros_like(dcur_scr)
+        dwr_ref[0] = jnp.zeros_like(dwr_ref[0])
+
+    dcur_carry = dcur_scr[:]
+    if alif:
+        dyn_threshold = threshold + beta_ref[0, 0] * a_ref[0]
+    else:
+        dyn_threshold = threshold
+    surr = _surrogate_grad(spike_func, v_ref[0], dyn_threshold, gamma)
+    # dz_t = g_z[t] + dcur_{t+1} @ W_rec^T
+    dz = gz_ref[0] + jax.lax.dot_general(
+        dcur_carry, w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv = dz * surr + alpha * dcur_carry
+    z_prev = zprev_ref[0]
+    dcur = dv * (1.0 - z_prev)
+    gi_ref[0] = dcur
+    # dW_rec partial: z_{t-1}^T @ dcur_t, accumulated across time
+    dwr_ref[0] += jax.lax.dot_general(
+        z_prev, dcur,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dcur_scr[:] = dcur
+    del rho
+
+
+def _rec_bwd_call(g_z, v, a, z_prev, w_rec, beta, *, alif, alpha, rho,
+                  threshold, gamma, spike_func, interpret):
+    T, B, H = g_z.shape
+    H_pad = -(-H // _LANE) * _LANE
+    bb = _block_b(B)
+    operands = [g_z, v] + ([a] if alif else []) + [z_prev]
+    operands = [_pad_bh(x, bb, H_pad) for x in operands]
+    wp = _pad_w(w_rec, H_pad)
+    beta_s = jnp.asarray(beta, g_z.dtype).reshape(1, 1)
+    Bp = operands[0].shape[1]
+    grid = (Bp // bb, T)
+    rev_spec = pl.BlockSpec((1, bb, H_pad), lambda b, t, T=T: (T - 1 - t, b, 0),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((H_pad, H_pad), lambda b, t: (0, 0),
+                          memory_space=pltpu.VMEM)
+    beta_spec = pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.SMEM)
+    dwr_spec = pl.BlockSpec((1, H_pad, H_pad), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        _rec_bwd_kernel(refs, alif=alif, alpha=alpha, rho=rho,
+                        threshold=threshold, gamma=gamma,
+                        spike_func=spike_func)
+
+    g_i, dwr_partial = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[rev_spec] * len(operands) + [w_spec, beta_spec],
+        out_specs=[rev_spec, dwr_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Bp, H_pad), g_z.dtype),
+            jax.ShapeDtypeStruct((Bp // bb, H_pad, H_pad), g_z.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((bb, H_pad), g_z.dtype)],
+        interpret=interpret,
+    )(*operands, wp, beta_s)
+    g_wr = jnp.sum(dwr_partial, axis=0)[:H, :H]
+    return g_i[:, :B, :H], g_wr
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrappers
+# ---------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def rec_alif_scan(
+    currents: jax.Array,
+    w_rec: jax.Array,
+    beta,
+    alpha: float,
+    rho: float,
+    threshold: float,
+    gamma: float,
+    spike_func: SpikeFuncType = SpikeFuncType.FastSigmoid,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused recurrent ALIF: (currents (T,B,H), masked W_rec) -> spikes.
+
+    ``w_rec`` must already be eye-masked (ops/cells.masked_recurrent); the
+    eye mask's gradient zeroing happens automatically outside.  ``beta``
+    may be a traced scalar (rides in SMEM, zero cotangent -- quirk Q3).
+    """
+    z, _, _ = _rec_fwd_call(currents, w_rec, beta, alif=True, alpha=alpha,
+                            rho=rho, threshold=threshold, interpret=interpret)
+    return z
+
+
+def _rec_alif_fwd(currents, w_rec, beta, alpha, rho, threshold, gamma,
+                  spike_func, interpret):
+    z, v, a = _rec_fwd_call(currents, w_rec, beta, alif=True, alpha=alpha,
+                            rho=rho, threshold=threshold, interpret=interpret)
+    return z, (z, v, a, w_rec, beta)
+
+
+def _rec_alif_bwd(alpha, rho, threshold, gamma, spike_func, interpret,
+                  res, g_z):
+    z, v, a, w_rec, beta = res
+    g_i, g_wr = _rec_bwd_call(
+        g_z, v, a, _shift_prev(z), w_rec, beta, alif=True, alpha=alpha,
+        rho=rho, threshold=threshold, gamma=gamma, spike_func=spike_func,
+        interpret=interpret,
+    )
+    return g_i, g_wr, jnp.zeros_like(jnp.asarray(beta))
+
+
+rec_alif_scan.defvjp(_rec_alif_fwd, _rec_alif_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def rec_lif_scan(
+    currents: jax.Array,
+    w_rec: jax.Array,
+    alpha: float,
+    threshold: float,
+    gamma: float,
+    spike_func: SpikeFuncType = SpikeFuncType.FastSigmoid,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused recurrent LIF: (currents (T,B,H), masked W_rec) -> spikes."""
+    z, _ = _rec_fwd_call(currents, w_rec, 0.0, alif=False, alpha=alpha,
+                         rho=0.0, threshold=threshold, interpret=interpret)
+    return z
+
+
+def _rec_lif_fwd(currents, w_rec, alpha, threshold, gamma, spike_func,
+                 interpret):
+    z, v = _rec_fwd_call(currents, w_rec, 0.0, alif=False, alpha=alpha,
+                         rho=0.0, threshold=threshold, interpret=interpret)
+    return z, (z, v, w_rec)
+
+
+def _rec_lif_bwd(alpha, threshold, gamma, spike_func, interpret, res, g_z):
+    z, v, w_rec = res
+    g_i, g_wr = _rec_bwd_call(
+        g_z, v, None, _shift_prev(z), w_rec, 0.0, alif=False, alpha=alpha,
+        rho=0.0, threshold=threshold, gamma=gamma, spike_func=spike_func,
+        interpret=interpret,
+    )
+    return g_i, g_wr
+
+
+rec_lif_scan.defvjp(_rec_lif_fwd, _rec_lif_bwd)
