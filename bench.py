@@ -1,17 +1,25 @@
 """Throughput benchmark: BPTT training images/sec/chip on the flagship config.
 
 Measures the full jitted training pipeline -- on-device spike encoding ->
-T=100 scan simulation -> max-over-time logits -> cross-entropy -> BPTT
-gradients -> Adam update -- on the reference README's flagship model
-(MNIST ALIF-128, recurrent, learn_beta; reference ``__main__.py:58-74``).
+T=100 scan simulation (Pallas fused recurrent kernels) -> max-over-time
+logits -> cross-entropy -> BPTT gradients -> Adam update -- on the
+reference README's flagship model (MNIST ALIF-128, recurrent, learn_beta;
+reference ``__main__.py:58-74``).
 
 Baseline: the reference trains ~700 img/s effective (30 epochs in 39:33 on
 ~55k images/epoch, README.md:131; see BASELINE.md).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N, ...}
+
+Timing note: every measurement ends with a host read of the loss value --
+on relayed/async TPU backends ``block_until_ready`` alone has been
+observed to under-report.
+
+Set BENCH_FULL=1 for extra variants (XLA-scan fallback, bfloat16).
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -25,9 +33,15 @@ import optax
 
 REFERENCE_IMG_PER_SEC = 700.0  # BASELINE.md: README.md:131 wall clock
 T = 100
-BATCH = 1024
+BATCH = 4096
 WARMUP_STEPS = 3
-MEASURE_STEPS = 20
+MEASURE_STEPS = 10
+
+FLAGSHIP = dict(
+    input_size=28 * 28, output_size=10, n_hidden_neurons=128,
+    hidden_layer_type="ALIF", use_recurrent_connection=True,
+    learn_beta=True, int_time_steps=T,
+)
 
 
 def build_step(cfg):
@@ -64,39 +78,36 @@ def measure(cfg, batch=BATCH):
 
     for _ in range(WARMUP_STEPS):
         params, opt_state, loss = step(params, opt_state, x, y)
-    jax.block_until_ready(loss)
+    float(loss)  # full host sync
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
         params, opt_state, loss = step(params, opt_state, x, y)
-    jax.block_until_ready(loss)
+    final_loss = float(loss)  # full host sync closes the timing window
     dt = time.perf_counter() - t0
-    return batch * MEASURE_STEPS / dt, float(loss)
+    return batch * MEASURE_STEPS / dt, final_loss
 
 
 def main():
     from snnimageclassification_tpu.models.config import SNNConfig
 
-    flagship = dict(
-        input_size=28 * 28, output_size=10, n_hidden_neurons=128,
-        hidden_layer_type="ALIF", use_recurrent_connection=True,
-        learn_beta=True, int_time_steps=T,
-    )
-    img_per_sec, loss = measure(SNNConfig(**flagship))
-    bf16_img_per_sec, _ = measure(
-        SNNConfig(**flagship, compute_dtype="bfloat16")
-    )
-
+    img_per_sec, loss = measure(SNNConfig(**FLAGSHIP))
     result = {
         "metric": "images/sec/chip (BPTT train, T=100, MNIST flagship ALIF-128 rec)",
         "value": round(img_per_sec, 1),
         "unit": "img/s",
         "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 2),
-        "bf16_value": round(bf16_img_per_sec, 1),
         "batch": BATCH,
         "device": str(jax.devices()[0]),
         "final_loss_finite": bool(np.isfinite(loss)),
     }
+    if os.environ.get("BENCH_FULL"):
+        result["xla_value"] = round(
+            measure(SNNConfig(**FLAGSHIP, use_pallas=False))[0], 1
+        )
+        result["bf16_value"] = round(
+            measure(SNNConfig(**FLAGSHIP, compute_dtype="bfloat16"))[0], 1
+        )
     print(json.dumps(result))
 
 

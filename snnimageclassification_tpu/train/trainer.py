@@ -112,13 +112,21 @@ class Trainer:
         seed: int = 0,
         criterion: Optional[Callable] = None,
         mesh=None,
+        reg_fn: Optional[Callable] = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a "data" axis; when
         given, every step runs data-parallel (params replicated, batch
-        sharded, XLA-inserted gradient all-reduce over ICI)."""
+        sharded, XLA-inserted gradient all-reduce over ICI).
+
+        ``reg_fn``: optional spike regularizer (train/losses.py) taking the
+        hidden-state traces dict and returning a scalar added to the loss.
+        The reference sketches these but never enables them
+        (snn.py:401-408); enabling one routes the forward through the
+        trace-returning path (XLA scan, not the fused Pallas kernels)."""
         self.cfg = cfg
         self.params = model_lib.init(cfg, jax.random.PRNGKey(seed))
         self.criterion = criterion or default_criterion
+        self.reg_fn = reg_fn
         self.ckpt = CheckpointManager(checkpoint_folder, model_name)
         self.loss_history = LossHistory()
         self.opt_state = None
@@ -137,12 +145,18 @@ class Trainer:
         With a mesh: params/opt_state replicated, batch sharded over the
         "data" axis; the gradient all-reduce is inserted by GSPMD.
         """
-        cfg, criterion = self.cfg, self.criterion
+        cfg, criterion, reg_fn = self.cfg, self.criterion, self.reg_fn
 
         def loss_fn(params, x, y, w):
             inputs = _encode_on_device(x, enc)
-            logits = model_lib.forward_logits(cfg, params, inputs)
-            return criterion(logits, y, w), logits
+            if reg_fn is None:
+                logits = model_lib.forward_logits(cfg, params, inputs)
+                return criterion(logits, y, w), logits
+            trace, hidden = model_lib.apply(
+                cfg, params, inputs, return_hidden=True
+            )
+            logits = model_lib.prediction_logits(cfg, trace)
+            return criterion(logits, y, w) + reg_fn(hidden), logits
 
         def train_step_fn(params, opt_state, x, y, w):
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -1,0 +1,120 @@
+"""Spike regularizers (train/losses.py) + multi-seed ensemble trainer."""
+import jax
+import numpy as np
+import pytest
+
+import snnimageclassification_tpu as st
+from snnimageclassification_tpu.data.datasets import ArrayDataLoader, EncodeConfig
+from snnimageclassification_tpu.models import snn as M
+from snnimageclassification_tpu.parallel.ensemble import EnsembleTrainer, init_ensemble
+from snnimageclassification_tpu.parallel.mesh import make_mesh
+from snnimageclassification_tpu.train import losses as L
+from snnimageclassification_tpu.train.trainer import Trainer
+
+
+def _hidden_states():
+    rng = np.random.default_rng(0)
+    z = (rng.random((2, 5, 4)) > 0.5).astype(np.float32)
+    v = rng.random((2, 5, 4)).astype(np.float32)
+    a = rng.random((2, 5, 4)).astype(np.float32)
+    vr = rng.random((2, 5, 3)).astype(np.float32)
+    return {"input": (v, a, z), "readout": (vr,)}, z
+
+
+class TestSpikeRegularizers:
+    def test_l1_total(self):
+        hs, z = _hidden_states()
+        got = float(L.l1_total_spike_count(hs, scale=1e-5))
+        assert got == pytest.approx(1e-5 * z.sum(), rel=1e-5)
+
+    def test_l2_per_neuron(self):
+        hs, z = _hidden_states()
+        got = float(L.l2_spikes_per_neuron(hs, scale=1.0))
+        expected = np.mean(z.sum(axis=(0, 1)) ** 2)
+        assert got == pytest.approx(expected, rel=1e-5)
+
+    def test_mean_count(self):
+        hs, z = _hidden_states()
+        got = float(L.mean_spike_count_per_neuron(hs))
+        assert got == pytest.approx(np.mean(z.sum(axis=(0, 1))), rel=1e-5)
+
+    def test_readout_excluded(self):
+        hs, _ = _hidden_states()
+        only_readout = {"readout": hs["readout"]}
+        assert float(L.l1_total_spike_count(only_readout)) == 0.0
+
+    def test_trainer_with_regularizer_runs(self, tmp_path):
+        cfg = st.SNNConfig(
+            input_size=16, output_size=4, n_hidden_neurons=8,
+            hidden_layer_type=st.LayerType.ALIF,
+            use_recurrent_connection=False, int_time_steps=3,
+        )
+        trainer = Trainer(
+            cfg, checkpoint_folder=str(tmp_path / "ck"),
+            reg_fn=L.l1_total_spike_count,
+        )
+        rng = np.random.default_rng(0)
+        x = rng.random((32, 16)).astype(np.float32)
+        y = (np.arange(32) % 4).astype(np.int32)
+        enc = EncodeConfig(n_steps=3, use_periods=False)
+        loader = ArrayDataLoader(x, y, 16, shuffle=True, encode_config=enc)
+        history = trainer.fit(loader, loader, nb_epochs=2,
+                              force_overwrite=True, verbose=False)
+        assert np.isfinite(history["train"]).all()
+
+
+class TestEnsemble:
+    def _loader(self, n=128, seed=0):
+        rng = np.random.default_rng(seed)
+        protos = rng.random((4, 16)).astype(np.float32)
+        y = (np.arange(n) % 4).astype(np.int32)
+        x = np.clip(protos[y] + 0.1 * rng.standard_normal((n, 16)).astype(np.float32), 0, 1)
+        enc = EncodeConfig(n_steps=2, use_periods=False)
+        return ArrayDataLoader(x, y, 32, shuffle=True, encode_config=enc, seed=seed)
+
+    def _cfg(self):
+        return st.SNNConfig(
+            input_size=16, output_size=4, n_hidden_neurons=8,
+            hidden_layer_type=st.LayerType.ALIF,
+            use_recurrent_connection=False, int_time_steps=2,
+        )
+
+    def test_init_ensemble_stacks_and_differs(self):
+        cfg = self._cfg()
+        params = init_ensemble(cfg, [0, 1, 2])
+        assert params["input"]["w_in"].shape == (3, 16, 8)
+        w = np.asarray(params["input"]["w_in"])
+        assert not np.allclose(w[0], w[1])  # different seeds
+
+    def test_ensemble_seed0_matches_single_trainer_init(self):
+        cfg = self._cfg()
+        params = init_ensemble(cfg, [0, 7])
+        single = M.init(cfg, jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(
+            np.asarray(params["input"]["w_in"][0]),
+            np.asarray(single["input"]["w_in"]),
+        )
+
+    def test_ensemble_trains_all_seeds(self):
+        cfg = self._cfg()
+        ens = EnsembleTrainer(cfg, seeds=[0, 1, 2], lr=3e-3)
+        loader = self._loader()
+        first = ens.train_epoch(loader)
+        for _ in range(5):
+            last = ens.train_epoch(loader)
+        assert first.shape == (3,)
+        assert (last < first).all()  # every replica's loss fell
+        accs = ens.accuracies(loader)
+        assert accs.shape == (3,)
+        assert (accs > 0.3).all()
+
+    def test_ensemble_on_mesh(self):
+        cfg = self._cfg()
+        mesh = make_mesh()
+        ens = EnsembleTrainer(cfg, seeds=[0, 1], mesh=mesh)
+        loader = self._loader()
+        losses = ens.train_epoch(loader)
+        assert losses.shape == (2,)
+        assert np.isfinite(losses).all()
+        accs = ens.accuracies(loader)
+        assert accs.shape == (2,)
