@@ -59,6 +59,7 @@ class SNN:
         checkpoint_folder: str = "checkpoints",
         model_name: str = "snn",
         seed: int = 0,
+        mesh=None,
         **kwargs: Any,
     ):
         del device
@@ -82,6 +83,7 @@ class SNN:
             checkpoint_folder=checkpoint_folder,
             model_name=model_name,
             seed=seed,
+            mesh=mesh,
         )
 
     # -- attribute passthroughs -------------------------------------------------
@@ -219,3 +221,18 @@ class SNN:
             lambda p, x: model_lib.forward_logits(self.config, p, x)
         ).lower(self.params, sample_input)
         return lowered.as_text()
+
+    def to_onnx(self, in_viz=None) -> str:
+        """Name-parity with the reference's ``to_onnx`` (snn.py:485-496,
+        itself only referenced from comments).  ONNX is not a TPU-native
+        interchange format; this writes the StableHLO serialization to
+        ``{checkpoint_folder}/{model_name}.stablehlo`` instead and returns
+        the path."""
+        import os
+
+        text = self.export_stablehlo(in_viz)
+        os.makedirs(self.checkpoint_folder, exist_ok=True)
+        path = f"{self.checkpoint_folder}/{self.model_name}.stablehlo"
+        with open(path, "w") as f:
+            f.write(text)
+        return path

@@ -74,6 +74,7 @@ def train_with_params(
     seed: int = 0,
     data_dir: Optional[str] = None,
     allow_synthetic: bool = True,
+    mesh=None,
 ) -> Dict[str, Any]:
     """Train one configuration end to end (training.py:90-135): hash params
     into a run folder, build loaders + model, fit with LAST_EPOCH resume +
@@ -105,6 +106,7 @@ def train_with_params(
         checkpoint_folder=checkpoint_folder,
         learn_beta=params.get("learn_beta", False),
         seed=seed,
+        mesh=mesh,
     )
     save_params(params, os.path.join(checkpoint_folder, "params.pkl"))
     network.fit(

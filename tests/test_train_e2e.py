@@ -221,3 +221,44 @@ class TestSweep:
             batch_size=64, data_dir=str(tmp_path / "none"),
         )
         assert len(df2) == 1
+
+
+class TestMeshFacadeAndExport:
+    def test_snn_with_mesh_and_export(self, tmp_path):
+        from snnimageclassification_tpu.parallel.mesh import make_mesh
+
+        net = st.SNN(
+            inputs_size=64, output_size=10, n_hidden_neurons=16,
+            use_recurrent_connection=False, int_time_steps=2,
+            checkpoint_folder=str(tmp_path / "ck"), mesh=make_mesh(),
+        )
+        train, val = _toy_loaders()
+        net.fit(train, val, nb_epochs=2, force_overwrite=True, verbose=False)
+        assert 0.0 <= net.compute_classification_accuracy(val) <= 1.0
+        path = net.to_onnx()
+        assert path.endswith(".stablehlo")
+        import os
+        assert os.path.getsize(path) > 0
+
+    def test_sweep_with_mesh(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from snnimageclassification_tpu.parallel.mesh import make_mesh
+        from snnimageclassification_tpu.train import sweep
+
+        result = sweep.train_with_params(
+            {
+                "dataset_id": DatasetId.MNIST,
+                "to_spikes_use_periods": False,
+                "n_steps": 2,
+                "n_hidden_neurons": 16,
+                "spike_func": st.SpikeFuncType.FastSigmoid,
+                "hidden_layer_type": st.LayerType.ALIF,
+                "use_recurrent_connection": False,
+                "nb_epochs": 1,
+            },
+            data_folder=str(tmp_path / "tr"),
+            batch_size=64,
+            data_dir=str(tmp_path / "none"),
+            mesh=make_mesh(),
+        )
+        assert 0.0 <= result["accuracies"]["test"] <= 1.0
