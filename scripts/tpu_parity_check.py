@@ -1,0 +1,82 @@
+"""On-TPU parity check: natively-compiled Pallas kernels vs the XLA scan
+path, forward and BPTT gradients.
+
+The pytest suite runs on CPU (interpret mode); this script is the
+hardware counterpart -- run it on a real TPU to validate the Mosaic
+compilation end to end:
+
+    python scripts/tpu_parity_check.py
+
+Exits non-zero on any mismatch.  Expect a few minutes of compile time on
+first run.
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def check(name, got, ref, atol=1e-5, rtol=1e-4):
+    got, ref = np.asarray(got), np.asarray(ref)
+    ok = np.allclose(got, ref, atol=atol, rtol=rtol)
+    diff = float(np.max(np.abs(got - ref))) if got.shape == ref.shape else "shape!"
+    print(f"{'OK  ' if ok else 'FAIL'} {name}: max|diff|={diff}")
+    return ok
+
+
+def main():
+    from snnimageclassification_tpu.models import snn as M
+    from snnimageclassification_tpu.models.config import SNNConfig
+
+    if jax.default_backend() != "tpu":
+        print(f"not a TPU backend ({jax.default_backend()}); nothing to check")
+        return 0
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((64, 784)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, 64), jnp.int32)
+    ok = True
+
+    for name, kw in {
+        "ff_lif": dict(hidden_layer_type="LIF", use_recurrent_connection=False),
+        "ff_alif": dict(hidden_layer_type="ALIF", use_recurrent_connection=False),
+        "rec_alif_learnbeta": dict(
+            hidden_layer_type="ALIF", use_recurrent_connection=True,
+            learn_beta=True,
+        ),
+        "rec_lif": dict(hidden_layer_type="LIF", use_recurrent_connection=True),
+    }.items():
+        base = dict(
+            input_size=784, output_size=10, n_hidden_neurons=128,
+            int_time_steps=12,
+        )
+        cfg_pal = SNNConfig(**base, **kw, use_pallas=True)
+        cfg_xla = SNNConfig(**base, **kw, use_pallas=False)
+        params = M.init(cfg_pal, jax.random.PRNGKey(0))
+
+        def loss(cfg, p):
+            logits = M.forward_logits(cfg, p, x)
+            logp = jax.nn.log_softmax(logits)
+            return -jnp.mean(logp[jnp.arange(64), y])
+
+        f_pal = jax.jit(lambda p: loss(cfg_pal, p))
+        f_xla = jax.jit(lambda p: loss(cfg_xla, p))
+        ok &= check(f"{name} loss", f_pal(params), f_xla(params), atol=1e-5)
+        g_pal = jax.jit(jax.grad(lambda p: loss(cfg_pal, p)))(params)
+        g_xla = jax.jit(jax.grad(lambda p: loss(cfg_xla, p)))(params)
+        for path, gp in jax.tree_util.tree_leaves_with_path(g_pal):
+            gx = g_xla
+            for k in path:
+                gx = gx[k.key]
+            ok &= check(f"{name} grad {jax.tree_util.keystr(path)}", gp, gx,
+                        atol=1e-5)
+    print("PARITY", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
