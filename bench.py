@@ -45,18 +45,21 @@ FLAGSHIP = dict(
 
 
 def build_step(cfg):
+    from snnimageclassification_tpu.data.datasets import EncodeConfig
     from snnimageclassification_tpu.models import snn as model_lib
-    from snnimageclassification_tpu.ops.encoding import encode_spikes
     from snnimageclassification_tpu.train.trainer import make_optimizer, nll_loss
 
     params = model_lib.init(cfg, jax.random.PRNGKey(0))
     tx = make_optimizer(model_lib.param_labels(cfg, params))
     opt_state = tx.init(params)
+    enc = EncodeConfig(n_steps=cfg.int_time_steps, use_periods=True)
 
     def train_step(params, opt_state, x, y):
         def loss_fn(p):
-            spikes = encode_spikes(x, n_steps=cfg.int_time_steps, use_periods=True)
-            logits = model_lib.forward_logits(cfg, p, spikes)
+            # Production path: encoding fused into the first-layer matmul
+            # on TPU (ops/pallas_encode.py), XLA fallback elsewhere.
+            trace, _ = model_lib.apply_pixels(cfg, p, x, enc)
+            logits = model_lib.prediction_logits(cfg, trace)
             return nll_loss(logits, y)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

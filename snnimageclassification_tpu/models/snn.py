@@ -103,10 +103,11 @@ def format_inputs(cfg: SNNConfig, inputs: jax.Array, dtype=jnp.float32) -> jax.A
 def apply(
     cfg: SNNConfig,
     params: Params,
-    inputs: jax.Array,
+    inputs: Optional[jax.Array],
     *,
     return_hidden: bool = False,
     initial_state: Optional[Tuple] = None,
+    first_layer_currents: Optional[jax.Array] = None,
 ):
     """Simulate the network for ``cfg.int_time_steps`` steps.
 
@@ -131,8 +132,14 @@ def apply(
     """
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     layer_cfgs = cfg.layer_configs
-    x = format_inputs(cfg, inputs, compute_dtype)  # (B, T, F)
-    batch = x.shape[0]
+    if first_layer_currents is not None:
+        # Layer-0 input currents precomputed upstream (e.g. by the fused
+        # encode+matmul kernel, ops/pallas_encode.py), time-major (T,B,H0).
+        x = None
+        batch = first_layer_currents.shape[1]
+    else:
+        x = format_inputs(cfg, inputs, compute_dtype)  # (B, T, F)
+        batch = x.shape[0]
 
     cparams = jax.tree.map(lambda p: p.astype(compute_dtype), params)
     states0 = (
@@ -154,7 +161,9 @@ def apply(
         )
         # Input currents for ALL time steps in one MXU matmul.  The
         # readout bias is added per-step inside the cell (snn.py:407).
-        if x_tm is None:
+        if x_tm is None and first_layer_currents is not None:
+            currents = first_layer_currents.astype(compute_dtype)
+        elif x_tm is None:
             # First layer: contract the wide feature axis in the input's
             # native (B, T, F) layout, then transpose the (F/6x smaller)
             # result to time-major.  Transposing the raw (B, T, 784) spike
@@ -234,6 +243,72 @@ def _pallas_layer_scan(lcfg, lparams, currents: jax.Array, w_rec_eff) -> jax.Arr
     return lif_scan(
         currents, lcfg.alpha, lcfg.threshold, lcfg.gamma, lcfg.spike_func
     )
+
+
+def apply_pixels(
+    cfg: SNNConfig,
+    params: Params,
+    pixels: jax.Array,
+    enc,
+    *,
+    return_hidden: bool = False,
+):
+    """Simulate directly from raw pixels ``(B, F)`` with the spike encoding
+    inside the model graph.
+
+    ``enc`` is a ``data.datasets.EncodeConfig``.  On TPU with float32
+    compute, the encoder is *fused into the first layer's matmul*
+    (ops/pallas_encode.py): spike tiles are generated in VMEM from the
+    integer latencies, so the (T, B, F) spike tensor never exists.  The
+    fallback composes ``encode_spikes`` with :func:`apply` -- identical
+    semantics.
+    """
+    from ..ops.encoding import encode_spikes, pixels_to_firing_periods
+    from ..ops.pallas_encode import encode_matmul_supported, encoded_input_matmul
+
+    if not enc.as_timeseries:
+        return apply(cfg, params, pixels, return_hidden=return_hidden)
+
+    first_name, first_cfg = cfg.layer_configs[0]
+    fused_ok = (
+        cfg.use_pallas
+        and jnp.dtype(cfg.compute_dtype) == jnp.float32
+        and enc.n_steps == cfg.int_time_steps  # no time padding needed
+        and encode_matmul_supported(cfg.int_time_steps, first_cfg.output_size)
+    )
+    if fused_ok:
+        latencies = pixels_to_firing_periods(
+            jnp.asarray(pixels, jnp.float32),
+            t_max=float(cfg.int_time_steps),
+            tau=enc.tau,
+            thr=enc.thr,
+            epsilon=enc.epsilon,
+        )
+        currents0 = encoded_input_matmul(
+            latencies,
+            params[first_name]["w_in"].astype(jnp.float32),
+            cfg.int_time_steps,
+            enc.use_periods,
+        )
+        return apply(
+            cfg, params, None,
+            return_hidden=return_hidden,
+            first_layer_currents=currents0,
+        )
+    spikes = encode_spikes(
+        jnp.asarray(pixels, jnp.float32),
+        n_steps=enc.n_steps,
+        use_periods=enc.use_periods,
+        tau=enc.tau,
+        thr=enc.thr,
+        epsilon=enc.epsilon,
+    )
+    # Materialize the spike tensor instead of letting XLA fuse the
+    # generator into the first matmul: the fused-operand emitter runs the
+    # gemm ~4x slower than paying the HBM round-trip once (profiled on
+    # v5e: 93k -> 145k img/s on the flagship).
+    spikes = jax.lax.optimization_barrier(spikes)
+    return apply(cfg, params, spikes, return_hidden=return_hidden)
 
 
 def prediction_logits(cfg: SNNConfig, outputs_trace: jax.Array) -> jax.Array:

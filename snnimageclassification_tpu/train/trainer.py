@@ -148,15 +148,15 @@ class Trainer:
         cfg, criterion, reg_fn = self.cfg, self.criterion, self.reg_fn
 
         def loss_fn(params, x, y, w):
-            inputs = _encode_on_device(x, enc)
-            if reg_fn is None:
-                logits = model_lib.forward_logits(cfg, params, inputs)
-                return criterion(logits, y, w), logits
-            trace, hidden = model_lib.apply(
-                cfg, params, inputs, return_hidden=True
+            return_hidden = reg_fn is not None
+            trace, hidden = model_lib.apply_pixels(
+                cfg, params, x, enc, return_hidden=return_hidden
             )
             logits = model_lib.prediction_logits(cfg, trace)
-            return criterion(logits, y, w) + reg_fn(hidden), logits
+            loss = criterion(logits, y, w)
+            if return_hidden:
+                loss = loss + reg_fn(hidden)
+            return loss, logits
 
         def train_step_fn(params, opt_state, x, y, w):
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
