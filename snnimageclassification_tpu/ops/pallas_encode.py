@@ -115,11 +115,17 @@ def _pad_lat(lat, bb, f_pad):
     pb = (-B) % bb
     pf = f_pad - F
     if pb or pf:
-        # Padded latencies = n_steps + 1: never fires in TTFS; in periodic
-        # mode a padded *feature* column must meet a zero W row (padded
-        # below), and padded *batch* rows are sliced off the output.
+        # Padded latencies = huge: never fires in TTFS; in periodic mode a
+        # padded *feature* column must meet a zero W row (padded below),
+        # and padded *batch* rows are sliced off the output.
         lat = jnp.pad(lat, ((0, pb), (0, pf)), constant_values=10**9)
     return lat
+
+
+def _maybe_pad(x, widths):
+    if any(hi for _, hi in widths):
+        return jnp.pad(x, widths)
+    return x
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -138,13 +144,17 @@ def encoded_input_matmul(
     return _fwd(latencies, w, n_steps, use_periods, interpret)
 
 
-def _fwd(latencies, w, n_steps, use_periods, interpret):
+def _fwd(latencies, w, n_steps, use_periods, interpret, lat_prepadded=None):
     B, F = latencies.shape
     H = w.shape[1]
     f_pad = -(-F // _BLOCK_F) * _BLOCK_F
     h_pad = -(-H // _LANE) * _LANE
-    lat = _pad_lat(latencies.astype(jnp.int32), _BLOCK_B, f_pad)
-    wp = jnp.pad(w, ((0, f_pad - F), (0, h_pad - H)))
+    lat = (
+        lat_prepadded
+        if lat_prepadded is not None
+        else _pad_lat(latencies.astype(jnp.int32), _BLOCK_B, f_pad)
+    )
+    wp = _maybe_pad(w, ((0, f_pad - F), (0, h_pad - H)))
     Bp = lat.shape[0]
     grid = (Bp // _BLOCK_B, f_pad // _BLOCK_F)
 
@@ -166,25 +176,28 @@ def _fwd(latencies, w, n_steps, use_periods, interpret):
         out_shape=jax.ShapeDtypeStruct((n_steps, Bp, h_pad), jnp.float32),
         interpret=interpret,
     )(lat, wp)
-    return out[:, :B, :H]
+    if out.shape[1] != B or out.shape[2] != H:
+        out = out[:, :B, :H]
+    return out
 
 
 def _fwd_vjp(latencies, w, n_steps, use_periods, interpret):
-    out = _fwd(latencies, w, n_steps, use_periods, interpret)
-    return out, (latencies, w.shape)
+    f_pad = -(-latencies.shape[1] // _BLOCK_F) * _BLOCK_F
+    lat = _pad_lat(latencies.astype(jnp.int32), _BLOCK_B, f_pad)
+    out = _fwd(latencies, w, n_steps, use_periods, interpret, lat_prepadded=lat)
+    # Save the padded latencies so the backward doesn't re-pad.
+    return out, (lat, latencies.shape, w.shape)
 
 
 def _bwd_vjp(n_steps, use_periods, interpret, res, g):
-    latencies, w_shape = res
+    lat, lat_shape, w_shape = res
     F, H = w_shape
-    B = latencies.shape[0]
+    B = lat_shape[0]
     f_pad = -(-F // _BLOCK_F) * _BLOCK_F
     h_pad = -(-H // _LANE) * _LANE
-    lat = _pad_lat(latencies.astype(jnp.int32), _BLOCK_B, f_pad)
     Bp = lat.shape[0]
-    gp = jnp.pad(
-        g.astype(jnp.float32),
-        ((0, 0), (0, Bp - B), (0, h_pad - H)),
+    gp = _maybe_pad(
+        g.astype(jnp.float32), ((0, 0), (0, Bp - B), (0, h_pad - H))
     )
     grid = (f_pad // _BLOCK_F, Bp // _BLOCK_B)
 
@@ -203,8 +216,10 @@ def _bwd_vjp(n_steps, use_periods, interpret, res, g):
         out_shape=jax.ShapeDtypeStruct((f_pad, h_pad), jnp.float32),
         interpret=interpret,
     )(lat, gp)
-    g_lat = np.zeros(latencies.shape, dtype=jax.dtypes.float0)
-    return g_lat, gw[:F, :H]
+    g_lat = np.zeros(lat_shape, dtype=jax.dtypes.float0)
+    if gw.shape != (F, H):
+        gw = gw[:F, :H]
+    return g_lat, gw
 
 
 encoded_input_matmul.defvjp(_fwd_vjp, _bwd_vjp)
