@@ -262,3 +262,22 @@ class TestMeshFacadeAndExport:
             mesh=make_mesh(),
         )
         assert 0.0 <= result["accuracies"]["test"] <= 1.0
+
+
+class TestPredictLogits:
+    def test_predict_logits_matches_eval_path(self, tmp_path):
+        cfg = _mk_cfg(tmp_path)
+        trainer = Trainer(cfg, checkpoint_folder=str(tmp_path / "ck"), seed=0)
+        x = np.random.default_rng(0).random((4, 64)).astype(np.float32)
+        enc = EncodeConfig(n_steps=2, use_periods=False)
+        logits = trainer.predict_logits(x, enc)
+        assert logits.shape == (4, 10)
+
+        from snnimageclassification_tpu.models import snn as M
+        from snnimageclassification_tpu.ops.encoding import encode_spikes
+
+        spikes = encode_spikes(x, n_steps=2, use_periods=False)
+        expected = M.forward_logits(cfg, trainer.params, spikes)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(expected), rtol=1e-5, atol=1e-6
+        )
