@@ -221,3 +221,40 @@ def test_param_labels():
     assert labels["input"]["beta"] == "beta"
     assert labels["input"]["w_in"] == "weight"
     assert labels["readout"]["b"] == "weight"
+
+
+def test_izhikevich_end_to_end_trainable():
+    """Izhikevich is registered but never swept in the reference
+    (SURVEY Q4); verify the full model path at least trains mechanically."""
+    cfg = SNNConfig(
+        input_size=12, output_size=4, n_hidden_neurons=8,
+        hidden_layer_type=LayerType.Izhikevich,
+        use_recurrent_connection=True, int_time_steps=5,
+    )
+    params = M.init(cfg, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 5, 12)) * 100.0
+
+    def loss(p):
+        return jnp.sum(M.forward_logits(cfg, p, x) ** 2)
+
+    l0 = float(loss(params))
+    g = jax.grad(loss)(params)
+    assert np.isfinite(l0)
+    assert all(
+        np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree.leaves(g)
+    )
+
+
+def test_feedforward_lif_t100_smoke():
+    """BASELINE config #1 shape: feedforward LIF-128 at T=100 (tiny batch
+    to keep CPU time sane)."""
+    cfg = SNNConfig(
+        input_size=32, output_size=10, n_hidden_neurons=128,
+        hidden_layer_type=LayerType.LIF, use_recurrent_connection=False,
+        int_time_steps=100,
+    )
+    params = M.init(cfg, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 100, 32))
+    logits = M.forward_logits(cfg, params, x)
+    assert logits.shape == (2, 10)
+    assert np.isfinite(np.asarray(logits)).all()
