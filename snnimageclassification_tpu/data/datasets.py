@@ -306,7 +306,13 @@ class ArrayDataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def iter_indices(self) -> Iterator[np.ndarray]:
+        """Per-epoch batch index arrays (shuffled when configured).
+
+        Lets consumers gather rows themselves -- e.g. on device from a
+        device-resident copy of the dataset (train/trainer.py), where a
+        16 KB index transfer replaces a multi-MB pixel transfer per batch.
+        """
         idx = np.arange(self.n_samples)
         if self.shuffle:
             self._rng.shuffle(idx)
@@ -315,10 +321,13 @@ class ArrayDataLoader:
             if self.drop_last
             else self.n_samples
         )
+        for start in range(0, end, self.batch_size):
+            yield idx[start:start + self.batch_size]
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         from .native_loader import gather_rows
 
-        for start in range(0, end, self.batch_size):
-            sel = idx[start:start + self.batch_size]
+        for sel in self.iter_indices():
             yield gather_rows(self.x, sel), self.y[sel]
 
 

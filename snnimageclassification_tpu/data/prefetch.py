@@ -1,0 +1,60 @@
+"""Host->device input prefetching.
+
+At ~377k img/s a 4096-image batch leaves the device idle while the host
+assembles and transfers the next one.  ``prefetch_to_device`` overlaps
+both: batches are prepared in a background thread and ``device_put``
+issued ahead of consumption (JAX transfers are async), keeping a bounded
+lookahead in flight.
+
+The reference's analogue is DataLoader worker prefetching
+(datasets.py:143-151); here a single thread suffices because per-batch
+host work is just a (native) row gather.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional
+
+import jax
+
+__all__ = ["prefetch_to_device"]
+
+_STOP = object()
+
+
+def prefetch_to_device(
+    iterable: Iterable,
+    size: int = 2,
+    transfer: Optional[Callable] = None,
+) -> Iterator:
+    """Iterate ``iterable`` with ``size`` batches prefetched to device.
+
+    ``transfer`` maps a host batch to device arrays (default:
+    ``jax.device_put`` on each element of a tuple).  Exceptions from the
+    producer thread are re-raised at the consumer.
+    """
+    if transfer is None:
+        transfer = lambda batch: jax.tree.map(jax.device_put, batch)
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    err: list = []
+
+    def producer():
+        try:
+            for batch in iterable:
+                q.put(transfer(batch))
+        except BaseException as e:  # surfaced at the consumer
+            err.append(e)
+        finally:
+            q.put(_STOP)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is _STOP:
+            if err:
+                raise err[0]
+            return
+        yield item

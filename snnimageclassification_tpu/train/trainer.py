@@ -131,6 +131,14 @@ class Trainer:
         self.loss_history = LossHistory()
         self.opt_state = None
         self.mesh = mesh
+        # Datasets up to this size are copied to HBM once and batches are
+        # gathered on device by index -- a 16 KB index transfer per batch
+        # instead of multi-MB pixels (host->device bandwidth measured as
+        # the fit-loop bottleneck: 417k img/s compute vs 17k with
+        # per-batch pixel transfers on the relay-attached TPU).  Set to 0
+        # to disable (datasets stream from host with prefetching).
+        self.device_data_limit_bytes = 512 * 1024 * 1024
+        self._device_data: Dict[int, tuple] = {}
         if mesh is not None:
             from ..parallel.mesh import replicated
 
@@ -311,26 +319,66 @@ class Trainer:
         losses = self.loss_history["val"][-patience:]
         return bool(np.all(np.abs(np.diff(losses)) < tol))
 
+    def _device_dataset(self, loader):
+        key = id(loader)
+        if key not in self._device_data:
+            self._device_data[key] = (
+                jnp.asarray(loader.x), jnp.asarray(loader.y)
+            )
+        return self._device_data[key]
+
+    def _prefetched(self, loader):
+        """Device (x, y, w) batches for one epoch.
+
+        Small datasets live in HBM and are gathered on device by index;
+        otherwise batches stream from host with background prefetching.
+        """
+        if (
+            self.mesh is None
+            and 0 < loader.x.nbytes <= self.device_data_limit_bytes
+        ):
+            x_dev, y_dev = self._device_dataset(loader)
+
+            def device_batches():
+                for idx in loader.iter_indices():
+                    idx_d = jnp.asarray(idx)
+                    w = jnp.ones((idx.shape[0],), jnp.float32)
+                    yield (
+                        jnp.take(x_dev, idx_d, axis=0),
+                        jnp.take(y_dev, idx_d, axis=0),
+                        w,
+                    )
+
+            return device_batches()
+
+        from ..data.prefetch import prefetch_to_device
+
+        return prefetch_to_device(
+            iter(loader), size=2,
+            transfer=lambda b: jax.tree.map(
+                jax.device_put, self._prep_batch(*b)
+            ),
+        )
+
     def _exec_phase(self, train_loader, val_loader) -> Dict[str, float]:
         """One train epoch + one val epoch (snn.py:352-365)."""
         train_step, eval_step = self._steps_for(train_loader.encode_config)
         train_losses = []
-        for x, y in train_loader:
-            xb, yb, wb = self._prep_batch(x, y)
+        for xb, yb, wb in self._prefetched(train_loader):
             self.params, self.opt_state, loss = train_step(
                 self.params, self.opt_state, xb, yb, wb
             )
             train_losses.append(loss)
         val_step = self._steps_for(val_loader.encode_config)[1]
         val_losses = []
-        for x, y in val_loader:
-            xb, yb, wb = self._prep_batch(x, y)
+        for xb, yb, wb in self._prefetched(val_loader):
             loss, _ = val_step(self.params, xb, yb, wb)
             val_losses.append(loss)
-        # Single host sync point per epoch: means computed after the loop.
+        # Single host sync per epoch: stack on device, fetch once (serial
+        # per-scalar fetches pay the transfer latency per batch).
         return dict(
-            train=float(np.mean([float(l) for l in train_losses])),
-            val=float(np.mean([float(l) for l in val_losses])),
+            train=float(np.mean(np.asarray(jnp.stack(train_losses)))),
+            val=float(np.mean(np.asarray(jnp.stack(val_losses)))),
         )
 
     # -- prediction / evaluation ------------------------------------------------
@@ -350,17 +398,15 @@ class Trainer:
         eval_step = self._steps_for(dataloader.encode_config)[1]
         n_correct = 0
         n_total = 0
-        batches = dataloader
+        batches = self._prefetched(dataloader)
         if verbose:
             from tqdm.auto import tqdm
 
-            batches = tqdm(dataloader, total=len(dataloader), desc=desc)
-        for x, y in batches:
-            n_real = y.shape[0]
-            xb, yb, wb = self._prep_batch(x, y)
+            batches = tqdm(batches, total=len(dataloader), desc=desc)
+        for xb, yb, wb in batches:
             _, preds = eval_step(self.params, xb, yb, wb)
-            n_correct += int(np.sum(np.asarray(preds)[:n_real] == y))
-            n_total += n_real
+            n_correct += int(jnp.sum((preds == yb) * wb))
+            n_total += int(jnp.sum(wb))
         return n_correct / max(n_total, 1)
 
     def compute_confusion_matrix(
@@ -387,12 +433,16 @@ class Trainer:
         self._ensure_optimizer(1e-3, 1e-5)
         eval_step = self._steps_for(dataloader.encode_config)[1]
         cm = np.zeros((nb_classes, nb_classes))
-        for x, y in dataloader:
-            n_real = y.shape[0]
-            xb, yb, wb = self._prep_batch(x, y)
+        for xb, yb, wb in self._prefetched(dataloader):
             _, preds = eval_step(self.params, xb, yb, wb)
+            mask = np.asarray(wb) > 0  # exclude mesh padding rows
             np.add.at(
-                cm, (y.astype(int), np.asarray(preds)[:n_real].astype(int)), 1
+                cm,
+                (
+                    np.asarray(yb)[mask].astype(int),
+                    np.asarray(preds)[mask].astype(int),
+                ),
+                1,
             )
         return cm
 
