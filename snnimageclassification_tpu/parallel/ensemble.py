@@ -62,6 +62,10 @@ class EnsembleTrainer:
             self.params = jax.device_put(self.params, repl)
             self.opt_state = jax.device_put(self.opt_state, repl)
         self._steps = {}
+        # Same host->device economics as Trainer: keep small datasets in
+        # HBM and gather batches on device by index (single-device only).
+        self.device_data_limit_bytes = 512 * 1024 * 1024
+        self._device_data = {}
 
     def _build(self, enc: EncodeConfig):
         cfg, tx = self.cfg, self.tx
@@ -120,12 +124,30 @@ class EnsembleTrainer:
         y, _ = pad_to_multiple(np.asarray(y), self.mesh.size)
         return shard_batch(self.mesh, x, y, w)
 
+    def _batches(self, loader: ArrayDataLoader):
+        if self.mesh is None and 0 < loader.x.nbytes <= self.device_data_limit_bytes:
+            key = id(loader)
+            if key not in self._device_data:
+                self._device_data[key] = (
+                    jnp.asarray(loader.x), jnp.asarray(loader.y)
+                )
+            x_dev, y_dev = self._device_data[key]
+            for idx in loader.iter_indices():
+                idx_d = jnp.asarray(idx)
+                yield (
+                    jnp.take(x_dev, idx_d, axis=0),
+                    jnp.take(y_dev, idx_d, axis=0),
+                    jnp.ones((idx.shape[0],), jnp.float32),
+                )
+            return
+        for x, y in loader:
+            yield self._prep(x, y)
+
     def train_epoch(self, loader: ArrayDataLoader) -> np.ndarray:
         """One epoch over the loader; returns mean loss per seed."""
         step = self._steps_for(loader.encode_config)[0]
         losses = []
-        for x, y in loader:
-            xb, yb, wb = self._prep(x, y)
+        for xb, yb, wb in self._batches(loader):
             self.params, self.opt_state, batch_losses = step(
                 self.params, self.opt_state, xb, yb, wb
             )
@@ -137,10 +159,10 @@ class EnsembleTrainer:
         evals = self._steps_for(loader.encode_config)[1]
         correct = np.zeros(len(self.seeds))
         total = 0
-        for x, y in loader:
-            n_real = y.shape[0]
-            xb, yb, _ = self._prep(x, y)
-            preds = np.asarray(evals(self.params, xb, yb))[:, :n_real]
-            correct += (preds == y[None]).sum(axis=1)
-            total += n_real
+        for xb, yb, wb in self._batches(loader):
+            preds = evals(self.params, xb, yb)  # (n_seeds, B)
+            correct += np.asarray(
+                jnp.sum((preds == yb[None]) * wb[None], axis=1)
+            )
+            total += int(jnp.sum(wb))
         return correct / max(total, 1)
