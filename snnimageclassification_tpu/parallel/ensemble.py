@@ -65,7 +65,9 @@ class EnsembleTrainer:
         # Same host->device economics as Trainer: keep small datasets in
         # HBM and gather batches on device by index (single-device only).
         self.device_data_limit_bytes = 512 * 1024 * 1024
-        self._device_data = {}
+        import weakref
+
+        self._device_data = weakref.WeakKeyDictionary()
 
     def _build(self, enc: EncodeConfig):
         cfg, tx = self.cfg, self.tx
@@ -126,12 +128,11 @@ class EnsembleTrainer:
 
     def _batches(self, loader: ArrayDataLoader):
         if self.mesh is None and 0 < loader.x.nbytes <= self.device_data_limit_bytes:
-            key = id(loader)
-            if key not in self._device_data:
-                self._device_data[key] = (
+            if loader not in self._device_data:
+                self._device_data[loader] = (
                     jnp.asarray(loader.x), jnp.asarray(loader.y)
                 )
-            x_dev, y_dev = self._device_data[key]
+            x_dev, y_dev = self._device_data[loader]
             for idx in loader.iter_indices():
                 idx_d = jnp.asarray(idx)
                 yield (

@@ -138,7 +138,9 @@ class Trainer:
         # per-batch pixel transfers on the relay-attached TPU).  Set to 0
         # to disable (datasets stream from host with prefetching).
         self.device_data_limit_bytes = 512 * 1024 * 1024
-        self._device_data: Dict[int, tuple] = {}
+        import weakref
+
+        self._device_data = weakref.WeakKeyDictionary()
         if mesh is not None:
             from ..parallel.mesh import replicated
 
@@ -320,12 +322,13 @@ class Trainer:
         return bool(np.all(np.abs(np.diff(losses)) < tol))
 
     def _device_dataset(self, loader):
-        key = id(loader)
-        if key not in self._device_data:
-            self._device_data[key] = (
+        # Weak keying: a GC'd loader frees its HBM copy, and a new loader
+        # allocated at the same address can never hit a stale entry.
+        if loader not in self._device_data:
+            self._device_data[loader] = (
                 jnp.asarray(loader.x), jnp.asarray(loader.y)
             )
-        return self._device_data[key]
+        return self._device_data[loader]
 
     def _prefetched(self, loader):
         """Device (x, y, w) batches for one epoch.
