@@ -89,6 +89,10 @@ class SNNConfig:
     learn_beta: bool = False
     # TPU execution knobs (no reference counterpart).
     compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly training
+    # "bfloat16" runs every matmul with bf16 operands + f32 accumulation
+    # (spike operands are 0/1, hence exact; weights round once).  State
+    # and dynamics stay float32.  Opt-in: changes numerics at ~1e-3.
+    matmul_dtype: str = "float32"
     remat: bool = False  # jax.checkpoint on the scan body (BPTT memory)
     use_pallas: bool = True  # fused Pallas time-scan kernels where eligible
 

@@ -131,6 +131,7 @@ def apply(
     sequential.
     """
     compute_dtype = jnp.dtype(cfg.compute_dtype)
+    matmul_dtype = jnp.dtype(cfg.matmul_dtype)
     layer_cfgs = cfg.layer_configs
     if first_layer_currents is not None:
         # Layer-0 input currents precomputed upstream (e.g. by the fused
@@ -151,6 +152,17 @@ def apply(
     x_tm = None  # layer outputs are time-major; the raw input is (B, T, F)
     hidden_states = {} if return_hidden else None
 
+    def mm(a, w):
+        """a @ w with cfg.matmul_dtype operands, accumulating in the
+        compute dtype (spike operands are 0/1 and exact in bf16)."""
+        if matmul_dtype == a.dtype:
+            return a @ w
+        return jax.lax.dot_general(
+            a.astype(matmul_dtype), w.astype(matmul_dtype),
+            dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=compute_dtype,
+        )
+
     for idx, (name, lcfg) in enumerate(layer_cfgs):
         lparams = cparams[name]
         step_fn = STEP_FNS[type(lcfg)]
@@ -159,6 +171,8 @@ def apply(
             if getattr(lcfg, "use_recurrent_connection", False)
             else None
         )
+        if w_rec_eff is not None and matmul_dtype != w_rec_eff.dtype:
+            w_rec_eff = w_rec_eff.astype(matmul_dtype)
         # Input currents for ALL time steps in one MXU matmul.  The
         # readout bias is added per-step inside the cell (snn.py:407).
         if x_tm is None and first_layer_currents is not None:
@@ -168,9 +182,9 @@ def apply(
             # native (B, T, F) layout, then transpose the (F/6x smaller)
             # result to time-major.  Transposing the raw (B, T, 784) spike
             # tensor before the matmul measured 5x slower on v5e.
-            currents = jnp.swapaxes(x @ lparams["w_in"], 0, 1)  # (T, B, out)
+            currents = jnp.swapaxes(mm(x, lparams["w_in"]), 0, 1)  # (T, B, out)
         else:
-            currents = x_tm @ lparams["w_in"]  # (T, B, out)
+            currents = mm(x_tm, lparams["w_in"])  # (T, B, out)
 
         if _pallas_layer_eligible(cfg, lcfg, return_hidden):
             x_tm = _pallas_layer_scan(lcfg, lparams, currents, w_rec_eff)
@@ -284,9 +298,12 @@ def apply_pixels(
             thr=enc.thr,
             epsilon=enc.epsilon,
         )
+        # The kernel's matmul operands follow W's dtype (accumulation is
+        # always float32); spikes are 0/1, exact in bf16.
+        w0 = params[first_name]["w_in"].astype(jnp.dtype(cfg.matmul_dtype))
         currents0 = encoded_input_matmul(
             latencies,
-            params[first_name]["w_in"].astype(jnp.float32),
+            w0,
             cfg.int_time_steps,
             enc.use_periods,
         )

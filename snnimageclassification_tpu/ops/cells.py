@@ -341,7 +341,17 @@ def _currents(x, z, w_in, w_rec_eff, precomputed_input_current: bool):
     else:
         i_in = x @ w_in
     if w_rec_eff is not None:
-        i_in = i_in + z @ w_rec_eff
+        if w_rec_eff.dtype != i_in.dtype:
+            # Reduced-precision matmul operands (e.g. bf16 W_rec from
+            # SNNConfig.matmul_dtype) with full-precision accumulation.
+            rec = jax.lax.dot_general(
+                z.astype(w_rec_eff.dtype), w_rec_eff,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=i_in.dtype,
+            )
+        else:
+            rec = z @ w_rec_eff
+        i_in = i_in + rec
     return i_in
 
 

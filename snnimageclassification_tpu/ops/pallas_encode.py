@@ -70,7 +70,7 @@ def _spike_tile(latency_tile, t_iota, n_steps: int, use_periods: bool):
         spk = (delta >= 0) & rem_is_zero
     else:
         spk = t_iota == lat
-    return spk.astype(jnp.float32)
+    return spk
 
 
 def _fwd_kernel(lat_ref, w_ref, out_ref, *, n_steps, use_periods, n_f_blocks):
@@ -82,7 +82,11 @@ def _fwd_kernel(lat_ref, w_ref, out_ref, *, n_steps, use_periods, n_f_blocks):
 
     T = out_ref.shape[0]
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0)
-    spk = _spike_tile(lat_ref[:], t_iota, n_steps, use_periods)  # (T,bB,bF)
+    # Spike operands take W's dtype (bf16-exact: values are 0/1);
+    # accumulation is float32 either way.
+    spk = _spike_tile(lat_ref[:], t_iota, n_steps, use_periods).astype(
+        w_ref.dtype
+    )
     bB = spk.shape[1]
     contrib = jnp.dot(
         spk.reshape(T * bB, -1), w_ref[:], preferred_element_type=jnp.float32
@@ -103,8 +107,9 @@ def _bwd_kernel(lat_ref, g_ref, gw_ref, *, n_steps, use_periods):
     spk = _spike_tile(lat_ref[:], t_iota, n_steps, use_periods)  # (T,bB,bF)
     bB = spk.shape[1]
     # g_w[f, h] += sum_{t, b} spike[t, b, f] * g[t, b, h]
+    g_tile = g_ref[:].reshape(T * bB, -1)
     gw_ref[:] += jax.lax.dot_general(
-        spk.reshape(T * bB, -1), g_ref[:].reshape(T * bB, -1),
+        spk.astype(g_tile.dtype).reshape(T * bB, -1), g_tile,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -185,12 +190,14 @@ def _fwd_vjp(latencies, w, n_steps, use_periods, interpret):
     f_pad = -(-latencies.shape[1] // _BLOCK_F) * _BLOCK_F
     lat = _pad_lat(latencies.astype(jnp.int32), _BLOCK_B, f_pad)
     out = _fwd(latencies, w, n_steps, use_periods, interpret, lat_prepadded=lat)
-    # Save the padded latencies so the backward doesn't re-pad.
-    return out, (lat, latencies.shape, w.shape)
+    # Save the padded latencies so the backward doesn't re-pad.  The
+    # zero-size sentinel carries w's dtype (dtype objects aren't valid
+    # residual leaves).
+    return out, (lat, latencies.shape, w.shape, jnp.empty((0,), w.dtype))
 
 
 def _bwd_vjp(n_steps, use_periods, interpret, res, g):
-    lat, lat_shape, w_shape = res
+    lat, lat_shape, w_shape, w_sentinel = res
     F, H = w_shape
     B = lat_shape[0]
     f_pad = -(-F // _BLOCK_F) * _BLOCK_F
@@ -219,7 +226,7 @@ def _bwd_vjp(n_steps, use_periods, interpret, res, g):
     g_lat = np.zeros(lat_shape, dtype=jax.dtypes.float0)
     if gw.shape != (F, H):
         gw = gw[:F, :H]
-    return g_lat, gw
+    return g_lat, gw.astype(w_sentinel.dtype)
 
 
 encoded_input_matmul.defvjp(_fwd_vjp, _bwd_vjp)

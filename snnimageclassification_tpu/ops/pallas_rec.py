@@ -88,7 +88,10 @@ def _rec_fwd_kernel(i_ref, w_ref, beta_ref, out_refs_and_scratch, *, alif,
             a_scr[:] = jnp.zeros_like(a_scr)
 
     z_prev = z_scr[:]
-    rec = jnp.dot(z_prev, w_ref[:], preferred_element_type=jnp.float32)
+    # Operand dtype follows W (bf16 under SNNConfig.matmul_dtype; spikes
+    # are 0/1 and exact); accumulation stays float32.
+    rec = jnp.dot(z_prev.astype(w_ref.dtype), w_ref[:],
+                  preferred_element_type=jnp.float32)
     v = (alpha * v_scr[:] + i_ref[0] + rec) * (1.0 - z_prev)
     if alif:
         a = rho * a_scr[:] + z_prev
@@ -110,7 +113,7 @@ def _rec_fwd_call(currents, w_rec, beta, *, alif, alpha, rho, threshold,
     H_pad = -(-H // _LANE) * _LANE
     bb = _block_b(B)
     ip = _pad_bh(currents, bb, H_pad)
-    wp = _pad_w(w_rec, H_pad)
+    wp = _pad_w(w_rec, H_pad)  # keeps w_rec's dtype (may be bf16)
     beta_s = jnp.asarray(beta, currents.dtype).reshape(1, 1)
     Bp = ip.shape[1]
     grid = (Bp // bb, T)
@@ -164,7 +167,7 @@ def _rec_bwd_kernel(refs, *, alif, alpha, rho, threshold, gamma,
     surr = _surrogate_grad(spike_func, v_ref[0], dyn_threshold, gamma)
     # dz_t = g_z[t] + dcur_{t+1} @ W_rec^T
     dz = gz_ref[0] + jax.lax.dot_general(
-        dcur_carry, w_ref[:],
+        dcur_carry.astype(w_ref.dtype), w_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -174,7 +177,7 @@ def _rec_bwd_kernel(refs, *, alif, alpha, rho, threshold, gamma,
     gi_ref[0] = dcur
     # dW_rec partial: z_{t-1}^T @ dcur_t, accumulated across time
     dwr_ref[0] += jax.lax.dot_general(
-        z_prev, dcur,
+        z_prev.astype(w_ref.dtype), dcur.astype(w_ref.dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -219,7 +222,7 @@ def _rec_bwd_call(g_z, v, a, z_prev, w_rec, beta, *, alif, alpha, rho,
         scratch_shapes=[pltpu.VMEM((bb, H_pad), g_z.dtype)],
         interpret=interpret,
     )(*operands, wp, beta_s)
-    g_wr = jnp.sum(dwr_partial, axis=0)[:H, :H]
+    g_wr = jnp.sum(dwr_partial, axis=0)[:H, :H].astype(w_rec.dtype)
     return g_i[:, :B, :H], g_wr
 
 

@@ -258,3 +258,29 @@ def test_feedforward_lif_t100_smoke():
     logits = M.forward_logits(cfg, params, x)
     assert logits.shape == (2, 10)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_matmul_dtype_bf16_close_to_f32():
+    """matmul_dtype='bfloat16' keeps f32 accumulation/state: results stay
+    within bf16 operand-rounding distance of the f32 path."""
+    kw = dict(
+        input_size=24, output_size=6, n_hidden_neurons=16,
+        hidden_layer_type=LayerType.ALIF, use_recurrent_connection=True,
+        int_time_steps=6,
+    )
+    cfg32 = SNNConfig(**kw)
+    cfg16 = SNNConfig(**kw, matmul_dtype="bfloat16")
+    params = M.init(cfg32, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 6, 24))
+    t32, _ = M.apply(cfg32, params, x)
+    t16, _ = M.apply(cfg16, params, x)
+    assert t16.dtype == jnp.float32
+    # Readout traces are O(1); bf16 weight rounding is ~1e-2 relative at
+    # these magnitudes after T steps of accumulation.
+    np.testing.assert_allclose(
+        np.asarray(t16), np.asarray(t32), rtol=0.1, atol=0.05
+    )
+    # Gradients still flow and beta stays dead.
+    g = jax.grad(lambda p: jnp.sum(M.forward_logits(cfg16, p, x) ** 2))(params)
+    assert float(jnp.linalg.norm(g["input"]["w_in"])) > 0
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
