@@ -39,22 +39,40 @@ def prefetch_to_device(
 
     q: queue.Queue = queue.Queue(maxsize=size)
     err: list = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded put that gives up if the consumer abandoned us --
+        otherwise an early break/exception in the consuming loop would pin
+        this thread (and its device buffers) in q.put() forever."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in iterable:
-                q.put(transfer(batch))
+                if not _put(transfer(batch)):
+                    return
         except BaseException as e:  # surfaced at the consumer
             err.append(e)
         finally:
-            q.put(_STOP)
+            _put(_STOP)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is _STOP:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _STOP:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # Runs on normal exhaustion, consumer exception, and GeneratorExit.
+        stop.set()

@@ -33,7 +33,7 @@ __all__ = ["SNN", "LoadCheckpointMode"]
 _LAYER_KWARG_NAMES = (
     "threshold", "gamma", "tau_m", "tau_a", "tau_out", "beta", "learn_beta",
     "use_rec_eye_mask", "readout_mth", "readout_filter_decay",
-    "compute_dtype", "remat",
+    "compute_dtype", "matmul_dtype", "remat", "use_pallas",
 )
 
 
@@ -170,11 +170,19 @@ class SNN:
 
     def get_spikes_count_per_neuron(self, hidden_states: Dict[str, tuple]):
         """Total spike count per hidden neuron from state traces
-        (snn.py:261-270): sums the z-trace (last state element) of every
-        spiking (non-readout) layer over batch and time."""
+        (snn.py:261-270): sums the z-trace (last state element) over batch
+        and time for every LIF-family layer.
+
+        Parity detail: the reference's ``isinstance(layer, LIFLayer)``
+        check covers LIF and ALIF but NOT Izhikevich (an RNNLayer, not a
+        LIFLayer subclass) -- Izhikevich layers are excluded here too.
+        """
+        from ..ops.cells import ALIFConfig, LIFConfig
+
+        lcfg_by_name = dict(self.config.layer_configs)
         counts = []
         for l_name, traces in hidden_states.items():
-            if l_name == "readout":
+            if type(lcfg_by_name.get(l_name)) not in (LIFConfig, ALIFConfig):
                 continue
             z_trace = traces[-1]  # (B, T, width)
             counts.append(jnp.sum(z_trace, axis=(0, 1)))
@@ -194,7 +202,7 @@ class SNN:
 
     # -- checkpointing ----------------------------------------------------------------
     def save_checkpoint(self, epoch: int, epoch_losses: Dict[str, float], best=False):
-        self.trainer._ensure_optimizer(1e-3, 1e-5)
+        self.trainer._ensure_optimizer_any()
         return self.trainer.ckpt.save_checkpoint(
             self.trainer.params, self.trainer.opt_state, epoch, epoch_losses, best
         )

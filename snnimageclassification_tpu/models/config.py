@@ -89,12 +89,18 @@ class SNNConfig:
     learn_beta: bool = False
     # TPU execution knobs (no reference counterpart).
     compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly training
-    # "bfloat16" runs every matmul with bf16 operands + f32 accumulation
-    # (spike operands are 0/1, hence exact; weights round once).  State
-    # and dynamics stay float32.  Opt-in: changes numerics at ~1e-3.
-    matmul_dtype: str = "float32"
+    # Matmul operand dtype; None follows compute_dtype.  Setting
+    # "bfloat16" with float32 compute runs every matmul with bf16
+    # operands + f32 accumulation (spike operands are 0/1, hence exact;
+    # weights round once) while state/dynamics stay float32.  Opt-in:
+    # changes numerics at ~1e-3.
+    matmul_dtype: Optional[str] = None
     remat: bool = False  # jax.checkpoint on the scan body (BPTT memory)
     use_pallas: bool = True  # fused Pallas time-scan kernels where eligible
+
+    @property
+    def matmul_dtype_eff(self) -> str:
+        return self.compute_dtype if self.matmul_dtype is None else self.matmul_dtype
 
     def __post_init__(self):
         object.__setattr__(

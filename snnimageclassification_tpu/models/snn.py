@@ -131,7 +131,7 @@ def apply(
     sequential.
     """
     compute_dtype = jnp.dtype(cfg.compute_dtype)
-    matmul_dtype = jnp.dtype(cfg.matmul_dtype)
+    matmul_dtype = jnp.dtype(cfg.matmul_dtype_eff)
     layer_cfgs = cfg.layer_configs
     if first_layer_currents is not None:
         # Layer-0 input currents precomputed upstream (e.g. by the fused
@@ -186,7 +186,9 @@ def apply(
         else:
             currents = mm(x_tm, lparams["w_in"])  # (T, B, out)
 
-        if _pallas_layer_eligible(cfg, lcfg, return_hidden):
+        if initial_state is None and _pallas_layer_eligible(cfg, lcfg, return_hidden):
+            # (a caller-supplied initial_state must flow through the XLA
+            # scan path: the fused kernels hard-zero their state at t=0)
             x_tm = _pallas_layer_scan(lcfg, lparams, currents, w_rec_eff)
             continue
 
@@ -300,7 +302,7 @@ def apply_pixels(
         )
         # The kernel's matmul operands follow W's dtype (accumulation is
         # always float32); spikes are 0/1, exact in bf16.
-        w0 = params[first_name]["w_in"].astype(jnp.dtype(cfg.matmul_dtype))
+        w0 = params[first_name]["w_in"].astype(jnp.dtype(cfg.matmul_dtype_eff))
         currents0 = encoded_input_matmul(
             latencies,
             w0,

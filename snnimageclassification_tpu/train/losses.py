@@ -36,8 +36,24 @@ __all__ = [
 SpikeRegularizer = Callable[[Dict[str, Tuple[jax.Array, ...]]], jax.Array]
 
 
-def _spike_traces(hidden_states: Dict[str, Tuple[jax.Array, ...]]):
-    """z-traces of all spiking (non-readout) layers (snn.py:403)."""
+def _spike_traces(hidden_states: Dict[str, Tuple[jax.Array, ...]], cfg=None):
+    """z-traces of LIF-family layers (snn.py:403).
+
+    Parity detail: the reference's sketches build on
+    ``get_spikes_count_per_neuron``'s ``isinstance(layer, LIFLayer)``
+    filter (snn.py:268), which excludes Izhikevich.  When an ``SNNConfig``
+    is supplied the same exclusion applies; without one, every non-readout
+    layer counts (all layers are LIF-family in every reference sweep).
+    """
+    if cfg is not None:
+        from ..ops.cells import ALIFConfig, LIFConfig
+
+        lcfg_by_name = dict(cfg.layer_configs)
+        return [
+            traces[-1]
+            for name, traces in hidden_states.items()
+            if type(lcfg_by_name.get(name)) in (LIFConfig, ALIFConfig)
+        ]
     return [
         traces[-1]
         for name, traces in hidden_states.items()
@@ -46,22 +62,24 @@ def _spike_traces(hidden_states: Dict[str, Tuple[jax.Array, ...]]):
 
 
 def l1_total_spike_count(
-    hidden_states: Dict[str, Tuple[jax.Array, ...]], scale: float = 1e-5
+    hidden_states: Dict[str, Tuple[jax.Array, ...]], scale: float = 1e-5,
+    cfg=None,
 ) -> jax.Array:
     """L1 penalty on the total number of spikes (snn.py:404)."""
-    spikes = _spike_traces(hidden_states)
+    spikes = _spike_traces(hidden_states, cfg)
     if not spikes:
         return jnp.asarray(0.0)
     return scale * sum(jnp.sum(s) for s in spikes)
 
 
 def l2_spikes_per_neuron(
-    hidden_states: Dict[str, Tuple[jax.Array, ...]], scale: float = 1e-5
+    hidden_states: Dict[str, Tuple[jax.Array, ...]], scale: float = 1e-5,
+    cfg=None,
 ) -> jax.Array:
     """L2 penalty on per-neuron spike counts (snn.py:405-407): for each
     layer, square the per-neuron count summed over batch and time, then
     take the mean over neurons."""
-    spikes = _spike_traces(hidden_states)
+    spikes = _spike_traces(hidden_states, cfg)
     if not spikes:
         return jnp.asarray(0.0)
     return scale * sum(
@@ -70,10 +88,10 @@ def l2_spikes_per_neuron(
 
 
 def mean_spike_count_per_neuron(
-    hidden_states: Dict[str, Tuple[jax.Array, ...]]
+    hidden_states: Dict[str, Tuple[jax.Array, ...]], cfg=None
 ) -> jax.Array:
     """Mean per-neuron spike count (snn.py:402 with :261-270)."""
-    spikes = _spike_traces(hidden_states)
+    spikes = _spike_traces(hidden_states, cfg)
     if not spikes:
         return jnp.asarray(0.0)
     counts = jnp.concatenate([jnp.sum(s, axis=(0, 1)) for s in spikes])

@@ -146,6 +146,7 @@ class Trainer:
 
             self.params = jax.device_put(self.params, replicated(mesh))
         self._tx: Optional[optax.GradientTransformation] = None
+        self._opt_hparams: Optional[tuple] = None
         self._step_cache: Dict = {}
 
     # -- jitted step builders -------------------------------------------------
@@ -220,10 +221,27 @@ class Trainer:
         return self._step_cache[key]
 
     def _ensure_optimizer(self, lr: float, weight_decay: float):
-        if self._tx is None:
-            labels = model_lib.param_labels(self.cfg, self.params)
-            self._tx = make_optimizer(labels, lr=lr, weight_decay=weight_decay)
+        """Build (or rebuild) the optimizer for these hyperparameters.
+
+        A changed (lr, weight_decay) rebuilds the transform but keeps the
+        existing ``opt_state`` (Adam state is structurally identical across
+        hyperparameters) -- so ``fit(lr=...)`` always honors its arguments,
+        including after an eval/checkpoint call created the optimizer with
+        defaults, and a second fit can change the learning rate.
+        """
+        if self._tx is not None and self._opt_hparams == (lr, weight_decay):
+            return
+        labels = model_lib.param_labels(self.cfg, self.params)
+        self._tx = make_optimizer(labels, lr=lr, weight_decay=weight_decay)
+        self._opt_hparams = (lr, weight_decay)
+        if self.opt_state is None:
             self.opt_state = self._tx.init(self.params)
+
+    def _ensure_optimizer_any(self):
+        """Eval/checkpoint paths just need *an* optimizer (for the step
+        cache and opt_state templates); never override fit's choice."""
+        if self._tx is None:
+            self._ensure_optimizer(1e-3, 1e-5)
 
     # -- fit -------------------------------------------------------------------
     def fit(
@@ -397,7 +415,7 @@ class Trainer:
         desc: Optional[str] = None,
     ) -> float:
         """Per-sample mean accuracy over a loader (snn.py:507-525)."""
-        self._ensure_optimizer(1e-3, 1e-5)
+        self._ensure_optimizer_any()
         eval_step = self._steps_for(dataloader.encode_config)[1]
         n_correct = 0
         n_total = 0
@@ -433,7 +451,7 @@ class Trainer:
     def _compute_single_confusion_matrix(
         self, nb_classes: int, dataloader: ArrayDataLoader
     ) -> np.ndarray:
-        self._ensure_optimizer(1e-3, 1e-5)
+        self._ensure_optimizer_any()
         eval_step = self._steps_for(dataloader.encode_config)[1]
         cm = np.zeros((nb_classes, nb_classes))
         for xb, yb, wb in self._prefetched(dataloader):
@@ -454,7 +472,7 @@ class Trainer:
         self, load_checkpoint_mode: LoadCheckpointMode = LoadCheckpointMode.BEST_EPOCH
     ) -> dict:
         """Load and install a checkpoint (snn.py:474-483)."""
-        self._ensure_optimizer(1e-3, 1e-5)
+        self._ensure_optimizer_any()
         checkpoint = self.ckpt.load_checkpoint(load_checkpoint_mode)
         self.params, self.opt_state = self.ckpt.restore(
             checkpoint, self.params, self.opt_state

@@ -25,3 +25,25 @@ def test_producer_exception_propagates():
 
 def test_empty_iterable():
     assert list(prefetch_to_device(iter([]), size=2)) == []
+
+
+def test_abandoned_consumer_releases_producer():
+    import threading
+    import time
+
+    started = threading.Event()
+
+    def gen():
+        for i in range(100):
+            started.set()
+            yield (np.full((2,), i),)
+
+    before = threading.active_count()
+    it = prefetch_to_device(gen(), size=1)
+    next(it)
+    assert started.is_set()
+    it.close()  # abandon mid-stream (triggers GeneratorExit -> stop event)
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread stuck"

@@ -281,3 +281,65 @@ class TestPredictLogits:
         np.testing.assert_allclose(
             np.asarray(logits), np.asarray(expected), rtol=1e-5, atol=1e-6
         )
+
+
+class TestOptimizerHyperparams:
+    def test_fit_lr_honored_after_eval(self, tmp_path):
+        """Review finding: an eval before fit used to freeze the optimizer
+        at default hyperparameters."""
+        cfg = _mk_cfg(tmp_path)
+        trainer = Trainer(cfg, checkpoint_folder=str(tmp_path / "ck"), seed=0)
+        train, val = _toy_loaders()
+        trainer.compute_classification_accuracy(val)  # builds default opt
+        trainer.fit(train, val, lr=0.5, nb_epochs=1,
+                    force_overwrite=True, verbose=False)
+        assert trainer._opt_hparams == (0.5, 1e-5)
+
+    def test_second_fit_can_change_lr(self, tmp_path):
+        cfg = _mk_cfg(tmp_path)
+        trainer = Trainer(cfg, checkpoint_folder=str(tmp_path / "ck"), seed=0)
+        train, val = _toy_loaders()
+        trainer.fit(train, val, lr=1e-3, nb_epochs=1,
+                    force_overwrite=True, verbose=False)
+        trainer.fit(train, val, lr=1e-4, nb_epochs=2,
+                    load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH,
+                    verbose=False)
+        assert trainer._opt_hparams == (1e-4, 1e-5)
+
+    def test_eval_does_not_stomp_fit_hparams(self, tmp_path):
+        cfg = _mk_cfg(tmp_path)
+        trainer = Trainer(cfg, checkpoint_folder=str(tmp_path / "ck"), seed=0)
+        train, val = _toy_loaders()
+        trainer.fit(train, val, lr=5e-4, nb_epochs=1,
+                    force_overwrite=True, verbose=False)
+        trainer.compute_classification_accuracy(val)
+        assert trainer._opt_hparams == (5e-4, 1e-5)
+
+
+class TestFacadeConfigKnobs:
+    def test_matmul_dtype_and_use_pallas_accepted(self, tmp_path):
+        net = st.SNN(
+            inputs_size=8, output_size=2, n_hidden_neurons=4,
+            int_time_steps=2, checkpoint_folder=str(tmp_path / "ck"),
+            matmul_dtype="bfloat16", use_pallas=False,
+        )
+        assert net.config.matmul_dtype_eff == "bfloat16"
+        assert net.config.use_pallas is False
+
+
+class TestSpikeCountParity:
+    def test_izhikevich_excluded_like_reference(self, tmp_path):
+        """snn.py:268's isinstance(layer, LIFLayer) excludes Izhikevich."""
+        net = st.SNN(
+            inputs_size=8, output_size=2, n_hidden_neurons=4,
+            hidden_layer_type=st.LayerType.Izhikevich, int_time_steps=2,
+            checkpoint_folder=str(tmp_path / "ck"),
+        )
+        x = np.random.default_rng(0).random((2, 8)).astype(np.float32)
+        _, hidden = net(x)
+        counts = net.get_spikes_count_per_neuron(hidden)
+        assert counts.shape == (0,)
+
+        from snnimageclassification_tpu.train import losses as L
+
+        assert float(L.l1_total_spike_count(hidden, cfg=net.config)) == 0.0
