@@ -215,7 +215,10 @@ class Trainer:
         return shard_batch(self.mesh, x, y, w)
 
     def _steps_for(self, enc: EncodeConfig):
-        key = (enc, id(self._tx))
+        # Keyed by the optimizer hyperparameters (which uniquely determine
+        # the transform), not id(self._tx): a rebuilt tx could reuse a
+        # garbage-collected object's id and hit a stale closure.
+        key = (enc, self._opt_hparams)
         if key not in self._step_cache:
             self._step_cache[key] = self._build_steps(enc, self._tx)
         return self._step_cache[key]
