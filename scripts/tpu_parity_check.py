@@ -49,6 +49,9 @@ def main():
             learn_beta=True,
         ),
         "rec_lif": dict(hidden_layer_type="LIF", use_recurrent_connection=True),
+        "rec_izh": dict(
+            hidden_layer_type="Izhikevich", use_recurrent_connection=True,
+        ),
     }.items():
         base = dict(
             input_size=784, output_size=10, n_hidden_neurons=128,

@@ -225,19 +225,25 @@ def _pallas_layer_eligible(cfg: SNNConfig, lcfg, return_hidden) -> bool:
         return False
     if jnp.dtype(cfg.compute_dtype) != jnp.float32:
         return False
-    from ..ops.cells import ALIFConfig, LIFConfig
+    from ..ops.cells import ALIFConfig, IzhikevichConfig, LIFConfig
     from ..ops.pallas_scan import pallas_supported
 
-    if type(lcfg) not in (LIFConfig, ALIFConfig):
+    if type(lcfg) not in (LIFConfig, ALIFConfig, IzhikevichConfig):
         return False
     return pallas_supported()
 
 
 def _pallas_layer_scan(lcfg, lparams, currents: jax.Array, w_rec_eff) -> jax.Array:
-    from ..ops.cells import ALIFConfig
+    from ..ops.cells import ALIFConfig, IzhikevichConfig
+    from ..ops.pallas_izh import izh_kernel_params, izh_scan
     from ..ops.pallas_rec import rec_alif_scan, rec_lif_scan
     from ..ops.pallas_scan import alif_scan, lif_scan
 
+    if type(lcfg) is IzhikevichConfig:
+        return izh_scan(
+            currents, w_rec_eff, izh_kernel_params(lcfg), lcfg.gamma,
+            lcfg.spike_func,
+        )
     if type(lcfg) is ALIFConfig:
         # A learnable beta is a traced scalar; it rides in SMEM and gets a
         # zero cotangent (quirk Q3), so the kernels stay applicable.
