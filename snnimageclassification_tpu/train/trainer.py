@@ -148,6 +148,40 @@ class Trainer:
         self._tx: Optional[optax.GradientTransformation] = None
         self._opt_hparams: Optional[tuple] = None
         self._step_cache: Dict = {}
+        # Per-epoch checkpoint saves run in a background thread: JAX
+        # arrays are immutable, so serializing the just-saved params while
+        # the next epoch trains new ones is safe.  At most one save is in
+        # flight; readers join it first (see _join_pending_save).
+        self.async_checkpointing = True
+        self._ckpt_thread = None
+
+    def _join_pending_save(self):
+        if self._ckpt_thread is not None:
+            self._ckpt_thread.join()
+            self._ckpt_thread = None
+
+    def _save_checkpoint(self, epoch: int, epoch_loss, is_best: bool):
+        self._join_pending_save()
+        if not self.async_checkpointing:
+            self.ckpt.save_checkpoint(
+                self.params, self.opt_state, epoch, epoch_loss, is_best
+            )
+            return
+        import threading
+
+        # Device-copy the snapshot: the live buffers get DONATED into the
+        # next epoch's first train step and would be deleted under the
+        # serializing thread.  The copy is a cheap on-device op; the slow
+        # device->host fetch happens in the thread.
+        params, opt_state = jax.tree.map(
+            jnp.copy, (self.params, self.opt_state)
+        )
+        self._ckpt_thread = threading.Thread(
+            target=self.ckpt.save_checkpoint,
+            args=(params, opt_state, epoch, epoch_loss, is_best),
+            daemon=True,
+        )
+        self._ckpt_thread.start()
 
     # -- jitted step builders -------------------------------------------------
     def _build_steps(self, enc: EncodeConfig, tx: optax.GradientTransformation):
@@ -283,6 +317,7 @@ class Trainer:
             if os.path.exists(self.ckpt.checkpoints_meta_path) and force_overwrite:
                 shutil.rmtree(self.ckpt.checkpoint_folder)
         else:
+            self._join_pending_save()
             try:
                 checkpoint = self.ckpt.load_checkpoint(load_checkpoint_mode)
                 self.params, self.opt_state = self.ckpt.restore(
@@ -316,9 +351,7 @@ class Trainer:
             )
             self.loss_history.concat(epoch_loss)
             is_best = epoch_loss["val"] < best_loss
-            self.ckpt.save_checkpoint(
-                self.params, self.opt_state, epoch, epoch_loss, is_best
-            )
+            self._save_checkpoint(epoch, epoch_loss, is_best)
             if is_best:
                 best_loss = epoch_loss["val"]
             if verbose:
@@ -333,6 +366,7 @@ class Trainer:
                 break
         if verbose:
             epochs_iter.close()
+        self._join_pending_save()
         self.plot_loss_history(show=False)
         return self.loss_history
 
@@ -475,6 +509,7 @@ class Trainer:
         self, load_checkpoint_mode: LoadCheckpointMode = LoadCheckpointMode.BEST_EPOCH
     ) -> dict:
         """Load and install a checkpoint (snn.py:474-483)."""
+        self._join_pending_save()
         self._ensure_optimizer_any()
         checkpoint = self.ckpt.load_checkpoint(load_checkpoint_mode)
         self.params, self.opt_state = self.ckpt.restore(
