@@ -33,7 +33,7 @@ import optax
 
 REFERENCE_IMG_PER_SEC = 700.0  # BASELINE.md: README.md:131 wall clock
 T = 100
-BATCH = 4096
+BATCH = 8192
 WARMUP_STEPS = 3
 MEASURE_STEPS = 10
 
