@@ -15,7 +15,7 @@ model_name, **layer_kwargs)`` then ``.fit(...)``, ``.forward`` /
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, Optional, Type, Union
+from typing import Any, Dict, Iterable, Union
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ from ..ops.surrogate import SpikeFuncType
 from ..train.checkpoint import LoadCheckpointMode
 from ..train.trainer import Trainer
 from . import snn as model_lib
-from .config import ForwardMth, ReadoutMth, SNNConfig
+from .config import SNNConfig
 
 __all__ = ["SNN", "LoadCheckpointMode"]
 

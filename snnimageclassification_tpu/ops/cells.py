@@ -42,7 +42,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .surrogate import SpikeFuncType, heaviside_sigmoid, resolve_spike_fn
+from .surrogate import SpikeFuncType, resolve_spike_fn
 
 __all__ = [
     "LayerType",

@@ -73,7 +73,7 @@ def _spike_tile(latency_tile, t_iota, n_steps: int, use_periods: bool):
     return spk
 
 
-def _fwd_kernel(lat_ref, w_ref, out_ref, *, n_steps, use_periods, n_f_blocks):
+def _fwd_kernel(lat_ref, w_ref, out_ref, *, n_steps, use_periods):
     f = pl.program_id(1)
 
     @pl.when(f == 0)
@@ -92,7 +92,6 @@ def _fwd_kernel(lat_ref, w_ref, out_ref, *, n_steps, use_periods, n_f_blocks):
         spk.reshape(T * bB, -1), w_ref[:], preferred_element_type=jnp.float32
     ).reshape(T, bB, -1)
     out_ref[:] += contrib
-    del n_f_blocks
 
 
 def _bwd_kernel(lat_ref, g_ref, gw_ref, *, n_steps, use_periods):
@@ -166,7 +165,6 @@ def _fwd(latencies, w, n_steps, use_periods, interpret, lat_prepadded=None):
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, n_steps=n_steps, use_periods=use_periods,
-            n_f_blocks=grid[1],
         ),
         grid=grid,
         in_specs=[

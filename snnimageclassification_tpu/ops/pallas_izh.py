@@ -121,11 +121,6 @@ def _bwd_kernel(refs, *, has_w, dt, C, v_rest, v_th, k, a, b, v_peak,
     du_scr[:] = du
 
 
-def _kernel_params(cfg_like: dict) -> dict:
-    names = ("dt", "C", "v_rest", "v_th", "k", "a", "b", "c", "d", "v_peak")
-    return {n: cfg_like[n] for n in names}
-
-
 def _fwd_call(currents, w_rec, kp, interpret):
     T, B, H = currents.shape
     H_pad = -(-H // _LANE) * _LANE

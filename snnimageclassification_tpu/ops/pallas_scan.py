@@ -38,33 +38,19 @@ shapes the kernel can't tile (see ``_pad``).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .surrogate import PHI_EPSILON, SpikeFuncType
+from .surrogate import SpikeFuncType, surrogate_grad as _surrogate_grad
 
 __all__ = ["lif_scan", "alif_scan", "pallas_supported"]
 
 _LANE = 128      # TPU lane width: last block dim
 _SUBLANE = 8     # float32 sublane multiple
 _MAX_BLOCK_B = 256
-
-
-def _surrogate_grad(spike_func: SpikeFuncType, v, threshold, gamma):
-    """Closed-form surrogate derivatives (spike_funcs.py:61, 76-78)."""
-    if spike_func == SpikeFuncType.FastSigmoid:
-        denom = gamma * jnp.abs(v - threshold) + 1.0
-        return 1.0 / (denom * denom)
-    if spike_func == SpikeFuncType.Phi:
-        scale = gamma / (threshold + PHI_EPSILON)
-        return scale * jnp.maximum(
-            jnp.zeros_like(v), 1.0 - jnp.abs((v - threshold) / (threshold + PHI_EPSILON))
-        )
-    raise ValueError(f"Unsupported spike function for Pallas scan: {spike_func}")
 
 
 def _block_shape(batch: int, hidden: int):

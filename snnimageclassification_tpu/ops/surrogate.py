@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "SpikeFuncType",
+    "surrogate_grad",
     "heaviside_sigmoid",
     "heaviside_phi",
     "PHI_EPSILON",
@@ -58,6 +59,24 @@ def _heaviside(v: jax.Array, threshold) -> jax.Array:
     return (v >= threshold).astype(v.dtype)
 
 
+def surrogate_grad(spike_func: "SpikeFuncType", v, threshold, gamma):
+    """Closed-form surrogate derivative d spike / d v.
+
+    The single source of truth for both the custom_vjp backwards below and
+    the hand-written Pallas backward kernels (spike_funcs.py:61, 76-78).
+    """
+    if spike_func == SpikeFuncType.FastSigmoid:
+        denom = gamma * jnp.abs(v - threshold) + 1.0
+        return 1.0 / (denom * denom)
+    if spike_func == SpikeFuncType.Phi:
+        scale = gamma / (threshold + PHI_EPSILON)
+        return scale * jnp.maximum(
+            jnp.zeros_like(v),
+            1.0 - jnp.abs((v - threshold) / (threshold + PHI_EPSILON)),
+        )
+    raise ValueError(f"No closed-form surrogate gradient for {spike_func}")
+
+
 # --------------------------------------------------------------------------
 # Fast-sigmoid surrogate (Zenke & Ganguli 2018)
 # --------------------------------------------------------------------------
@@ -77,8 +96,7 @@ def _hs_fwd(v, threshold, gamma):
 
 def _hs_bwd(res, g):
     v, threshold, gamma = res
-    denom = gamma * jnp.abs(v - threshold) + 1.0
-    dv = g / (denom * denom)
+    dv = g * surrogate_grad(SpikeFuncType.FastSigmoid, v, threshold, gamma)
     # Zero cotangents for threshold/gamma: the reference returns None for
     # them (spike_funcs.py:62), which is what keeps learn_beta frozen.
     return dv, jnp.zeros_like(jnp.asarray(threshold, dtype=dv.dtype)), jnp.zeros_like(
@@ -105,11 +123,7 @@ def _hp_fwd(v, threshold, gamma):
 
 def _hp_bwd(res, g):
     v, threshold, gamma = res
-    scale = gamma / (threshold + PHI_EPSILON)
-    tri = jnp.maximum(
-        jnp.zeros_like(v), 1.0 - jnp.abs((v - threshold) / (threshold + PHI_EPSILON))
-    )
-    dv = g * scale * tri
+    dv = g * surrogate_grad(SpikeFuncType.Phi, v, threshold, gamma)
     return dv, jnp.zeros_like(jnp.asarray(threshold, dtype=dv.dtype)), jnp.zeros_like(
         jnp.asarray(gamma, dtype=dv.dtype)
     )

@@ -11,7 +11,7 @@ batch 4096 over the mesh" configuration.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -64,10 +64,9 @@ class EnsembleTrainer:
         self._steps = {}
         # Same host->device economics as Trainer: keep small datasets in
         # HBM and gather batches on device by index (single-device only).
-        self.device_data_limit_bytes = 512 * 1024 * 1024
-        import weakref
+        from ..data.device_cache import DeviceDataCache
 
-        self._device_data = weakref.WeakKeyDictionary()
+        self.device_data = DeviceDataCache()
 
     def _build(self, enc: EncodeConfig):
         cfg, tx = self.cfg, self.tx
@@ -127,19 +126,8 @@ class EnsembleTrainer:
         return shard_batch(self.mesh, x, y, w)
 
     def _batches(self, loader: ArrayDataLoader):
-        if self.mesh is None and 0 < loader.x.nbytes <= self.device_data_limit_bytes:
-            if loader not in self._device_data:
-                self._device_data[loader] = (
-                    jnp.asarray(loader.x), jnp.asarray(loader.y)
-                )
-            x_dev, y_dev = self._device_data[loader]
-            for idx in loader.iter_indices():
-                idx_d = jnp.asarray(idx)
-                yield (
-                    jnp.take(x_dev, idx_d, axis=0),
-                    jnp.take(y_dev, idx_d, axis=0),
-                    jnp.ones((idx.shape[0],), jnp.float32),
-                )
+        if self.mesh is None and self.device_data.fits(loader):
+            yield from self.device_data.batches(loader)
             return
         for x, y in loader:
             yield self._prep(x, y)

@@ -18,8 +18,7 @@ from __future__ import annotations
 import enum
 import json
 import os
-import pathlib
-from typing import Any, Dict, Optional, Union
+from typing import Any, Dict, Union
 
 from flax import serialization
 

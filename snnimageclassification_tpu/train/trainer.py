@@ -24,8 +24,7 @@ from __future__ import annotations
 import logging
 import os
 import shutil
-from functools import partial
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -131,16 +130,15 @@ class Trainer:
         self.loss_history = LossHistory()
         self.opt_state = None
         self.mesh = mesh
-        # Datasets up to this size are copied to HBM once and batches are
-        # gathered on device by index -- a 16 KB index transfer per batch
-        # instead of multi-MB pixels (host->device bandwidth measured as
-        # the fit-loop bottleneck: 417k img/s compute vs 17k with
-        # per-batch pixel transfers on the relay-attached TPU).  Set to 0
-        # to disable (datasets stream from host with prefetching).
-        self.device_data_limit_bytes = 512 * 1024 * 1024
-        import weakref
+        # Datasets up to the cache limit are copied to HBM once and
+        # batches gathered on device by index -- a 16 KB index transfer
+        # per batch instead of multi-MB pixels (host->device bandwidth
+        # measured as the fit-loop bottleneck: 417k img/s compute vs 17k
+        # with per-batch pixel transfers on the relay-attached TPU).  Set
+        # limit_bytes to 0 to force host streaming with prefetching.
+        from ..data.device_cache import DeviceDataCache
 
-        self._device_data = weakref.WeakKeyDictionary()
+        self.device_data = DeviceDataCache()
         if mesh is not None:
             from ..parallel.mesh import replicated
 
@@ -376,38 +374,14 @@ class Trainer:
         losses = self.loss_history["val"][-patience:]
         return bool(np.all(np.abs(np.diff(losses)) < tol))
 
-    def _device_dataset(self, loader):
-        # Weak keying: a GC'd loader frees its HBM copy, and a new loader
-        # allocated at the same address can never hit a stale entry.
-        if loader not in self._device_data:
-            self._device_data[loader] = (
-                jnp.asarray(loader.x), jnp.asarray(loader.y)
-            )
-        return self._device_data[loader]
-
     def _prefetched(self, loader):
         """Device (x, y, w) batches for one epoch.
 
         Small datasets live in HBM and are gathered on device by index;
         otherwise batches stream from host with background prefetching.
         """
-        if (
-            self.mesh is None
-            and 0 < loader.x.nbytes <= self.device_data_limit_bytes
-        ):
-            x_dev, y_dev = self._device_dataset(loader)
-
-            def device_batches():
-                for idx in loader.iter_indices():
-                    idx_d = jnp.asarray(idx)
-                    w = jnp.ones((idx.shape[0],), jnp.float32)
-                    yield (
-                        jnp.take(x_dev, idx_d, axis=0),
-                        jnp.take(y_dev, idx_d, axis=0),
-                        w,
-                    )
-
-            return device_batches()
+        if self.mesh is None and self.device_data.fits(loader):
+            return self.device_data.batches(loader)
 
         from ..data.prefetch import prefetch_to_device
 
