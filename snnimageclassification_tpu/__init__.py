@@ -28,3 +28,5 @@ from .train import (  # noqa: F401
     train_with_params,
 )
 from .utils import LossHistory, mapping_update_recursively  # noqa: F401
+from .parallel import make_mesh  # noqa: F401
+from .parallel.ensemble import EnsembleTrainer  # noqa: F401
