@@ -142,7 +142,12 @@ def pairwise_data(results, dataset_name: str, param_name: str, ydata_name: str):
 def pairwise_comparison_stats(results, dataset_name: str):
     """Mean |paired difference| of test accuracy when flipping each
     parameter (result_methods.py:263-271).  Parameters with fewer than two
-    values in the sweep are skipped."""
+    values in the sweep are skipped.
+
+    The reference grid is all-binary; for a parameter swept over k > 2
+    values (e.g. three hidden sizes) every *adjacent* value pair gets its
+    own entry keyed ``"<display> (<a> -> <b>)"`` instead of silently using
+    only the first two values."""
     stats = {}
     for param in PARAM_DISPLAY_NAMES:
         if param not in results.columns:
@@ -150,15 +155,23 @@ def pairwise_comparison_stats(results, dataset_name: str):
         columns = pairwise_data(results, dataset_name, param, "test_accuracy")
         if len(columns) < 2:
             continue
+        names = list(columns)
         series = list(columns.values())
-        n = min(len(s) for s in series[:2])
-        if n == 0:
-            continue
-        diff = np.asarray(series[1][:n]) - np.asarray(series[0][:n])
-        stats[PARAM_DISPLAY_NAMES[param]] = {
-            "mean_abs_diff": float(np.abs(np.mean(diff))),
-            "std_third": float(np.std(diff) / 3),
-        }
+        display = PARAM_DISPLAY_NAMES[param]
+        for j in range(len(series) - 1):
+            n = min(len(series[j]), len(series[j + 1]))
+            if n == 0:
+                continue
+            diff = np.asarray(series[j + 1][:n]) - np.asarray(series[j][:n])
+            key = (
+                display
+                if len(series) == 2
+                else f"{display} ({names[j]} -> {names[j + 1]})"
+            )
+            stats[key] = {
+                "mean_abs_diff": float(np.abs(np.mean(diff))),
+                "std_third": float(np.std(diff) / 3),
+            }
     return stats
 
 

@@ -35,5 +35,18 @@ def batchwise_temporal_filter(
 
 
 def temporal_max(x: jax.Array, time_axis: int = 1) -> jax.Array:
-    """Max-over-time readout reduction (snn.py:228)."""
-    return jnp.max(x, axis=time_axis)
+    """Max-over-time readout reduction (snn.py:228).
+
+    Implemented as first-occurrence argmax + gather rather than
+    ``jnp.max`` so the *backward* matches ``torch.max``: on ties torch
+    routes the whole cotangent to the first maximal time step, while
+    ``jnp.max``'s VJP splits it evenly among ties.  Ties are real -- a
+    hidden layer that never spikes yields an all-zero readout trace --
+    and the difference is machine-checked by
+    tests/test_reference_equivalence.py.
+    """
+    idx = jnp.argmax(x, axis=time_axis)  # first max index, like torch.max
+    gathered = jnp.take_along_axis(
+        x, jnp.expand_dims(idx, time_axis), axis=time_axis
+    )
+    return jnp.squeeze(gathered, axis=time_axis)

@@ -343,9 +343,8 @@ class Trainer:
                 leave=p_bar_leave,
             )
         for epoch in epochs_iter:
-            epoch_loss = self._exec_phase(train_dataloader, val_dataloader)
-            epoch_val_acc = self.compute_classification_accuracy(
-                val_dataloader, verbose=False
+            epoch_loss, epoch_val_acc = self._exec_phase(
+                train_dataloader, val_dataloader
             )
             self.loss_history.concat(epoch_loss)
             is_best = epoch_loss["val"] < best_loss
@@ -392,8 +391,15 @@ class Trainer:
             ),
         )
 
-    def _exec_phase(self, train_loader, val_loader) -> Dict[str, float]:
-        """One train epoch + one val epoch (snn.py:352-365)."""
+    def _exec_phase(self, train_loader, val_loader):
+        """One train epoch + one val epoch (snn.py:352-365).
+
+        Returns ``(epoch_loss_dict, val_accuracy)``.  The reference runs a
+        *second* full val forward pass per epoch just to report accuracy
+        (snn.py:332-333); here the single val sweep produces loss and
+        accuracy together from ``eval_step``'s ``(loss, preds)`` -- same
+        numbers, half the val compute.
+        """
         train_step, eval_step = self._steps_for(train_loader.encode_config)
         train_losses = []
         for xb, yb, wb in self._prefetched(train_loader):
@@ -402,16 +408,21 @@ class Trainer:
             )
             train_losses.append(loss)
         val_step = self._steps_for(val_loader.encode_config)[1]
-        val_losses = []
+        val_losses, val_correct, val_count = [], [], []
         for xb, yb, wb in self._prefetched(val_loader):
-            loss, _ = val_step(self.params, xb, yb, wb)
+            loss, preds = val_step(self.params, xb, yb, wb)
             val_losses.append(loss)
+            val_correct.append(jnp.sum((preds == yb) * wb))
+            val_count.append(jnp.sum(wb))
         # Single host sync per epoch: stack on device, fetch once (serial
         # per-scalar fetches pay the transfer latency per batch).
-        return dict(
+        epoch_loss = dict(
             train=float(np.mean(np.asarray(jnp.stack(train_losses)))),
             val=float(np.mean(np.asarray(jnp.stack(val_losses)))),
         )
+        n_correct = int(np.sum(np.asarray(jnp.stack(val_correct))))
+        n_total = int(np.sum(np.asarray(jnp.stack(val_count))))
+        return epoch_loss, n_correct / max(n_total, 1)
 
     # -- prediction / evaluation ------------------------------------------------
     def predict_logits(self, x, encode_config: Optional[EncodeConfig] = None):

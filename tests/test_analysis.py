@@ -74,6 +74,25 @@ def test_pairwise_comparison_stats(df):
     assert "Learn beta" not in stats
 
 
+def test_pairwise_comparison_stats_three_values(df):
+    """A parameter swept over >2 values yields one entry per adjacent
+    value pair instead of silently truncating to the first two."""
+    extra = df[df.n_hidden_neurons == 128].copy()
+    extra["n_hidden_neurons"] = 256
+    extra["test_accuracy"] = extra["test_accuracy"] + 0.01
+    df3 = pd.concat([df, extra], ignore_index=True)
+    stats = R.pairwise_comparison_stats(df3, "MNIST")
+    assert "Hidden layer size" not in stats  # no bare (truncated) entry
+    assert stats[
+        "Hidden layer size (n_hidden_neurons=64 -> n_hidden_neurons=128)"
+    ]["mean_abs_diff"] == pytest.approx(0.0)
+    assert stats[
+        "Hidden layer size (n_hidden_neurons=128 -> n_hidden_neurons=256)"
+    ]["mean_abs_diff"] == pytest.approx(0.01)
+    # binary parameters keep their round-1 keys
+    assert stats["Recurrent connections"]["mean_abs_diff"] == pytest.approx(0.2)
+
+
 def test_figures_render(tmp_path, df):
     pytest.importorskip("matplotlib")
     R.plot_bar_result(
