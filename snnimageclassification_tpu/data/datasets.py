@@ -23,12 +23,15 @@ from __future__ import annotations
 import dataclasses
 import enum
 import gzip
+import logging
 import os
 import pathlib
 import struct
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 __all__ = [
     "DatasetId",
@@ -146,6 +149,11 @@ def _candidate_roots(data_dir: Optional[str]):
         pathlib.Path("data/datasets"),
         pathlib.Path("data"),
         pathlib.Path.home() / ".keras" / "datasets",
+        pathlib.Path.home() / "data",
+        pathlib.Path.home() / "datasets",
+        pathlib.Path("/data/datasets"),
+        pathlib.Path("/data"),
+        pathlib.Path("/tmp/datasets"),
     ]
     return roots
 
@@ -248,6 +256,19 @@ def load_raw(
                 f"{[str(r) for r in _candidate_roots(data_dir)]}. Set "
                 f"${DATA_DIR_ENV} or pass data_dir, or allow_synthetic=True."
             )
+        # Result-integrity guard: a user asking for MNIST must not silently
+        # train on synthetic data.  Loud warning + source="synthetic" on
+        # the return dict and on every loader built from it.
+        logger.warning(
+            "No local files found for %s (searched %s); falling back to the "
+            "SYNTHETIC dataset. Accuracies will NOT be comparable to "
+            "published %s numbers. Run scripts/fetch_datasets.py or drop "
+            "IDX/npz files under $%s to use real data.",
+            dataset_id.name,
+            [str(r) for r in _candidate_roots(data_dir)],
+            dataset_id.name,
+            DATA_DIR_ENV,
+        )
         raw = _make_synthetic(dataset_id, synthetic_train, synthetic_test)
         source = "synthetic"
 
@@ -286,6 +307,7 @@ class ArrayDataLoader:
         drop_last: bool = False,
         seed: int = 0,
         encode_config: EncodeConfig = EncodeConfig(),
+        source: Optional[str] = None,
     ):
         assert x.shape[0] == y.shape[0]
         self.x = np.ascontiguousarray(x)
@@ -294,6 +316,8 @@ class ArrayDataLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.encode_config = encode_config
+        # Provenance: file path the arrays came from, or "synthetic".
+        self.source = source
         self._rng = np.random.default_rng(seed)
 
     @property
@@ -348,6 +372,9 @@ def get_dataloaders(
     """Train/val/test loaders with the reference's surface
     (datasets.py:100-152): random train/val split by ratio, shuffled train
     loader, sequential val/test loaders.
+
+    Every loader carries ``loader.source`` -- the file path the arrays were
+    read from, or ``"synthetic"`` for the (loudly warned) fallback.
     """
     del nb_workers  # host workers are unnecessary: encoding runs on device
     raw = load_raw(dataset_id, data_dir, allow_synthetic=allow_synthetic)
@@ -364,7 +391,7 @@ def get_dataloaders(
     def mk(x, y, shuffle, drop_last=False, s=0):
         return ArrayDataLoader(
             x, y, batch_size, shuffle=shuffle, drop_last=drop_last,
-            seed=seed + s, encode_config=enc,
+            seed=seed + s, encode_config=enc, source=raw["source"],
         )
 
     return {

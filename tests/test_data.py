@@ -74,10 +74,21 @@ class TestLoadRaw:
         assert raw["x_train"].shape == (5, 784)
         assert raw["source"].endswith("mnist.npz")
 
-    def test_synthetic_fallback(self, tmp_path):
-        raw = load_raw(
-            DatasetId.FASHION_MNIST, str(tmp_path / "nothing-here"),
-            synthetic_train=64, synthetic_test=16,
+    def test_synthetic_fallback(self, tmp_path, caplog):
+        import logging
+
+        with caplog.at_level(logging.WARNING,
+                             logger="snnimageclassification_tpu.data.datasets"):
+            raw = load_raw(
+                DatasetId.FASHION_MNIST, str(tmp_path / "nothing-here"),
+                synthetic_train=64, synthetic_test=16,
+            )
+        # The fallback must be LOUD: a user requesting FASHION_MNIST on a
+        # machine without files should see a warning, not silently train
+        # on synthetic data.
+        assert any(
+            "SYNTHETIC" in rec.message and "FASHION_MNIST" in (rec.msg % rec.args)
+            for rec in caplog.records
         )
         assert raw["source"] == "synthetic"
         assert raw["x_train"].shape == (64, 784)
@@ -143,3 +154,81 @@ class TestGetDataloaders:
             data_dir=str(tmp_path / "none"), allow_synthetic=True,
         )
         assert loaders["train"].encode_config.as_timeseries is False
+
+    def test_source_exposed_on_loaders(self, tmp_path):
+        loaders = get_dataloaders(
+            DatasetId.MNIST, data_dir=str(tmp_path / "none"),
+            allow_synthetic=True,
+        )
+        assert all(
+            loaders[k].source == "synthetic" for k in ("train", "val", "test")
+        )
+        # real files -> source is the resolved path
+        root = tmp_path / "mnist"
+        root.mkdir()
+        imgs = np.zeros((20, 28, 28), np.uint8)
+        labels = (np.arange(20) % 10).astype(np.uint8)
+        _write_idx(root / "train-images-idx3-ubyte", imgs)
+        _write_idx(root / "train-labels-idx1-ubyte", labels)
+        _write_idx(root / "t10k-images-idx3-ubyte", imgs[:7])
+        _write_idx(root / "t10k-labels-idx1-ubyte", labels[:7])
+        loaders = get_dataloaders(
+            DatasetId.MNIST, data_dir=str(tmp_path), allow_synthetic=False,
+        )
+        assert loaders["train"].source.endswith("mnist")
+
+
+class TestFetchDatasets:
+    """scripts/fetch_datasets.py --verify/--make-npz (no-egress paths)."""
+
+    def _script(self):
+        import importlib.util
+        import pathlib
+
+        spec = importlib.util.spec_from_file_location(
+            "fetch_datasets",
+            pathlib.Path(__file__).parent.parent / "scripts" / "fetch_datasets.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_verify_reports_missing(self, tmp_path, monkeypatch, capsys):
+        mod = self._script()
+        monkeypatch.setenv("SNN_TPU_DATA_DIR", str(tmp_path))
+        assert mod.main(["mnist", "--verify"]) == 1
+        assert "MISSING" in capsys.readouterr().out
+
+    def test_verify_accepts_uncompressed_idx(self, tmp_path, monkeypatch):
+        mod = self._script()
+        monkeypatch.setenv("SNN_TPU_DATA_DIR", str(tmp_path))
+        folder = tmp_path / "mnist"
+        folder.mkdir()
+        imgs = np.zeros((4, 28, 28), np.uint8)
+        labels = np.arange(4, dtype=np.uint8)
+        _write_idx(folder / "train-images-idx3-ubyte", imgs)
+        _write_idx(folder / "train-labels-idx1-ubyte", labels)
+        _write_idx(folder / "t10k-images-idx3-ubyte", imgs)
+        _write_idx(folder / "t10k-labels-idx1-ubyte", labels)
+        assert mod.main(["mnist", "--verify"]) == 0
+
+    def test_make_npz_roundtrips_into_load_raw(self, tmp_path, monkeypatch):
+        mod = self._script()
+        monkeypatch.setenv("SNN_TPU_DATA_DIR", str(tmp_path))
+        folder = tmp_path / "mnist"
+        folder.mkdir()
+        imgs = np.random.default_rng(0).integers(0, 256, (6, 28, 28)).astype(np.uint8)
+        labels = (np.arange(6) % 10).astype(np.uint8)
+        _write_idx(folder / "train-images-idx3-ubyte", imgs)
+        _write_idx(folder / "train-labels-idx1-ubyte", labels)
+        _write_idx(folder / "t10k-images-idx3-ubyte.gz", imgs[:2], gz=True)
+        _write_idx(folder / "t10k-labels-idx1-ubyte.gz", labels[:2], gz=True)
+        assert mod.main(["mnist", "--make-npz"]) == 0
+        # Load from a dir holding ONLY the npz (IDX folders probe first).
+        npz_dir = tmp_path / "npz-only"
+        npz_dir.mkdir()
+        (tmp_path / "mnist.npz").rename(npz_dir / "mnist.npz")
+        raw = load_raw(DatasetId.MNIST, str(npz_dir), allow_synthetic=False)
+        assert raw["x_train"].shape == (6, 784)
+        assert raw["source"].endswith("mnist.npz")
+        np.testing.assert_array_equal(raw["y_test"], labels[:2])
