@@ -11,7 +11,8 @@ batch 4096 over the mesh" configuration.
 """
 from __future__ import annotations
 
-from typing import Sequence
+import logging
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -21,9 +22,13 @@ import optax
 from ..data.datasets import ArrayDataLoader, EncodeConfig
 from ..models import snn as model_lib
 from ..models.config import SNNConfig
+from ..train.checkpoint import CheckpointManager
 from ..train.trainer import _encode_on_device, make_optimizer, nll_loss
+from ..utils.history import LossHistory
 
 __all__ = ["init_ensemble", "EnsembleTrainer"]
+
+logger = logging.getLogger(__name__)
 
 
 def init_ensemble(cfg: SNNConfig, seeds: Sequence[int]):
@@ -47,11 +52,23 @@ class EnsembleTrainer:
         lr: float = 1e-3,
         weight_decay: float = 1e-5,
         mesh=None,
+        checkpoint_folder: Optional[str] = None,
+        model_name: str = "snn_ensemble",
     ):
         self.cfg = cfg
         self.seeds = tuple(seeds)
         self.mesh = mesh
         self.params = init_ensemble(cfg, seeds)
+        self.ckpt = (
+            CheckpointManager(checkpoint_folder, model_name)
+            if checkpoint_folder
+            else None
+        )
+        # Per-seed loss histories + per-seed best-val snapshot, filled by fit.
+        self.histories: List[LossHistory] = [LossHistory() for _ in self.seeds]
+        self.best_params = None
+        self.best_val = np.full(len(self.seeds), np.inf)
+        self.best_epoch = np.full(len(self.seeds), -1, dtype=int)
         labels = model_lib.param_labels(cfg, jax.tree.map(lambda x: x[0], self.params))
         self.tx = make_optimizer(labels, lr=lr, weight_decay=weight_decay)
         self.opt_state = jax.vmap(self.tx.init)(self.params)
@@ -87,25 +104,35 @@ class EnsembleTrainer:
             params = jax.vmap(optax.apply_updates)(params, updates)
             return params, opt_state, losses
 
-        def eval_step(params, x, y):
+        def eval_step(params, x, y, w):
             inputs = _encode_on_device(x, enc)
-            logits = jax.vmap(
-                lambda p: model_lib.forward_logits(cfg, p, inputs)
-            )(params)
-            preds = jnp.argmax(logits, axis=-1)  # (n_seeds, B)
-            return preds
+
+            def one_replica(p):
+                logits = model_lib.forward_logits(cfg, p, inputs)
+                return nll_loss(logits, y, w), jnp.argmax(logits, axis=-1)
+
+            losses, preds = jax.vmap(one_replica)(params)
+            return losses, preds  # (n_seeds,), (n_seeds, B)
 
         if self.mesh is not None:
-            from .mesh import batch_sharded, replicated
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .mesh import DATA_AXIS, batch_sharded, replicated
 
             repl, bsh = replicated(self.mesh), batch_sharded(self.mesh)
+            # preds are (n_seeds, B): the batch axis is dim 1 here.
+            seed_bsh = NamedSharding(self.mesh, P(None, DATA_AXIS))
             train = jax.jit(
                 train_step,
                 in_shardings=(repl, repl, bsh, bsh, bsh),
                 out_shardings=(repl, repl, repl),
                 donate_argnums=(0, 1),
             )
-            evals = jax.jit(eval_step, in_shardings=(repl, bsh, bsh))
+            evals = jax.jit(
+                eval_step,
+                in_shardings=(repl, bsh, bsh, bsh),
+                out_shardings=(repl, seed_bsh),
+            )
         else:
             train = jax.jit(train_step, donate_argnums=(0, 1))
             evals = jax.jit(eval_step)
@@ -143,15 +170,120 @@ class EnsembleTrainer:
             losses.append(batch_losses)
         return np.mean(np.asarray(jnp.stack(losses)), axis=0)
 
-    def accuracies(self, loader: ArrayDataLoader) -> np.ndarray:
-        """Per-seed accuracy over the loader."""
+    def eval_epoch(self, loader: ArrayDataLoader):
+        """One fused eval sweep: (per-seed mean loss, per-seed accuracy)."""
         evals = self._steps_for(loader.encode_config)[1]
+        losses = []
         correct = np.zeros(len(self.seeds))
         total = 0
         for xb, yb, wb in self._batches(loader):
-            preds = evals(self.params, xb, yb)  # (n_seeds, B)
+            batch_losses, preds = evals(self.params, xb, yb, wb)
+            losses.append(batch_losses)
             correct += np.asarray(
                 jnp.sum((preds == yb[None]) * wb[None], axis=1)
             )
             total += int(jnp.sum(wb))
-        return correct / max(total, 1)
+        return (
+            np.mean(np.asarray(jnp.stack(losses)), axis=0),
+            correct / max(total, 1),
+        )
+
+    def accuracies(self, loader: ArrayDataLoader) -> np.ndarray:
+        """Per-seed accuracy over the loader."""
+        return self.eval_epoch(loader)[1]
+
+    # -- fit -------------------------------------------------------------------
+    def fit(
+        self,
+        train_dataloader: ArrayDataLoader,
+        val_dataloader: ArrayDataLoader,
+        nb_epochs: int = 15,
+        early_stopping: bool = False,
+        early_stopping_patience: int = 5,
+        verbose: bool = True,
+    ) -> List[LossHistory]:
+        """Train all replicas simultaneously with per-epoch train+val
+        phases, per-seed best-val snapshots, and optional plateau early
+        stopping -- the vmapped counterpart of ``Trainer.fit``
+        (snn.py:280-350), replacing N sequential reference runs
+        (training.py:151-201).
+
+        Per-seed best params are tracked on device (a ``jnp.where`` merge
+        per epoch); ``load_best()`` installs them afterwards -- the
+        stacked analogue of reloading BEST_EPOCH (training.py:130).  Early
+        stopping plateaus on the *mean* val loss across seeds (one stop
+        decision for the vmapped step, the ensemble-level reading of
+        quirk Q6).  With a ``checkpoint_folder``, every epoch saves the
+        stacked params/opt_state plus per-seed best metadata.
+        """
+        epochs_iter = range(nb_epochs)
+        if verbose:
+            from tqdm.auto import tqdm
+
+            epochs_iter = tqdm(epochs_iter, desc="Training ensemble", unit="epoch")
+        mean_val_history: List[float] = []
+        for epoch in epochs_iter:
+            train_losses = self.train_epoch(train_dataloader)
+            val_losses, val_accs = self.eval_epoch(val_dataloader)
+            for i, hist in enumerate(self.histories):
+                hist.concat(
+                    dict(train=float(train_losses[i]), val=float(val_losses[i]))
+                )
+            improved = val_losses < self.best_val
+            self._update_best(improved, epoch)
+            self.best_val = np.where(improved, val_losses, self.best_val)
+            if self.ckpt is not None:
+                self._save_checkpoint(epoch, train_losses, val_losses, improved)
+            mean_val_history.append(float(np.mean(val_losses)))
+            if verbose:
+                epochs_iter.set_postfix(
+                    train_loss=f"{np.mean(train_losses):.5e}",
+                    val_loss=f"{np.mean(val_losses):.5e}",
+                    val_acc=f"{np.mean(val_accs):.5f}",
+                )
+            if early_stopping and len(mean_val_history) >= early_stopping_patience:
+                window = mean_val_history[-early_stopping_patience:]
+                if bool(np.all(np.abs(np.diff(window)) < 1e-2)):
+                    if verbose:
+                        logger.info(
+                            f"Early stopping stopped the ensemble at epoch {epoch}."
+                        )
+                    break
+        if verbose:
+            epochs_iter.close()
+        return self.histories
+
+    def _update_best(self, improved: np.ndarray, epoch: int) -> None:
+        """Merge the improved seeds' current params into the best snapshot."""
+        mask = jnp.asarray(improved)
+
+        def merge(best, cur):
+            m = mask.reshape((-1,) + (1,) * (cur.ndim - 1))
+            return jnp.where(m, cur, best)
+
+        if self.best_params is None:
+            self.best_params = jax.tree.map(jnp.copy, self.params)
+        else:
+            self.best_params = jax.tree.map(merge, self.best_params, self.params)
+        self.best_epoch = np.where(improved, epoch, self.best_epoch)
+
+    def load_best(self) -> None:
+        """Install the per-seed best-val params (stacked BEST_EPOCH reload)."""
+        if self.best_params is not None:
+            self.params = jax.tree.map(jnp.copy, self.best_params)
+
+    def _save_checkpoint(self, epoch, train_losses, val_losses, improved) -> None:
+        self.ckpt.save_checkpoint(
+            jax.tree.map(np.asarray, self.params),
+            jax.tree.map(np.asarray, self.opt_state),
+            epoch,
+            dict(train=float(np.mean(train_losses)), val=float(np.mean(val_losses))),
+            best=bool(np.any(improved)),
+        )
+        self.ckpt.save_checkpoints_meta(
+            {
+                "best_per_seed": {
+                    str(s): int(e) for s, e in zip(self.seeds, self.best_epoch)
+                }
+            }
+        )

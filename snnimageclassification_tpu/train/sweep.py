@@ -12,7 +12,7 @@ import itertools
 import logging
 import os
 import pickle
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Sequence
 
 from ..data.datasets import DatasetId, get_dataloaders
 from ..ops.cells import LayerType
@@ -72,13 +72,19 @@ def train_with_params(
     *,
     batch_size: int = 256,
     seed: int = 0,
+    seeds: Optional[Sequence[int]] = None,
     data_dir: Optional[str] = None,
     allow_synthetic: bool = True,
     mesh=None,
 ) -> Dict[str, Any]:
     """Train one configuration end to end (training.py:90-135): hash params
     into a run folder, build loaders + model, fit with LAST_EPOCH resume +
-    force_overwrite, reload BEST_EPOCH, return per-split accuracies."""
+    force_overwrite, reload BEST_EPOCH, return per-split accuracies.
+
+    With ``seeds=[...]`` every seed trains *simultaneously* as one vmapped
+    ensemble (parallel/ensemble.py) instead of N sequential runs; the
+    returned ``accuracies`` values are per-seed arrays and ``seeds`` is
+    echoed back for CSV expansion by :func:`train_all_params`."""
     from ..models.api import SNN  # local import: api builds on train/
 
     checkpoints_name = str(hash_params(params))
@@ -95,6 +101,11 @@ def train_with_params(
         data_dir=data_dir,
         allow_synthetic=allow_synthetic,
     )
+    if seeds is not None:
+        return _train_ensemble_with_params(
+            params, dataloaders, checkpoint_folder, checkpoints_name,
+            seeds=seeds, mesh=mesh, verbose=verbose,
+        )
     network = SNN(
         inputs_size=28 * 28,
         output_size=10,
@@ -130,6 +141,53 @@ def train_with_params(
     )
 
 
+def _train_ensemble_with_params(
+    params: Dict[str, Any],
+    dataloaders,
+    checkpoint_folder: str,
+    checkpoints_name: str,
+    *,
+    seeds: Sequence[int],
+    mesh=None,
+    verbose: bool = False,
+) -> Dict[str, Any]:
+    """Vmapped multi-seed counterpart of one reference sweep config: all
+    seeds train in one jitted step (what N calls of training.py:90-135
+    with different seeds would produce, modulo shared data order)."""
+    from ..models.config import SNNConfig
+    from ..parallel.ensemble import EnsembleTrainer
+
+    cfg = SNNConfig(
+        input_size=28 * 28,
+        output_size=10,
+        n_hidden_neurons=params["n_hidden_neurons"],
+        int_time_steps=params["n_steps"],
+        spike_func=params["spike_func"],
+        hidden_layer_type=params["hidden_layer_type"],
+        use_recurrent_connection=params["use_recurrent_connection"],
+        learn_beta=params.get("learn_beta", False),
+    )
+    ensemble = EnsembleTrainer(
+        cfg, seeds, mesh=mesh, checkpoint_folder=checkpoint_folder,
+    )
+    save_params(params, os.path.join(checkpoint_folder, "params.pkl"))
+    ensemble.fit(
+        dataloaders["train"],
+        dataloaders["val"],
+        nb_epochs=params.get("nb_epochs", 15),
+        verbose=verbose,
+    )
+    ensemble.load_best()  # per-seed BEST_EPOCH reload (training.py:130)
+    return dict(
+        network=ensemble,
+        accuracies={
+            k: ensemble.accuracies(dataloaders[k]) for k in dataloaders
+        },
+        checkpoints_name=checkpoints_name,
+        seeds=tuple(seeds),
+    )
+
+
 def get_all_params_combinations(
     params_space: Optional[Dict[str, Any]] = None,
 ) -> List[Dict[str, Any]]:
@@ -138,6 +196,34 @@ def get_all_params_combinations(
         params_space = get_training_params_space()
     keys = list(params_space.keys())
     return [dict(zip(keys, combo)) for combo in itertools.product(*params_space.values())]
+
+
+def _result_rows(result: Dict[str, Any], params: Dict[str, Any]) -> List[dict]:
+    """CSV rows for one finished config: one row (reference schema,
+    training.py:182-191), or one row *per seed* for a vmapped multi-seed
+    run (extra ``seed`` column; checkpoints name shared)."""
+    accs = result["accuracies"]
+    if "seeds" in result:
+        return [
+            dict(
+                checkpoints=result["checkpoints_name"],
+                **params,
+                seed=s,
+                train_accuracy=float(accs["train"][i]),
+                val_accuracy=float(accs["val"][i]),
+                test_accuracy=float(accs["test"][i]),
+            )
+            for i, s in enumerate(result["seeds"])
+        ]
+    return [
+        dict(
+            checkpoints=result["checkpoints_name"],
+            **params,
+            train_accuracy=accs["train"],
+            val_accuracy=accs["val"],
+            test_accuracy=accs["test"],
+        )
+    ]
 
 
 def train_all_params(
@@ -180,25 +266,16 @@ def train_all_params(
                     p_bar_leave=leave, **train_kwargs,
                 )
                 df = pd.concat(
-                    [
-                        df,
-                        pd.DataFrame(
-                            dict(
-                                checkpoints=[result["checkpoints_name"]],
-                                **{k: [v] for k, v in params.items()},
-                                train_accuracy=[result["accuracies"]["train"]],
-                                val_accuracy=[result["accuracies"]["val"]],
-                                test_accuracy=[result["accuracies"]["test"]],
-                            )
-                        ),
-                    ],
+                    [df, pd.DataFrame(_result_rows(result, params))],
                     ignore_index=True,
                 )
                 df.to_csv(results_path)
+                import numpy as _np
+
                 p_bar.set_postfix(
-                    train_accuracy=result["accuracies"]["train"],
-                    val_accuracy=result["accuracies"]["val"],
-                    test_accuracy=result["accuracies"]["test"],
+                    train_accuracy=float(_np.mean(result["accuracies"]["train"])),
+                    val_accuracy=float(_np.mean(result["accuracies"]["val"])),
+                    test_accuracy=float(_np.mean(result["accuracies"]["test"])),
                 )
             except Exception as e:  # per-config isolation (training.py:198-200)
                 logger.error(e)

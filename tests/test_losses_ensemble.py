@@ -118,3 +118,85 @@ class TestEnsemble:
         assert np.isfinite(losses).all()
         accs = ens.accuracies(loader)
         assert accs.shape == (2,)
+
+    def test_ensemble_fit_matches_sequential_fits(self, tmp_path):
+        """One vmapped N-seed fit == N sequential Trainer fits with the
+        same seeds and same data order: per-seed loss histories, best-val
+        epoch selection, and post-BEST-reload accuracies all agree."""
+        cfg = self._cfg()
+        seeds = [0, 7]
+        nb_epochs = 4
+
+        ens = EnsembleTrainer(
+            cfg, seeds=seeds, checkpoint_folder=str(tmp_path / "ens")
+        )
+        hists = ens.fit(
+            self._loader(seed=0), self._loader(seed=1),
+            nb_epochs=nb_epochs, verbose=False,
+        )
+        ens.load_best()
+        ens_test_accs = ens.accuracies(self._loader(seed=2))
+
+        for i, seed in enumerate(seeds):
+            tr = Trainer(
+                cfg, checkpoint_folder=str(tmp_path / f"seq{seed}"), seed=seed
+            )
+            # Fresh loaders with identical seeds -> identical batch order.
+            hist = tr.fit(
+                self._loader(seed=0), self._loader(seed=1),
+                nb_epochs=nb_epochs, force_overwrite=True, verbose=False,
+            )
+            np.testing.assert_allclose(
+                hists[i]["train"], hist["train"], rtol=2e-4, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                hists[i]["val"], hist["val"], rtol=2e-4, atol=1e-6
+            )
+            # Same best-val epoch choice...
+            seq_best_epoch = int(np.argmin(hist["val"]))
+            assert int(ens.best_epoch[i]) == seq_best_epoch
+            # ...and the same accuracy after reloading BEST_EPOCH.
+            tr.load_checkpoint()
+            seq_acc = tr.compute_classification_accuracy(self._loader(seed=2))
+            n = self._loader(seed=2).n_samples
+            assert abs(float(ens_test_accs[i]) - seq_acc) <= 1.0 / n + 1e-9
+
+    def test_ensemble_fit_records_checkpoints_and_best(self, tmp_path):
+        cfg = self._cfg()
+        ens = EnsembleTrainer(cfg, seeds=[0, 1],
+                              checkpoint_folder=str(tmp_path / "ck"))
+        ens.fit(self._loader(), self._loader(seed=1), nb_epochs=2, verbose=False)
+        import json
+        meta = json.loads(
+            (tmp_path / "ck" / "snn_ensemble-checkpoints.json").read_text()
+        )
+        assert set(meta["epochs"]) == {"0", "1"}
+        assert set(meta["best_per_seed"]) == {"0", "1"}
+        assert all(len(h["train"]) == 2 for h in ens.histories)
+
+    def test_train_all_params_seeds_emits_row_per_seed(self, tmp_path):
+        from snnimageclassification_tpu.data.datasets import DatasetId
+        from snnimageclassification_tpu.ops.cells import LayerType
+        from snnimageclassification_tpu.ops.surrogate import SpikeFuncType
+        from snnimageclassification_tpu.train.sweep import train_all_params
+
+        space = {
+            "dataset_id": [DatasetId.MNIST],
+            "to_spikes_use_periods": [False],
+            "n_steps": [2],
+            "n_hidden_neurons": [16],
+            "spike_func": [SpikeFuncType.FastSigmoid],
+            "hidden_layer_type": [LayerType.ALIF],
+            "use_recurrent_connection": [False],
+            "learn_beta": [False],
+            "nb_epochs": [1],
+        }
+        df = train_all_params(
+            space, data_folder=str(tmp_path / "res"),
+            batch_size=1024, seeds=[0, 1, 2],
+            data_dir=str(tmp_path / "none"), allow_synthetic=True,
+        )
+        assert len(df) == 3
+        assert sorted(df["seed"].astype(int)) == [0, 1, 2]
+        assert df["checkpoints"].nunique() == 1  # shared run folder
+        assert ((0 <= df["test_accuracy"]) & (df["test_accuracy"] <= 1)).all()
