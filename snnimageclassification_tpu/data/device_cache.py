@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import weakref
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,19 +31,54 @@ class DeviceDataCache:
     def fits(self, loader) -> bool:
         return 0 < loader.x.nbytes <= self.limit_bytes
 
-    def arrays(self, loader):
-        if loader not in self._cache:
-            self._cache[loader] = (jnp.asarray(loader.x), jnp.asarray(loader.y))
-        return self._cache[loader]
+    def arrays(self, loader, mesh=None):
+        """Device copies of the loader's arrays; replicated over ``mesh``
+        when one is given."""
+        cached = self._cache.get(loader)
+        if cached is not None and cached[0] == mesh:
+            return cached[1], cached[2]
+        if mesh is None:
+            x, y = jnp.asarray(loader.x), jnp.asarray(loader.y)
+        else:
+            from ..parallel.mesh import replicated
 
-    def batches(self, loader):
-        """One epoch of (x, y, w) device batches (w is all-ones: no mesh
-        padding happens on this path)."""
-        x_dev, y_dev = self.arrays(loader)
+            repl = replicated(mesh)
+            x = jax.device_put(jnp.asarray(loader.x), repl)
+            y = jax.device_put(jnp.asarray(loader.y), repl)
+        self._cache[loader] = (mesh, x, y)
+        return x, y
+
+    def batches(self, loader, mesh=None):
+        """One epoch of (x, y, w) device batches.
+
+        Single-device: plain on-device gathers, all-ones weights.  Under a
+        ``mesh``: the dataset is HBM-resident *replicated*, the shuffled
+        index array is padded to the mesh size (padding rows carry weight
+        0), the gather runs on device, and the result is resharded to the
+        batch axis -- a replicated->sharded device_put is a local slice,
+        no cross-chip traffic.  Host->device work per batch stays a ~KB
+        index transfer either way.
+        """
+        x_dev, y_dev = self.arrays(loader, mesh)
+        if mesh is None:
+            for idx in loader.iter_indices():
+                idx_d = jnp.asarray(idx)
+                yield (
+                    jnp.take(x_dev, idx_d, axis=0),
+                    jnp.take(y_dev, idx_d, axis=0),
+                    jnp.ones((idx.shape[0],), jnp.float32),
+                )
+            return
+
+        from ..parallel.mesh import batch_sharded, pad_to_multiple, replicated
+
+        bsh = batch_sharded(mesh)
+        repl = replicated(mesh)
         for idx in loader.iter_indices():
-            idx_d = jnp.asarray(idx)
+            idx_p, w = pad_to_multiple(np.asarray(idx), mesh.size)
+            idx_d = jax.device_put(jnp.asarray(idx_p), repl)
             yield (
-                jnp.take(x_dev, idx_d, axis=0),
-                jnp.take(y_dev, idx_d, axis=0),
-                jnp.ones((idx.shape[0],), jnp.float32),
+                jax.device_put(jnp.take(x_dev, idx_d, axis=0), bsh),
+                jax.device_put(jnp.take(y_dev, idx_d, axis=0), bsh),
+                jax.device_put(jnp.asarray(w), bsh),
             )

@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_rec import _block_b, _pad_bh, _pad_w
-from .pallas_scan import _shift_prev, _surrogate_grad
+from .pallas_scan import _shift_prev, _surrogate_grad, _time_block
 from .surrogate import SpikeFuncType
 
 __all__ = ["izh_scan"]
@@ -47,7 +47,7 @@ _LANE = 128
 
 
 def _fwd_kernel(i_ref, w_ref, z_ref, v_ref, v_scr, u_scr, z_scr, *,
-                has_w, dt, C, v_rest, v_th, k, a, b, c, d, v_peak):
+                K, has_w, dt, C, v_rest, v_th, k, a, b, c, d, v_peak):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -57,23 +57,25 @@ def _fwd_kernel(i_ref, w_ref, z_ref, v_ref, v_scr, u_scr, z_scr, *,
         z_scr[:] = jnp.zeros_like(z_scr)
 
     v_prev, u_prev, z_prev = v_scr[:], u_scr[:], z_scr[:]
-    cur = i_ref[0]
-    if has_w:
-        cur = cur + jnp.dot(z_prev.astype(w_ref.dtype), w_ref[:],
-                            preferred_element_type=jnp.float32)
-    dvdt = k * (v_prev - v_rest) * (v_prev - v_th) - u_prev + cur
-    v = (v_prev + dt * dvdt / C) * (1.0 - z_prev) + c * z_prev
-    dudt = a * (b * (v_prev - v_rest) - u_prev)
-    u = (u_prev + dt * dudt) + d * z_prev
-    z = (v >= v_peak).astype(v.dtype)
-    v_scr[:] = v
-    u_scr[:] = u
-    z_scr[:] = z
-    z_ref[0] = z
-    v_ref[0] = v
+    for kk in range(K):  # K steps per invocation, statically unrolled
+        cur = i_ref[kk]
+        if has_w:
+            cur = cur + jnp.dot(z_prev.astype(w_ref.dtype), w_ref[:],
+                                preferred_element_type=jnp.float32)
+        dvdt = k * (v_prev - v_rest) * (v_prev - v_th) - u_prev + cur
+        v = (v_prev + dt * dvdt / C) * (1.0 - z_prev) + c * z_prev
+        dudt = a * (b * (v_prev - v_rest) - u_prev)
+        u = (u_prev + dt * dudt) + d * z_prev
+        z = (v >= v_peak).astype(v.dtype)
+        z_ref[kk] = z
+        v_ref[kk] = v
+        v_prev, u_prev, z_prev = v, u, z
+    v_scr[:] = v_prev
+    u_scr[:] = u_prev
+    z_scr[:] = z_prev
 
 
-def _bwd_kernel(refs, *, has_w, dt, C, v_rest, v_th, k, a, b, v_peak,
+def _bwd_kernel(refs, *, K, has_w, dt, C, v_rest, v_th, k, a, b, v_peak,
                 gamma, spike_func):
     if has_w:
         (gz_ref, v_ref, z_ref, zprev_ref, w_ref,
@@ -91,51 +93,57 @@ def _bwd_kernel(refs, *, has_w, dt, C, v_rest, v_th, k, a, b, v_peak,
             dwr_ref[0] = jnp.zeros_like(dwr_ref[0])
 
     dv_next, du_next = dv_scr[:], du_scr[:]
-    v_t, z_t, z_prev = v_ref[0], z_ref[0], zprev_ref[0]
-    not_reset_next = 1.0 - z_t       # the (1-r) factor inside step t+1
-    dcur_next = dv_next * (dt / C) * not_reset_next
-    dz = gz_ref[0]
-    if has_w:
-        dz = dz + jax.lax.dot_general(
-            dcur_next.astype(w_ref.dtype), w_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    for kk in reversed(range(K)):  # reverse time inside the block
+        v_t, z_t, z_prev = v_ref[kk], z_ref[kk], zprev_ref[kk]
+        not_reset_next = 1.0 - z_t   # the (1-r) factor inside step t+1
+        dcur_next = dv_next * (dt / C) * not_reset_next
+        dz = gz_ref[kk]
+        if has_w:
+            dz = dz + jax.lax.dot_general(
+                dcur_next.astype(w_ref.dtype), w_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        surr = _surrogate_grad(spike_func, v_t, v_peak, gamma)
+        dv = (
+            dz * surr
+            + dv_next * (1.0 + (dt * k / C) * (2.0 * v_t - v_rest - v_th))
+            * not_reset_next
+            + du_next * (dt * a * b)
         )
-    surr = _surrogate_grad(spike_func, v_t, v_peak, gamma)
-    dv = (
-        dz * surr
-        + dv_next * (1.0 + (dt * k / C) * (2.0 * v_t - v_rest - v_th))
-        * not_reset_next
-        + du_next * (dt * a * b)
-    )
-    du = -dcur_next + du_next * (1.0 - dt * a)
-    gi = dv * (dt / C) * (1.0 - z_prev)
-    gi_ref[0] = gi
+        du = -dcur_next + du_next * (1.0 - dt * a)
+        gi = dv * (dt / C) * (1.0 - z_prev)
+        gi_ref[kk] = gi
+        dv_next, du_next = dv, du
     if has_w:
+        # One big (K*bb, H)^T @ (K*bb, H) matmul for the W_rec partial.
+        K_, bb_, H_ = gi_ref.shape
         dwr_ref[0] += jax.lax.dot_general(
-            z_prev.astype(w_ref.dtype), gi.astype(w_ref.dtype),
+            zprev_ref[:].reshape(K_ * bb_, H_).astype(w_ref.dtype),
+            gi_ref[:].reshape(K_ * bb_, H_).astype(w_ref.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    dv_scr[:] = dv
-    du_scr[:] = du
+    dv_scr[:] = dv_next
+    du_scr[:] = du_next
 
 
 def _fwd_call(currents, w_rec, kp, interpret):
     T, B, H = currents.shape
     H_pad = -(-H // _LANE) * _LANE
-    bb = _block_b(B)
+    K = _time_block(T)
+    bb = _block_b(B, K, H_pad, n_blocks=3)  # in + z/v out
     ip = _pad_bh(currents, bb, H_pad)
     has_w = w_rec is not None
     wp = _pad_w(w_rec, H_pad) if has_w else jnp.zeros((8, _LANE), currents.dtype)
     Bp = ip.shape[1]
-    grid = (Bp // bb, T)
-    tr_spec = pl.BlockSpec((1, bb, H_pad), lambda bi, t: (t, bi, 0),
+    grid = (Bp // bb, T // K)
+    tr_spec = pl.BlockSpec((K, bb, H_pad), lambda bi, t: (t, bi, 0),
                            memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec(wp.shape, lambda bi, t: (0, 0),
                           memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_fwd_kernel, has_w=has_w, **kp)
+    kernel = functools.partial(_fwd_kernel, K=K, has_w=has_w, **kp)
     z, v = pl.pallas_call(
         kernel,
         grid=grid,
@@ -151,13 +159,16 @@ def _fwd_call(currents, w_rec, kp, interpret):
 def _bwd_call(g_z, v, z, z_prev, w_rec, kp, gamma, spike_func, interpret):
     T, B, H = g_z.shape
     H_pad = -(-H // _LANE) * _LANE
-    bb = _block_b(B)
+    K = _time_block(T)
+    bb = _block_b(B, K, H_pad, n_blocks=5)  # gz/v/z/zprev in + gi out
     has_w = w_rec is not None
     operands = [_pad_bh(x, bb, H_pad) for x in (g_z, v, z, z_prev)]
     Bp = operands[0].shape[1]
-    grid = (Bp // bb, T)
-    rev = pl.BlockSpec((1, bb, H_pad), lambda bi, t, T=T: (T - 1 - t, bi, 0),
-                       memory_space=pltpu.VMEM)
+    grid = (Bp // bb, T // K)
+    rev = pl.BlockSpec(
+        (K, bb, H_pad), lambda bi, t, n=T // K: (n - 1 - t, bi, 0),
+        memory_space=pltpu.VMEM,
+    )
     in_specs = [rev] * 4
     out_shapes = [jax.ShapeDtypeStruct((T, Bp, H_pad), g_z.dtype)]
     out_specs = [rev]
@@ -178,8 +189,8 @@ def _bwd_call(g_z, v, z, z_prev, w_rec, kp, gamma, spike_func, interpret):
                                  "v_peak")}
 
     def kernel(*refs):
-        _bwd_kernel(refs, has_w=has_w, gamma=gamma, spike_func=spike_func,
-                    **bwd_kp)
+        _bwd_kernel(refs, K=K, has_w=has_w, gamma=gamma,
+                    spike_func=spike_func, **bwd_kp)
 
     outs = pl.pallas_call(
         kernel,

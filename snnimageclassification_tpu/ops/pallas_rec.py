@@ -38,7 +38,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_scan import _shift_prev, _surrogate_grad
+from .pallas_scan import (
+    _fit_block_b,
+    _shift_prev,
+    _surrogate_grad,
+    _time_block,
+    _use_delta_residual,
+)
 from .surrogate import SpikeFuncType
 
 __all__ = ["rec_lif_scan", "rec_alif_scan"]
@@ -48,8 +54,10 @@ _SUBLANE = 8
 _MAX_BLOCK_B = 512
 
 
-def _block_b(batch: int) -> int:
-    return min(_MAX_BLOCK_B, -(-batch // _SUBLANE) * _SUBLANE)
+def _block_b(batch: int, K: int = 1, H_pad: int = _LANE,
+             n_blocks: int = 4) -> int:
+    bb = min(_MAX_BLOCK_B, -(-batch // _SUBLANE) * _SUBLANE)
+    return _fit_block_b(bb, K, H_pad, n_blocks)
 
 
 def _pad_bh(x, bb, H_pad):
@@ -71,13 +79,20 @@ def _pad_w(w, H_pad):
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
-def _rec_fwd_kernel(i_ref, w_ref, beta_ref, out_refs_and_scratch, *, alif,
-                    alpha, rho, threshold):
-    if alif:
+def _rec_fwd_kernel(i_ref, w_ref, beta_ref, out_refs_and_scratch, *, K, alif,
+                    alpha, rho, threshold, store_delta=False):
+    """``store_delta`` (ALIF + FastSigmoid): the backward needs only
+    ``v - A`` (see pallas_scan._use_delta_residual), so the kernel writes
+    z + delta instead of z + v + a -- one less full HBM output pass."""
+    if alif and store_delta:
+        z_ref, d_ref, v_scr, a_scr, z_scr = out_refs_and_scratch
+        v_ref = a_ref = None
+    elif alif:
         z_ref, v_ref, a_ref, v_scr, a_scr, z_scr = out_refs_and_scratch
+        d_ref = None
     else:
         z_ref, v_ref, v_scr, z_scr = out_refs_and_scratch
-        a_ref = a_scr = None
+        a_ref = a_scr = d_ref = None
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -87,55 +102,80 @@ def _rec_fwd_kernel(i_ref, w_ref, beta_ref, out_refs_and_scratch, *, alif,
         if alif:
             a_scr[:] = jnp.zeros_like(a_scr)
 
+    # K steps per grid invocation (statically unrolled) amortize the
+    # per-invocation prologue and K-x the DMA transfer sizes; W stays
+    # VMEM-resident throughout (constant index map).
+    w = w_ref[:]
+    v_c = v_scr[:]
     z_prev = z_scr[:]
-    # Operand dtype follows W (bf16 under SNNConfig.matmul_dtype; spikes
-    # are 0/1 and exact); accumulation stays float32.
-    rec = jnp.dot(z_prev.astype(w_ref.dtype), w_ref[:],
-                  preferred_element_type=jnp.float32)
-    v = (alpha * v_scr[:] + i_ref[0] + rec) * (1.0 - z_prev)
+    a_c = a_scr[:] if alif else None
+    trace_dtype = z_ref.dtype  # bf16 under SNNConfig.matmul_dtype
+    for k in range(K):
+        # Operand dtype follows W (bf16 under SNNConfig.matmul_dtype;
+        # spikes are 0/1 and exact); accumulation stays float32.
+        rec = jnp.dot(z_prev.astype(w.dtype), w,
+                      preferred_element_type=jnp.float32)
+        v_c = (alpha * v_c + i_ref[k] + rec) * (1.0 - z_prev)
+        if alif:
+            a_c = rho * a_c + z_prev
+            dyn_threshold = threshold + beta_ref[0, 0] * a_c
+        else:
+            dyn_threshold = threshold
+        delta = v_c - dyn_threshold
+        z_prev = (delta >= 0).astype(v_c.dtype)
+        z_ref[k] = z_prev.astype(trace_dtype)  # 0/1: exact in bf16
+        if alif and store_delta:
+            d_ref[k] = delta.astype(trace_dtype)
+        else:
+            v_ref[k] = v_c.astype(trace_dtype)
+            if alif:
+                a_ref[k] = a_c.astype(trace_dtype)
+    v_scr[:] = v_c
+    z_scr[:] = z_prev
     if alif:
-        a = rho * a_scr[:] + z_prev
-        dyn_threshold = threshold + beta_ref[0, 0] * a
-        a_scr[:] = a
-        a_ref[0] = a
-    else:
-        dyn_threshold = threshold
-    z = (v >= dyn_threshold).astype(v.dtype)
-    v_scr[:] = v
-    z_scr[:] = z
-    z_ref[0] = z
-    v_ref[0] = v
+        a_scr[:] = a_c
 
 
 def _rec_fwd_call(currents, w_rec, beta, *, alif, alpha, rho, threshold,
-                  interpret):
+                  interpret, store_delta=False):
     T, B, H = currents.shape
     H_pad = -(-H // _LANE) * _LANE
-    bb = _block_b(B)
+    K = _time_block(T)
+    n_out = (2 if store_delta else 3) if alif else 2
+    n_scr = 3 if alif else 2
+    bb = _block_b(B, K, H_pad, n_blocks=1 + n_out)
+    if w_rec.dtype == jnp.bfloat16:
+        bb = max(16, -(-bb // 16) * 16)  # bf16 trace sublane multiple
     ip = _pad_bh(currents, bb, H_pad)
     wp = _pad_w(w_rec, H_pad)  # keeps w_rec's dtype (may be bf16)
     beta_s = jnp.asarray(beta, currents.dtype).reshape(1, 1)
     Bp = ip.shape[1]
-    grid = (Bp // bb, T)
-    tr_spec = pl.BlockSpec((1, bb, H_pad), lambda b, t: (t, b, 0),
+    grid = (Bp // bb, T // K)
+    tr_spec = pl.BlockSpec((K, bb, H_pad), lambda b, t: (t, b, 0),
                            memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((H_pad, H_pad), lambda b, t: (0, 0),
                           memory_space=pltpu.VMEM)
     beta_spec = pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                              memory_space=pltpu.SMEM)
-    n_out = 3 if alif else 2
 
     def kernel(i_ref, w_ref, beta_ref, *rest):
-        _rec_fwd_kernel(i_ref, w_ref, beta_ref, rest, alif=alif, alpha=alpha,
-                        rho=rho, threshold=threshold)
+        _rec_fwd_kernel(i_ref, w_ref, beta_ref, rest, K=K, alif=alif,
+                        alpha=alpha, rho=rho, threshold=threshold,
+                        store_delta=store_delta)
 
+    # Trace storage follows W's dtype: under SNNConfig.matmul_dtype=bf16
+    # the z/delta traces are stored bf16 (z is 0/1, exact; delta only
+    # feeds the surrogate backward in that opt-in reduced-precision
+    # mode), halving their HBM traffic and letting downstream bf16
+    # matmuls consume z without a cast pass.
+    trace_dtype = wp.dtype if jnp.issubdtype(wp.dtype, jnp.floating) else currents.dtype
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[tr_spec, w_spec, beta_spec],
         out_specs=[tr_spec] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((T, Bp, H_pad), currents.dtype)] * n_out,
-        scratch_shapes=[pltpu.VMEM((bb, H_pad), currents.dtype)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((T, Bp, H_pad), trace_dtype)] * n_out,
+        scratch_shapes=[pltpu.VMEM((bb, H_pad), currents.dtype)] * n_scr,
         interpret=interpret,
     )(ip, wp, beta_s)
     return tuple(o[:, :B, :H] for o in outs)
@@ -144,14 +184,19 @@ def _rec_fwd_call(currents, w_rec, beta, *, alif, alpha, rho, threshold,
 # ---------------------------------------------------------------------------
 # Backward
 # ---------------------------------------------------------------------------
-def _rec_bwd_kernel(refs, *, alif, alpha, rho, threshold, gamma,
-                    spike_func):
-    if alif:
+def _rec_bwd_kernel(refs, *, K, alif, alpha, rho, threshold, gamma,
+                    spike_func, store_delta=False):
+    if alif and store_delta:
+        (gz_ref, d_ref, zprev_ref, w_ref, beta_ref,
+         gi_ref, dwr_ref, dcur_scr) = refs
+        v_ref = a_ref = None
+    elif alif:
         (gz_ref, v_ref, a_ref, zprev_ref, w_ref, beta_ref,
          gi_ref, dwr_ref, dcur_scr) = refs
+        d_ref = None
     else:
         gz_ref, v_ref, zprev_ref, w_ref, beta_ref, gi_ref, dwr_ref, dcur_scr = refs
-        a_ref = None
+        a_ref = d_ref = None
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -159,45 +204,69 @@ def _rec_bwd_kernel(refs, *, alif, alpha, rho, threshold, gamma,
         dcur_scr[:] = jnp.zeros_like(dcur_scr)
         dwr_ref[0] = jnp.zeros_like(dwr_ref[0])
 
+    w = w_ref[:]
     dcur_carry = dcur_scr[:]
-    if alif:
-        dyn_threshold = threshold + beta_ref[0, 0] * a_ref[0]
-    else:
-        dyn_threshold = threshold
-    surr = _surrogate_grad(spike_func, v_ref[0], dyn_threshold, gamma)
-    # dz_t = g_z[t] + dcur_{t+1} @ W_rec^T
-    dz = gz_ref[0] + jax.lax.dot_general(
-        dcur_carry.astype(w_ref.dtype), w_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dv = dz * surr + alpha * dcur_carry
-    z_prev = zprev_ref[0]
-    dcur = dv * (1.0 - z_prev)
-    gi_ref[0] = dcur
-    # dW_rec partial: z_{t-1}^T @ dcur_t, accumulated across time
+    f32 = jnp.float32  # traces may be stored bf16; compute stays f32
+    for k in reversed(range(K)):  # reverse time inside the block
+        if alif and store_delta:
+            # FastSigmoid's surrogate is a function of v - A alone.
+            surr = _surrogate_grad(spike_func, d_ref[k].astype(f32), 0.0,
+                                   gamma)
+        else:
+            if alif:
+                dyn_threshold = (
+                    threshold + beta_ref[0, 0] * a_ref[k].astype(f32)
+                )
+            else:
+                dyn_threshold = threshold
+            surr = _surrogate_grad(spike_func, v_ref[k].astype(f32),
+                                   dyn_threshold, gamma)
+        # dz_t = g_z[t] + dcur_{t+1} @ W_rec^T
+        dz = gz_ref[k].astype(f32) + jax.lax.dot_general(
+            dcur_carry.astype(w.dtype), w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dv = dz * surr + alpha * dcur_carry
+        dcur = dv * (1.0 - zprev_ref[k].astype(f32))
+        gi_ref[k] = dcur
+        dcur_carry = dcur
+    # dW_rec partial: sum_t z_{t-1}^T @ dcur_t over the whole K-block as
+    # ONE (K*bb, H)^T @ (K*bb, H) MXU matmul -- gi_ref already holds every
+    # dcur row; K small latency-bound matmuls collapse into one big one.
+    K_, bb_, H_ = gi_ref.shape
+    zp_flat = zprev_ref[:].reshape(K_ * bb_, H_)
+    gi_flat = gi_ref[:].reshape(K_ * bb_, H_)
     dwr_ref[0] += jax.lax.dot_general(
-        z_prev.astype(w_ref.dtype), dcur.astype(w_ref.dtype),
+        zp_flat.astype(w.dtype), gi_flat.astype(w.dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dcur_scr[:] = dcur
+    dcur_scr[:] = dcur_carry
     del rho
 
 
-def _rec_bwd_call(g_z, v, a, z_prev, w_rec, beta, *, alif, alpha, rho,
-                  threshold, gamma, spike_func, interpret):
+def _rec_bwd_call(g_z, residuals, z_prev, w_rec, beta, *, alif, alpha, rho,
+                  threshold, gamma, spike_func, interpret,
+                  store_delta=False):
+    """``residuals``: (v, a) traces, or (delta,) when ``store_delta``."""
     T, B, H = g_z.shape
     H_pad = -(-H // _LANE) * _LANE
-    bb = _block_b(B)
-    operands = [g_z, v] + ([a] if alif else []) + [z_prev]
+    K = _time_block(T)
+    n_big = 1 + len(residuals) + 1 + 1  # gz + residuals + zprev + gi out
+    bb = _block_b(B, K, H_pad, n_blocks=n_big)
+    if any(x.dtype == jnp.bfloat16 for x in (g_z, *residuals, z_prev)):
+        bb = max(16, -(-bb // 16) * 16)  # bf16 sublane multiple
+    operands = [g_z, *residuals, z_prev]
     operands = [_pad_bh(x, bb, H_pad) for x in operands]
     wp = _pad_w(w_rec, H_pad)
-    beta_s = jnp.asarray(beta, g_z.dtype).reshape(1, 1)
+    beta_s = jnp.asarray(beta, jnp.float32).reshape(1, 1)
     Bp = operands[0].shape[1]
-    grid = (Bp // bb, T)
-    rev_spec = pl.BlockSpec((1, bb, H_pad), lambda b, t, T=T: (T - 1 - t, b, 0),
-                            memory_space=pltpu.VMEM)
+    grid = (Bp // bb, T // K)
+    rev_spec = pl.BlockSpec(
+        (K, bb, H_pad), lambda b, t, n=T // K: (n - 1 - t, b, 0),
+        memory_space=pltpu.VMEM,
+    )
     w_spec = pl.BlockSpec((H_pad, H_pad), lambda b, t: (0, 0),
                           memory_space=pltpu.VMEM)
     beta_spec = pl.BlockSpec((1, 1), lambda b, t: (0, 0),
@@ -206,9 +275,9 @@ def _rec_bwd_call(g_z, v, a, z_prev, w_rec, beta, *, alif, alpha, rho,
                             memory_space=pltpu.VMEM)
 
     def kernel(*refs):
-        _rec_bwd_kernel(refs, alif=alif, alpha=alpha, rho=rho,
+        _rec_bwd_kernel(refs, K=K, alif=alif, alpha=alpha, rho=rho,
                         threshold=threshold, gamma=gamma,
-                        spike_func=spike_func)
+                        spike_func=spike_func, store_delta=store_delta)
 
     g_i, dwr_partial = pl.pallas_call(
         kernel,
@@ -216,10 +285,12 @@ def _rec_bwd_call(g_z, v, a, z_prev, w_rec, beta, *, alif, alpha, rho,
         in_specs=[rev_spec] * len(operands) + [w_spec, beta_spec],
         out_specs=[rev_spec, dwr_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((T, Bp, H_pad), g_z.dtype),
-            jax.ShapeDtypeStruct((Bp // bb, H_pad, H_pad), g_z.dtype),
+            # gi is the cotangent of the float32 currents; the carries and
+            # dW accumulation stay float32 regardless of trace dtype.
+            jax.ShapeDtypeStruct((T, Bp, H_pad), jnp.float32),
+            jax.ShapeDtypeStruct((Bp // bb, H_pad, H_pad), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((bb, H_pad), g_z.dtype)],
+        scratch_shapes=[pltpu.VMEM((bb, H_pad), jnp.float32)],
         interpret=interpret,
     )(*operands, wp, beta_s)
     g_wr = jnp.sum(dwr_partial, axis=0)[:H, :H].astype(w_rec.dtype)
@@ -247,25 +318,31 @@ def rec_alif_scan(
     eye mask's gradient zeroing happens automatically outside.  ``beta``
     may be a traced scalar (rides in SMEM, zero cotangent -- quirk Q3).
     """
-    z, _, _ = _rec_fwd_call(currents, w_rec, beta, alif=True, alpha=alpha,
-                            rho=rho, threshold=threshold, interpret=interpret)
-    return z
+    return _rec_fwd_call(
+        currents, w_rec, beta, alif=True, alpha=alpha, rho=rho,
+        threshold=threshold, interpret=interpret,
+        store_delta=_use_delta_residual(spike_func),
+    )[0]
 
 
 def _rec_alif_fwd(currents, w_rec, beta, alpha, rho, threshold, gamma,
                   spike_func, interpret):
-    z, v, a = _rec_fwd_call(currents, w_rec, beta, alif=True, alpha=alpha,
-                            rho=rho, threshold=threshold, interpret=interpret)
-    return z, (z, v, a, w_rec, beta)
+    outs = _rec_fwd_call(
+        currents, w_rec, beta, alif=True, alpha=alpha, rho=rho,
+        threshold=threshold, interpret=interpret,
+        store_delta=_use_delta_residual(spike_func),
+    )
+    return outs[0], (*outs, w_rec, beta)
 
 
 def _rec_alif_bwd(alpha, rho, threshold, gamma, spike_func, interpret,
                   res, g_z):
-    z, v, a, w_rec, beta = res
+    z, *residuals, w_rec, beta = res
     g_i, g_wr = _rec_bwd_call(
-        g_z, v, a, _shift_prev(z), w_rec, beta, alif=True, alpha=alpha,
-        rho=rho, threshold=threshold, gamma=gamma, spike_func=spike_func,
-        interpret=interpret,
+        g_z, tuple(residuals), _shift_prev(z), w_rec, beta, alif=True,
+        alpha=alpha, rho=rho, threshold=threshold, gamma=gamma,
+        spike_func=spike_func, interpret=interpret,
+        store_delta=_use_delta_residual(spike_func),
     )
     return g_i, g_wr, jnp.zeros_like(jnp.asarray(beta))
 
@@ -299,7 +376,7 @@ def _rec_lif_fwd(currents, w_rec, alpha, threshold, gamma, spike_func,
 def _rec_lif_bwd(alpha, threshold, gamma, spike_func, interpret, res, g_z):
     z, v, w_rec = res
     g_i, g_wr = _rec_bwd_call(
-        g_z, v, None, _shift_prev(z), w_rec, 0.0, alif=False, alpha=alpha,
+        g_z, (v,), _shift_prev(z), w_rec, 0.0, alif=False, alpha=alpha,
         rho=0.0, threshold=threshold, gamma=gamma, spike_func=spike_func,
         interpret=interpret,
     )

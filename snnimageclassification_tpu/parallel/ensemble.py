@@ -153,8 +153,8 @@ class EnsembleTrainer:
         return shard_batch(self.mesh, x, y, w)
 
     def _batches(self, loader: ArrayDataLoader):
-        if self.mesh is None and self.device_data.fits(loader):
-            yield from self.device_data.batches(loader)
+        if self.device_data.fits(loader):
+            yield from self.device_data.batches(loader, self.mesh)
             return
         for x, y in loader:
             yield self._prep(x, y)

@@ -376,11 +376,12 @@ class Trainer:
     def _prefetched(self, loader):
         """Device (x, y, w) batches for one epoch.
 
-        Small datasets live in HBM and are gathered on device by index;
-        otherwise batches stream from host with background prefetching.
+        Small datasets live in HBM (replicated over the mesh, if any) and
+        are gathered on device by index; otherwise batches stream from
+        host with background prefetching.
         """
-        if self.mesh is None and self.device_data.fits(loader):
-            return self.device_data.batches(loader)
+        if self.device_data.fits(loader):
+            return self.device_data.batches(loader, self.mesh)
 
         from ..data.prefetch import prefetch_to_device
 

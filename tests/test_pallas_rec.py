@@ -116,6 +116,46 @@ def test_rec_lif_gradients():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_rec_alif_bf16_traces():
+    """A bf16 W_rec (SNNConfig.matmul_dtype mode) stores the z/delta
+    traces in bf16: spikes must stay *identical* to the f32 path run with
+    the same (bf16-representable) weights, and gradients must agree to
+    bf16 surrogate precision."""
+    cfg = ALIFConfig(input_size=1, output_size=12)
+    currents, w_rec = _data(T=8, B=4)
+    w16 = w_rec.astype(jnp.bfloat16)
+    w32 = w16.astype(jnp.float32)  # identical values, f32 container
+
+    z32 = rec_alif_scan(currents, w32, cfg.beta, cfg.alpha, cfg.rho,
+                        cfg.threshold, cfg.gamma, SpikeFuncType.FastSigmoid,
+                        True)
+    z16 = rec_alif_scan(currents, w16, cfg.beta, cfg.alpha, cfg.rho,
+                        cfg.threshold, cfg.gamma, SpikeFuncType.FastSigmoid,
+                        True)
+    assert z16.dtype == jnp.bfloat16
+    assert float(jnp.sum(z32)) > 0
+    np.testing.assert_array_equal(
+        np.asarray(z16.astype(jnp.float32)), np.asarray(z32)
+    )
+
+    def loss(c, w):
+        z = rec_alif_scan(c, w, cfg.beta, cfg.alpha, cfg.rho, cfg.threshold,
+                          cfg.gamma, SpikeFuncType.FastSigmoid, True)
+        return jnp.sum(z.astype(jnp.float32))
+
+    gc32, gw32 = jax.grad(loss, argnums=(0, 1))(currents, w32)
+    gc16, gw16 = jax.grad(loss, argnums=(0, 1))(currents, w16)
+    assert gc16.dtype == jnp.float32  # currents cotangent stays f32
+    # bf16 delta precision (~0.4%) compounds through the recurrence;
+    # assert relative L2 agreement rather than elementwise.
+    for g16, g32 in ((gc16, gc32), (gw16.astype(jnp.float32), gw32)):
+        rel = float(
+            jnp.linalg.norm(jnp.ravel(g16) - jnp.ravel(g32))
+            / jnp.linalg.norm(jnp.ravel(g32))
+        )
+        assert rel < 0.05, rel
+
+
 def test_rec_alif_padding_path():
     """H=100 (not lane-aligned), B=5 (not sublane-aligned): padded lanes
     have zero weights/currents and must not disturb real lanes."""
