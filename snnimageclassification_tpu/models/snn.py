@@ -189,7 +189,7 @@ def apply(
         if initial_state is None and _pallas_layer_eligible(cfg, lcfg, return_hidden):
             # (a caller-supplied initial_state must flow through the XLA
             # scan path: the fused kernels hard-zero their state at t=0)
-            x_tm = _pallas_layer_scan(lcfg, lparams, currents, w_rec_eff)
+            x_tm = _pallas_layer_scan(cfg, lcfg, lparams, currents, w_rec_eff)
             continue
 
         def step(state, i_t, _lcfg=lcfg, _lparams=lparams, _step_fn=step_fn,
@@ -233,12 +233,19 @@ def _pallas_layer_eligible(cfg: SNNConfig, lcfg, return_hidden) -> bool:
     return pallas_supported()
 
 
-def _pallas_layer_scan(lcfg, lparams, currents: jax.Array, w_rec_eff) -> jax.Array:
+def _pallas_layer_scan(
+    cfg: SNNConfig, lcfg, lparams, currents: jax.Array, w_rec_eff
+) -> jax.Array:
     from ..ops.cells import ALIFConfig, IzhikevichConfig
     from ..ops.pallas_izh import izh_kernel_params, izh_scan
     from ..ops.pallas_rec import rec_alif_scan, rec_lif_scan
     from ..ops.pallas_scan import alif_scan, lif_scan
 
+    # Under matmul_dtype=bfloat16 the kernels store their z/delta traces
+    # in bf16 (spikes exact; residuals only feed the surrogate backward).
+    # The rec kernels infer this from W's dtype; the ff kernels take it
+    # explicitly.
+    trace_dtype = cfg.matmul_dtype_eff
     if type(lcfg) is IzhikevichConfig:
         return izh_scan(
             currents, w_rec_eff, izh_kernel_params(lcfg), lcfg.gamma,
@@ -255,7 +262,7 @@ def _pallas_layer_scan(lcfg, lparams, currents: jax.Array, w_rec_eff) -> jax.Arr
             )
         return alif_scan(
             currents, beta, lcfg.alpha, lcfg.rho, lcfg.threshold,
-            lcfg.gamma, lcfg.spike_func,
+            lcfg.gamma, lcfg.spike_func, False, trace_dtype,
         )
     if w_rec_eff is not None:
         return rec_lif_scan(
@@ -263,7 +270,8 @@ def _pallas_layer_scan(lcfg, lparams, currents: jax.Array, w_rec_eff) -> jax.Arr
             lcfg.spike_func,
         )
     return lif_scan(
-        currents, lcfg.alpha, lcfg.threshold, lcfg.gamma, lcfg.spike_func
+        currents, lcfg.alpha, lcfg.threshold, lcfg.gamma, lcfg.spike_func,
+        False, trace_dtype,
     )
 
 

@@ -128,6 +128,7 @@ def _alif_fwd_kernel(i_ref, beta_ref, out_refs, v_scr, a_scr,
     # K time steps per invocation (statically unrolled): the VMEM carry
     # stays in registers between sub-steps; only step k touches block
     # row k of the HBM tiles.
+    trace_dtype = z_ref.dtype  # bf16 under SNNConfig.matmul_dtype
     v_c, a_c, z_prev = v_scr[:], a_scr[:], z_scr[:]
     for k in range(K):
         v_c = (alpha * v_c + i_ref[k]) * (1.0 - z_prev)
@@ -135,12 +136,12 @@ def _alif_fwd_kernel(i_ref, beta_ref, out_refs, v_scr, a_scr,
         dyn_threshold = threshold + beta_ref[0, 0] * a_c
         delta = v_c - dyn_threshold
         z_prev = (delta >= 0).astype(v_c.dtype)
-        z_ref[k] = z_prev
+        z_ref[k] = z_prev.astype(trace_dtype)  # 0/1: exact in bf16
         if store_delta:
-            d_ref[k] = delta
+            d_ref[k] = delta.astype(trace_dtype)
         else:
-            v_ref[k] = v_c
-            a_ref[k] = a_c
+            v_ref[k] = v_c.astype(trace_dtype)
+            a_ref[k] = a_c.astype(trace_dtype)
     v_scr[:] = v_c
     a_scr[:] = a_c
     z_scr[:] = z_prev
@@ -156,12 +157,13 @@ def _lif_fwd_kernel(i_ref, z_ref, v_ref, v_scr, z_scr,
         v_scr[:] = jnp.zeros_like(v_scr)
         z_scr[:] = jnp.zeros_like(z_scr)
 
+    trace_dtype = z_ref.dtype
     v_c, z_prev = v_scr[:], z_scr[:]
     for k in range(K):
         v_c = (alpha * v_c + i_ref[k]) * (1.0 - z_prev)
         z_prev = (v_c >= threshold).astype(v_c.dtype)
-        z_ref[k] = z_prev
-        v_ref[k] = v_c
+        z_ref[k] = z_prev.astype(trace_dtype)
+        v_ref[k] = v_c.astype(trace_dtype)
     v_scr[:] = v_c
     z_scr[:] = z_prev
     del gamma, spike_func
@@ -186,15 +188,18 @@ def _alif_bwd_kernel(beta_ref, in_refs, gi_ref,
         carry_scr[:] = jnp.zeros_like(carry_scr)
 
     carry = carry_scr[:]
+    f32 = jnp.float32  # traces may be stored bf16; compute stays f32
     for k in reversed(range(K)):  # reverse time inside the block
         if store_delta:
             # FastSigmoid's surrogate is a function of v - A alone.
-            surr = _surrogate_grad(spike_func, d_ref[k], 0.0, gamma)
+            surr = _surrogate_grad(spike_func, d_ref[k].astype(f32), 0.0,
+                                   gamma)
         else:
-            dyn_threshold = threshold + beta_ref[0, 0] * a_ref[k]
-            surr = _surrogate_grad(spike_func, v_ref[k], dyn_threshold, gamma)
-        dv = gz_ref[k] * surr + carry
-        gi = dv * (1.0 - zprev_ref[k])
+            dyn_threshold = threshold + beta_ref[0, 0] * a_ref[k].astype(f32)
+            surr = _surrogate_grad(spike_func, v_ref[k].astype(f32),
+                                   dyn_threshold, gamma)
+        dv = gz_ref[k].astype(f32) * surr + carry
+        gi = dv * (1.0 - zprev_ref[k].astype(f32))
         gi_ref[k] = gi
         carry = alpha * gi
     carry_scr[:] = carry
@@ -210,10 +215,12 @@ def _lif_bwd_kernel(gz_ref, v_ref, zprev_ref, gi_ref, carry_scr,
         carry_scr[:] = jnp.zeros_like(carry_scr)
 
     carry = carry_scr[:]
+    f32 = jnp.float32
     for k in reversed(range(K)):
-        surr = _surrogate_grad(spike_func, v_ref[k], threshold, gamma)
-        dv = gz_ref[k] * surr + carry
-        gi = dv * (1.0 - zprev_ref[k])
+        surr = _surrogate_grad(spike_func, v_ref[k].astype(f32), threshold,
+                               gamma)
+        dv = gz_ref[k].astype(f32) * surr + carry
+        gi = dv * (1.0 - zprev_ref[k].astype(f32))
         gi_ref[k] = gi
         carry = alpha * gi
     carry_scr[:] = carry
@@ -228,16 +235,18 @@ def _smem_scalar_spec():
 
 
 def _fwd_call(kernel, currents, scalars, n_state_outputs, K, bb, bh,
-              interpret, n_scratch=None):
+              interpret, n_scratch=None, out_dtype=None):
     """``scalars``: traced (1,1) SMEM inputs (e.g. a learnable-but-frozen
-    beta), passed AFTER the currents.  ``K`` time steps per invocation."""
+    beta), passed AFTER the currents.  ``K`` time steps per invocation.
+    ``out_dtype``: trace storage dtype (bf16 under SNNConfig.matmul_dtype);
+    the in-kernel carries stay in the currents dtype."""
     T, B, H = currents.shape
     grid = (B // bb, H // bh, T // K)
     spec = pl.BlockSpec((K, bb, bh), lambda b, h, t: (t, b, h),
                         memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((T, B, H), currents.dtype)] * (
-        1 + n_state_outputs
-    )
+    out_shape = [
+        jax.ShapeDtypeStruct((T, B, H), out_dtype or currents.dtype)
+    ] * (1 + n_state_outputs)
     scratch = [pltpu.VMEM((bb, bh), currents.dtype)] * (
         (1 + n_state_outputs) if n_scratch is None else n_scratch
     )
@@ -269,8 +278,10 @@ def _bwd_call(kernel, scalars, operands, K, bb, bh, interpret):
         grid=grid,
         in_specs=[_smem_scalar_spec()] * len(scalars) + [rev] * len(operands),
         out_specs=rev,
-        out_shape=jax.ShapeDtypeStruct((T, B, H), operands[0].dtype),
-        scratch_shapes=[pltpu.VMEM((bb, bh), operands[0].dtype)],
+        # gi is the cotangent of the float32 currents; the carry stays
+        # float32 even when the residual operands are stored bf16.
+        out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bb, bh), jnp.float32)],
         interpret=interpret,
     )(*scalars, *operands)
 
@@ -290,7 +301,7 @@ def pallas_supported() -> bool:
 # ---------------------------------------------------------------------------
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(2, 3, 4, 5, 6, 7),
+    nondiff_argnums=(2, 3, 4, 5, 6, 7, 8),
 )
 def alif_scan(
     currents: jax.Array,
@@ -301,6 +312,7 @@ def alif_scan(
     gamma: float,
     spike_func: SpikeFuncType = SpikeFuncType.FastSigmoid,
     interpret: bool = False,
+    trace_dtype: str = "float32",
 ) -> jax.Array:
     """Fused feedforward ALIF recurrence: currents (T,B,H) -> spikes.
 
@@ -308,10 +320,13 @@ def alif_scan(
     ``precomputed_input_current=True`` and no recurrent weights, but one
     kernel instead of T fused loop iterations.  ``beta`` may be a traced
     scalar (a learnable beta -- it rides in SMEM and receives a zero
-    cotangent, faithful to quirk Q3).
+    cotangent, faithful to quirk Q3).  ``trace_dtype="bfloat16"``
+    (SNNConfig.matmul_dtype mode) stores z/delta traces in bf16: spikes
+    stay exact; only the surrogate backward sees rounded residuals.
     """
     return _alif_scan_fwd_impl(
-        currents, beta, alpha, rho, threshold, gamma, spike_func, interpret
+        currents, beta, alpha, rho, threshold, gamma, spike_func, interpret,
+        trace_dtype,
     )[0]
 
 
@@ -325,13 +340,20 @@ def _use_delta_residual(spike_func) -> bool:
     return spike_func == SpikeFuncType.FastSigmoid
 
 
+def _bf16_bb(bb: int, trace_dtype) -> int:
+    if jnp.dtype(trace_dtype) == jnp.bfloat16:
+        return max(16, -(-bb // 16) * 16)  # bf16 sublane multiple
+    return bb
+
+
 def _alif_scan_fwd_impl(currents, beta, alpha, rho, threshold, gamma,
-                        spike_func, interpret):
+                        spike_func, interpret, trace_dtype="float32"):
     T, B, H = currents.shape
     K = _time_block(T)
     store_delta = _use_delta_residual(spike_func)
     n_out = 2 if store_delta else 3  # z + (delta | v, a)
     bb, bh = _block_shape(B, H, K, n_blocks=1 + n_out)
+    bb = _bf16_bb(bb, trace_dtype)
     padded = _pad(currents, bb, bh)
 
     def kernel(i_ref, beta_ref, *rest):
@@ -343,21 +365,22 @@ def _alif_scan_fwd_impl(currents, beta, alpha, rho, threshold, gamma,
 
     outs = _fwd_call(
         kernel, padded, [_beta_scalar(beta, currents.dtype)], n_out - 1,
-        K, bb, bh, interpret, n_scratch=3,
+        K, bb, bh, interpret, n_scratch=3, out_dtype=jnp.dtype(trace_dtype),
     )
     return tuple(o[:, :B, :H] for o in outs)
 
 
 def _alif_scan_fwd(currents, beta, alpha, rho, threshold, gamma, spike_func,
-                   interpret):
+                   interpret, trace_dtype):
     outs = _alif_scan_fwd_impl(
-        currents, beta, alpha, rho, threshold, gamma, spike_func, interpret
+        currents, beta, alpha, rho, threshold, gamma, spike_func, interpret,
+        trace_dtype,
     )
     return outs[0], (*outs, beta)
 
 
 def _alif_scan_bwd(alpha, rho, threshold, gamma, spike_func, interpret,
-                   res, g_z):
+                   trace_dtype, res, g_z):
     *outs, beta = res
     z = outs[0]
     T, B, H = z.shape
@@ -366,6 +389,7 @@ def _alif_scan_bwd(alpha, rho, threshold, gamma, spike_func, interpret,
     # reversed-time operands: gz + (delta | v, a) + zprev, plus gi out
     n_in = 3 if store_delta else 4
     bb, bh = _block_shape(B, H, K, n_blocks=n_in + 1)
+    bb = _bf16_bb(bb, trace_dtype)
     z_prev = _shift_prev(z)
     operands = tuple(_pad(x, bb, bh) for x in (g_z, *outs[1:], z_prev))
 
@@ -377,7 +401,8 @@ def _alif_scan_bwd(alpha, rho, threshold, gamma, spike_func, interpret,
         )
 
     g_i = _bwd_call(
-        kernel, [_beta_scalar(beta, z.dtype)], operands, K, bb, bh, interpret
+        kernel, [_beta_scalar(beta, jnp.float32)], operands, K, bb, bh,
+        interpret,
     )
     # beta's cotangent is zero: the dynamic threshold path is dead in the
     # reference (spike_funcs.py:62) -- quirk Q3.
@@ -387,7 +412,7 @@ def _alif_scan_bwd(alpha, rho, threshold, gamma, spike_func, interpret,
 alif_scan.defvjp(_alif_scan_fwd, _alif_scan_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
 def lif_scan(
     currents: jax.Array,
     alpha: float,
@@ -395,37 +420,44 @@ def lif_scan(
     gamma: float,
     spike_func: SpikeFuncType = SpikeFuncType.FastSigmoid,
     interpret: bool = False,
+    trace_dtype: str = "float32",
 ) -> jax.Array:
     """Fused feedforward LIF recurrence: currents (T,B,H) -> spikes."""
     z, _ = _lif_scan_fwd_impl(currents, alpha, threshold, gamma, spike_func,
-                              interpret)
+                              interpret, trace_dtype)
     return z
 
 
-def _lif_scan_fwd_impl(currents, alpha, threshold, gamma, spike_func, interpret):
+def _lif_scan_fwd_impl(currents, alpha, threshold, gamma, spike_func,
+                       interpret, trace_dtype="float32"):
     T, B, H = currents.shape
     K = _time_block(T)
     bb, bh = _block_shape(B, H, K, n_blocks=3)  # in + z/v out
+    bb = _bf16_bb(bb, trace_dtype)
     padded = _pad(currents, bb, bh)
     kernel = functools.partial(
         _lif_fwd_kernel, K=K, alpha=alpha, threshold=threshold, gamma=gamma,
         spike_func=spike_func,
     )
-    z, v = _fwd_call(kernel, padded, [], 1, K, bb, bh, interpret)
+    z, v = _fwd_call(kernel, padded, [], 1, K, bb, bh, interpret,
+                     out_dtype=jnp.dtype(trace_dtype))
     return z[:, :B, :H], v[:, :B, :H]
 
 
-def _lif_scan_fwd(currents, alpha, threshold, gamma, spike_func, interpret):
+def _lif_scan_fwd(currents, alpha, threshold, gamma, spike_func, interpret,
+                  trace_dtype):
     z, v = _lif_scan_fwd_impl(currents, alpha, threshold, gamma, spike_func,
-                              interpret)
+                              interpret, trace_dtype)
     return z, (z, v)
 
 
-def _lif_scan_bwd(alpha, threshold, gamma, spike_func, interpret, res, g_z):
+def _lif_scan_bwd(alpha, threshold, gamma, spike_func, interpret,
+                  trace_dtype, res, g_z):
     z, v = res
     T, B, H = z.shape
     K = _time_block(T)
     bb, bh = _block_shape(B, H, K, n_blocks=4)  # gz/v/zprev in + gi out
+    bb = _bf16_bb(bb, trace_dtype)
     z_prev = _shift_prev(z)
     operands = tuple(_pad(x, bb, bh) for x in (g_z, v, z_prev))
     kernel = functools.partial(

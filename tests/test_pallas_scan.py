@@ -141,3 +141,36 @@ def test_gradient_with_padding():
     np.testing.assert_allclose(
         np.asarray(g_pal), np.asarray(g_ref), rtol=1e-4, atol=1e-6
     )
+
+
+def test_alif_bf16_traces():
+    """trace_dtype="bfloat16" (SNNConfig.matmul_dtype mode): spikes are
+    bitwise identical to the f32 path; gradients agree to bf16 surrogate
+    precision (relative L2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from snnimageclassification_tpu.ops.pallas_scan import alif_scan
+    from snnimageclassification_tpu.ops.surrogate import SpikeFuncType
+
+    rng = np.random.default_rng(0)
+    cur = jnp.asarray(0.1 * rng.standard_normal((8, 4, 12)).astype(np.float32))
+    args = (1.6, 0.97, 0.995, 0.03, 0.3, SpikeFuncType.FastSigmoid, True)
+
+    z32 = alif_scan(cur, *args, "float32")
+    z16 = alif_scan(cur, *args, "bfloat16")
+    assert z16.dtype == jnp.bfloat16
+    assert float(jnp.sum(z32)) > 0
+    np.testing.assert_array_equal(
+        np.asarray(z16.astype(jnp.float32)), np.asarray(z32)
+    )
+
+    def loss(c, td):
+        return jnp.sum(alif_scan(c, *args, td).astype(jnp.float32))
+
+    g32 = jax.grad(loss)(cur, "float32")
+    g16 = jax.grad(loss)(cur, "bfloat16")
+    assert g16.dtype == jnp.float32  # currents cotangent stays f32
+    rel = float(jnp.linalg.norm(g16 - g32) / jnp.linalg.norm(g32))
+    assert rel < 0.05, rel

@@ -271,6 +271,42 @@ def test_forward_and_grads_match_reference(case, tmp_path):
             assert float(g["beta"]) == 0.0
 
 
+@pytest.mark.parametrize("layer_type", [LayerType.LIF, LayerType.ALIF],
+                         ids=["LIF", "ALIF"])
+def test_multi_hidden_layer_stack_matches_reference(layer_type, tmp_path):
+    """Two hidden layers (input 12->16, hidden_0 16->12, readout 12->4):
+    the reference's ModuleDict assembly (snn.py:103-147) vs our
+    per-layer-scan factorization, forward + gradients."""
+    cfg, params, tsnn = build_pair(
+        layer_type, True, SpikeFuncType.FastSigmoid, hidden=(16, 12),
+        tmp_path=tmp_path,
+    )
+    assert set(tsnn.layers.keys()) == {"input", "hidden_0", "readout"}
+    x, y = make_inputs(cfg)
+    t_trace, _, t_logits, t_loss = torch_forward(tsnn, x, y)
+    j_trace, _ = model_lib.apply(cfg, params, x)
+    j_loss, j_logits = jax_loss_fn(cfg)(params, jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(
+        np.asarray(j_trace), t_trace.detach().numpy(), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(j_loss), float(t_loss.detach()), rtol=1e-5, atol=1e-6
+    )
+    t_loss.backward()
+    grads = jax.grad(lambda p, x, y: jax_loss_fn(cfg)(p, x, y)[0])(
+        params, jnp.asarray(x), jnp.asarray(y)
+    )
+    for name, layer in tsnn.layers.items():
+        pairs = [("w_in", layer.forward_weights)]
+        if "w_rec" in grads[name]:
+            pairs.append(("w_rec", layer.recurrent_weights))
+        for leaf, t_param in pairs:
+            t_g = t_param.grad.detach().numpy()
+            j_g = np.asarray(grads[name][leaf])
+            scale = max(np.abs(t_g).max(), 1e-30)
+            assert np.abs(j_g - t_g).max() <= 1e-4 * scale + 1e-9, (name, leaf)
+
+
 def test_2d_constant_input_formatting_matches_reference(tmp_path):
     """(B, F) inputs repeat over time on both sides (snn.py:159-171)."""
     cfg, params, tsnn = build_pair(
