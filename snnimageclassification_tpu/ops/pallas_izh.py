@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_rec import _block_b, _pad_bh, _pad_w
-from .pallas_scan import _shift_prev, _surrogate_grad, _time_block
+from .pallas_scan import _surrogate_grad, _time_block, _zprev_k
 from .surrogate import SpikeFuncType
 
 __all__ = ["izh_scan"]
@@ -78,10 +78,10 @@ def _fwd_kernel(i_ref, w_ref, z_ref, v_ref, v_scr, u_scr, z_scr, *,
 def _bwd_kernel(refs, *, K, has_w, dt, C, v_rest, v_th, k, a, b, v_peak,
                 gamma, spike_func):
     if has_w:
-        (gz_ref, v_ref, z_ref, zprev_ref, w_ref,
+        (gz_ref, v_ref, z_ref, zb_ref, w_ref,
          gi_ref, dwr_ref, dv_scr, du_scr) = refs
     else:
-        gz_ref, v_ref, z_ref, zprev_ref, gi_ref, dv_scr, du_scr = refs
+        gz_ref, v_ref, z_ref, zb_ref, gi_ref, dv_scr, du_scr = refs
         w_ref = dwr_ref = None
     t = pl.program_id(1)
 
@@ -92,9 +92,11 @@ def _bwd_kernel(refs, *, K, has_w, dt, C, v_rest, v_th, k, a, b, v_peak,
         if has_w:
             dwr_ref[0] = jnp.zeros_like(dwr_ref[0])
 
+    is_first_block = t == pl.num_programs(1) - 1
     dv_next, du_next = dv_scr[:], du_scr[:]
     for kk in reversed(range(K)):  # reverse time inside the block
-        v_t, z_t, z_prev = v_ref[kk], z_ref[kk], zprev_ref[kk]
+        v_t, z_t = v_ref[kk], z_ref[kk]
+        z_prev = _zprev_k(z_ref, zb_ref, kk, is_first_block)
         not_reset_next = 1.0 - z_t   # the (1-r) factor inside step t+1
         dcur_next = dv_next * (dt / C) * not_reset_next
         dz = gz_ref[kk]
@@ -116,11 +118,19 @@ def _bwd_kernel(refs, *, K, has_w, dt, C, v_rest, v_th, k, a, b, v_peak,
         gi_ref[kk] = gi
         dv_next, du_next = dv, du
     if has_w:
-        # One big (K*bb, H)^T @ (K*bb, H) matmul for the W_rec partial.
+        # W_rec partial: rows 1..K-1 as one big MXU matmul (z rows shift
+        # within the block) + one bb-row matmul for the k=0 boundary.
         K_, bb_, H_ = gi_ref.shape
+        if K_ > 1:
+            dwr_ref[0] += jax.lax.dot_general(
+                z_ref[: K_ - 1].reshape((K_ - 1) * bb_, H_).astype(w_ref.dtype),
+                gi_ref[1:].reshape((K_ - 1) * bb_, H_).astype(w_ref.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        zb0 = _zprev_k(z_ref, zb_ref, 0, is_first_block)
         dwr_ref[0] += jax.lax.dot_general(
-            zprev_ref[:].reshape(K_ * bb_, H_).astype(w_ref.dtype),
-            gi_ref[:].reshape(K_ * bb_, H_).astype(w_ref.dtype),
+            zb0.astype(w_ref.dtype), gi_ref[0].astype(w_ref.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -156,23 +166,29 @@ def _fwd_call(currents, w_rec, kp, interpret):
     return z[:, :B, :H], v[:, :B, :H]
 
 
-def _bwd_call(g_z, v, z, z_prev, w_rec, kp, gamma, spike_func, interpret):
+def _bwd_call(g_z, v, z, w_rec, kp, gamma, spike_func, interpret):
     T, B, H = g_z.shape
     H_pad = -(-H // _LANE) * _LANE
     K = _time_block(T)
-    bb = _block_b(B, K, H_pad, n_blocks=5)  # gz/v/z/zprev in + gi out
+    bb = _block_b(B, K, H_pad, n_blocks=4)  # gz/v/z in + gi out
     has_w = w_rec is not None
-    operands = [_pad_bh(x, bb, H_pad) for x in (g_z, v, z, z_prev)]
+    operands = [_pad_bh(x, bb, H_pad) for x in (g_z, v, z)]
     Bp = operands[0].shape[1]
-    grid = (Bp // bb, T // K)
+    nb = T // K
+    grid = (Bp // bb, nb)
     rev = pl.BlockSpec(
-        (K, bb, H_pad), lambda bi, t, n=T // K: (n - 1 - t, bi, 0),
+        (K, bb, H_pad), lambda bi, t, n=nb: (n - 1 - t, bi, 0),
         memory_space=pltpu.VMEM,
     )
-    in_specs = [rev] * 4
+    zb = pl.BlockSpec(
+        (1, bb, H_pad),
+        lambda bi, t, n=nb, K=K: (jnp.maximum((n - 1 - t) * K - 1, 0), bi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [rev] * 3 + [zb]
     out_shapes = [jax.ShapeDtypeStruct((T, Bp, H_pad), g_z.dtype)]
     out_specs = [rev]
-    call_args = list(operands)
+    call_args = list(operands) + [operands[2]]  # z again for the boundary
     if has_w:
         wp = _pad_w(w_rec, H_pad)
         in_specs.append(pl.BlockSpec((H_pad, H_pad), lambda bi, t: (0, 0),
@@ -234,8 +250,7 @@ def _izh_fwd(currents, w_rec, kernel_params, gamma, spike_func, interpret):
 def _izh_bwd(kernel_params, gamma, spike_func, interpret, res, g_z):
     z, v, w_rec = res
     g_i, g_wr = _bwd_call(
-        g_z, v, z, _shift_prev(z), w_rec, dict(kernel_params), gamma,
-        spike_func, interpret,
+        g_z, v, z, w_rec, dict(kernel_params), gamma, spike_func, interpret,
     )
     return g_i, g_wr
 

@@ -40,7 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_scan import (
     _fit_block_b,
-    _shift_prev,
     _surrogate_grad,
     _time_block,
     _use_delta_residual,
@@ -187,15 +186,16 @@ def _rec_fwd_call(currents, w_rec, beta, *, alif, alpha, rho, threshold,
 def _rec_bwd_kernel(refs, *, K, alif, alpha, rho, threshold, gamma,
                     spike_func, store_delta=False):
     if alif and store_delta:
-        (gz_ref, d_ref, zprev_ref, w_ref, beta_ref,
+        (gz_ref, d_ref, z_ref, zb_ref, w_ref, beta_ref,
          gi_ref, dwr_ref, dcur_scr) = refs
         v_ref = a_ref = None
     elif alif:
-        (gz_ref, v_ref, a_ref, zprev_ref, w_ref, beta_ref,
+        (gz_ref, v_ref, a_ref, z_ref, zb_ref, w_ref, beta_ref,
          gi_ref, dwr_ref, dcur_scr) = refs
         d_ref = None
     else:
-        gz_ref, v_ref, zprev_ref, w_ref, beta_ref, gi_ref, dwr_ref, dcur_scr = refs
+        (gz_ref, v_ref, z_ref, zb_ref, w_ref, beta_ref,
+         gi_ref, dwr_ref, dcur_scr) = refs
         a_ref = d_ref = None
     t = pl.program_id(1)
 
@@ -204,6 +204,9 @@ def _rec_bwd_kernel(refs, *, K, alif, alpha, rho, threshold, gamma,
         dcur_scr[:] = jnp.zeros_like(dcur_scr)
         dwr_ref[0] = jnp.zeros_like(dwr_ref[0])
 
+    from .pallas_scan import _zprev_k
+
+    is_first_block = t == pl.num_programs(1) - 1
     w = w_ref[:]
     dcur_carry = dcur_scr[:]
     f32 = jnp.float32  # traces may be stored bf16; compute stays f32
@@ -228,17 +231,24 @@ def _rec_bwd_kernel(refs, *, K, alif, alpha, rho, threshold, gamma,
             preferred_element_type=jnp.float32,
         )
         dv = dz * surr + alpha * dcur_carry
-        dcur = dv * (1.0 - zprev_ref[k].astype(f32))
+        dcur = dv * (1.0 - _zprev_k(z_ref, zb_ref, k, is_first_block))
         gi_ref[k] = dcur
+        # dW_rec partial: z_{t-1}^T @ dcur_t.  The k=0 predecessor row is
+        # handled separately below, so accumulate rows 1..K-1 here as one
+        # (K-1)*bb-row MXU matmul plus one bb-row matmul for the boundary.
         dcur_carry = dcur
-    # dW_rec partial: sum_t z_{t-1}^T @ dcur_t over the whole K-block as
-    # ONE (K*bb, H)^T @ (K*bb, H) MXU matmul -- gi_ref already holds every
-    # dcur row; K small latency-bound matmuls collapse into one big one.
     K_, bb_, H_ = gi_ref.shape
-    zp_flat = zprev_ref[:].reshape(K_ * bb_, H_)
-    gi_flat = gi_ref[:].reshape(K_ * bb_, H_)
+    if K_ > 1:
+        zp_flat = z_ref[: K_ - 1].reshape((K_ - 1) * bb_, H_)
+        gi_flat = gi_ref[1:].reshape((K_ - 1) * bb_, H_)
+        dwr_ref[0] += jax.lax.dot_general(
+            zp_flat.astype(w.dtype), gi_flat.astype(w.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    zb0 = _zprev_k(z_ref, zb_ref, 0, is_first_block)
     dwr_ref[0] += jax.lax.dot_general(
-        zp_flat.astype(w.dtype), gi_flat.astype(w.dtype),
+        zb0.astype(w.dtype), gi_ref[0].astype(w.dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -246,25 +256,34 @@ def _rec_bwd_kernel(refs, *, K, alif, alpha, rho, threshold, gamma,
     del rho
 
 
-def _rec_bwd_call(g_z, residuals, z_prev, w_rec, beta, *, alif, alpha, rho,
+def _rec_bwd_call(g_z, residuals, z, w_rec, beta, *, alif, alpha, rho,
                   threshold, gamma, spike_func, interpret,
                   store_delta=False):
-    """``residuals``: (v, a) traces, or (delta,) when ``store_delta``."""
+    """``residuals``: (v, a) traces, or (delta,) when ``store_delta``.
+    ``z`` is the unshifted spike trace -- read through the reverse-time
+    spec plus a single-row boundary spec for z_{t-1} at block edges (no
+    materialized shifted copy)."""
     T, B, H = g_z.shape
     H_pad = -(-H // _LANE) * _LANE
     K = _time_block(T)
-    n_big = 1 + len(residuals) + 1 + 1  # gz + residuals + zprev + gi out
+    n_big = 1 + len(residuals) + 1 + 1  # gz + residuals + z + gi out
     bb = _block_b(B, K, H_pad, n_blocks=n_big)
-    if any(x.dtype == jnp.bfloat16 for x in (g_z, *residuals, z_prev)):
+    if any(x.dtype == jnp.bfloat16 for x in (g_z, *residuals, z)):
         bb = max(16, -(-bb // 16) * 16)  # bf16 sublane multiple
-    operands = [g_z, *residuals, z_prev]
+    operands = [g_z, *residuals, z]
     operands = [_pad_bh(x, bb, H_pad) for x in operands]
     wp = _pad_w(w_rec, H_pad)
     beta_s = jnp.asarray(beta, jnp.float32).reshape(1, 1)
     Bp = operands[0].shape[1]
-    grid = (Bp // bb, T // K)
+    nb = T // K
+    grid = (Bp // bb, nb)
     rev_spec = pl.BlockSpec(
-        (K, bb, H_pad), lambda b, t, n=T // K: (n - 1 - t, b, 0),
+        (K, bb, H_pad), lambda b, t, n=nb: (n - 1 - t, b, 0),
+        memory_space=pltpu.VMEM,
+    )
+    zb_spec = pl.BlockSpec(
+        (1, bb, H_pad),
+        lambda b, t, n=nb, K=K: (jnp.maximum((n - 1 - t) * K - 1, 0), b, 0),
         memory_space=pltpu.VMEM,
     )
     w_spec = pl.BlockSpec((H_pad, H_pad), lambda b, t: (0, 0),
@@ -282,7 +301,7 @@ def _rec_bwd_call(g_z, residuals, z_prev, w_rec, beta, *, alif, alpha, rho,
     g_i, dwr_partial = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[rev_spec] * len(operands) + [w_spec, beta_spec],
+        in_specs=[rev_spec] * len(operands) + [zb_spec, w_spec, beta_spec],
         out_specs=[rev_spec, dwr_spec],
         out_shape=[
             # gi is the cotangent of the float32 currents; the carries and
@@ -292,7 +311,7 @@ def _rec_bwd_call(g_z, residuals, z_prev, w_rec, beta, *, alif, alpha, rho,
         ],
         scratch_shapes=[pltpu.VMEM((bb, H_pad), jnp.float32)],
         interpret=interpret,
-    )(*operands, wp, beta_s)
+    )(*operands, operands[-1], wp, beta_s)
     g_wr = jnp.sum(dwr_partial, axis=0)[:H, :H].astype(w_rec.dtype)
     return g_i[:, :B, :H], g_wr
 
@@ -339,7 +358,7 @@ def _rec_alif_bwd(alpha, rho, threshold, gamma, spike_func, interpret,
                   res, g_z):
     z, *residuals, w_rec, beta = res
     g_i, g_wr = _rec_bwd_call(
-        g_z, tuple(residuals), _shift_prev(z), w_rec, beta, alif=True,
+        g_z, tuple(residuals), z, w_rec, beta, alif=True,
         alpha=alpha, rho=rho, threshold=threshold, gamma=gamma,
         spike_func=spike_func, interpret=interpret,
         store_delta=_use_delta_residual(spike_func),
@@ -376,7 +395,7 @@ def _rec_lif_fwd(currents, w_rec, alpha, threshold, gamma, spike_func,
 def _rec_lif_bwd(alpha, threshold, gamma, spike_func, interpret, res, g_z):
     z, v, w_rec = res
     g_i, g_wr = _rec_bwd_call(
-        g_z, (v,), _shift_prev(z), w_rec, 0.0, alif=False, alpha=alpha,
+        g_z, (v,), z, w_rec, 0.0, alif=False, alpha=alpha,
         rho=0.0, threshold=threshold, gamma=gamma, spike_func=spike_func,
         interpret=interpret,
     )

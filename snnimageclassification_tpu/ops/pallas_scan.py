@@ -172,14 +172,27 @@ def _lif_fwd_kernel(i_ref, z_ref, v_ref, v_scr, z_scr,
 # ---------------------------------------------------------------------------
 # Backward kernels (reverse time)
 # ---------------------------------------------------------------------------
+def _zprev_k(z_ref, zb_ref, k, is_first_block):
+    """z_{t-1} for in-block step k.
+
+    The z trace is read directly (no materialized shifted copy): rows
+    k >= 1 shift within the block; row 0's predecessor is the single
+    boundary row loaded by the (1, bb, bh) companion spec, or the zero
+    initial state for the first forward block."""
+    f32 = jnp.float32
+    if k > 0:
+        return z_ref[k - 1].astype(f32)
+    return jnp.where(is_first_block, 0.0, zb_ref[0].astype(f32))
+
+
 def _alif_bwd_kernel(beta_ref, in_refs, gi_ref,
                      carry_scr, *, K, alpha, rho, threshold, gamma,
                      spike_func, store_delta):
     if store_delta:
-        gz_ref, d_ref, zprev_ref = in_refs
+        gz_ref, d_ref, z_ref, zb_ref = in_refs
         v_ref = a_ref = None
     else:
-        gz_ref, v_ref, a_ref, zprev_ref = in_refs
+        gz_ref, v_ref, a_ref, z_ref, zb_ref = in_refs
         d_ref = None
     t = pl.program_id(2)  # forward block index is T/K-1-t via index maps
 
@@ -199,14 +212,14 @@ def _alif_bwd_kernel(beta_ref, in_refs, gi_ref,
             surr = _surrogate_grad(spike_func, v_ref[k].astype(f32),
                                    dyn_threshold, gamma)
         dv = gz_ref[k].astype(f32) * surr + carry
-        gi = dv * (1.0 - zprev_ref[k].astype(f32))
+        gi = dv * (1.0 - _zprev_k(z_ref, zb_ref, k, t == pl.num_programs(2) - 1))
         gi_ref[k] = gi
         carry = alpha * gi
     carry_scr[:] = carry
     del rho
 
 
-def _lif_bwd_kernel(gz_ref, v_ref, zprev_ref, gi_ref, carry_scr,
+def _lif_bwd_kernel(gz_ref, v_ref, z_ref, zb_ref, gi_ref, carry_scr,
                     *, K, alpha, threshold, gamma, spike_func):
     t = pl.program_id(2)
 
@@ -220,7 +233,7 @@ def _lif_bwd_kernel(gz_ref, v_ref, zprev_ref, gi_ref, carry_scr,
         surr = _surrogate_grad(spike_func, v_ref[k].astype(f32), threshold,
                                gamma)
         dv = gz_ref[k].astype(f32) * surr + carry
-        gi = dv * (1.0 - zprev_ref[k].astype(f32))
+        gi = dv * (1.0 - _zprev_k(z_ref, zb_ref, k, t == pl.num_programs(2) - 1))
         gi_ref[k] = gi
         carry = alpha * gi
     carry_scr[:] = carry
@@ -262,33 +275,41 @@ def _fwd_call(kernel, currents, scalars, n_state_outputs, K, bb, bh,
 
 
 def _bwd_call(kernel, scalars, operands, K, bb, bh, interpret):
-    """``operands``: (T, B, H) arrays read at reversed time; the last one
-    is the shifted z_{t-1} trace (zero-padded by the caller, no clamping
-    needed).  ``scalars``: traced (1,1) SMEM inputs, passed FIRST.
-    Blocks cover K steps; in-block time reversal happens in the kernel."""
+    """``operands``: (T, B, H) arrays read at reversed time; the LAST one
+    must be the (unshifted) z trace -- it is additionally passed through a
+    single-row "boundary" spec so the kernel can form z_{t-1} without a
+    materialized shifted copy (which would cost a full extra HBM
+    read+write pass).  ``scalars``: traced (1,1) SMEM inputs, passed
+    FIRST.  Blocks cover K steps; in-block time reversal happens in the
+    kernel."""
     T, B, H = operands[0].shape
-    grid = (B // bb, H // bh, T // K)
-    # reverse-time block index: forward block T/K-1-t
+    nb = T // K
+    grid = (B // bb, H // bh, nb)
+    # reverse-time block index: forward block nb-1-t
     rev = pl.BlockSpec(
-        (K, bb, bh), lambda b, h, t, n=T // K: (n - 1 - t, b, h),
+        (K, bb, bh), lambda b, h, t, n=nb: (n - 1 - t, b, h),
+        memory_space=pltpu.VMEM,
+    )
+    # boundary row: z[fb*K - 1] for forward block fb = nb-1-t (clamped at
+    # fb=0; the kernel substitutes the zero initial state there).
+    zb = pl.BlockSpec(
+        (1, bb, bh),
+        lambda b, h, t, n=nb, K=K: (jnp.maximum((n - 1 - t) * K - 1, 0), b, h),
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[_smem_scalar_spec()] * len(scalars) + [rev] * len(operands),
+        in_specs=[_smem_scalar_spec()] * len(scalars)
+        + [rev] * len(operands)
+        + [zb],
         out_specs=rev,
         # gi is the cotangent of the float32 currents; the carry stays
         # float32 even when the residual operands are stored bf16.
         out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bb, bh), jnp.float32)],
         interpret=interpret,
-    )(*scalars, *operands)
-
-
-def _shift_prev(z):
-    """z_{t-1} aligned at index t (zero initial state)."""
-    return jnp.concatenate([jnp.zeros_like(z[:1]), z[:-1]], axis=0)
+    )(*scalars, *operands, operands[-1])
 
 
 def pallas_supported() -> bool:
@@ -386,12 +407,12 @@ def _alif_scan_bwd(alpha, rho, threshold, gamma, spike_func, interpret,
     T, B, H = z.shape
     K = _time_block(T)
     store_delta = _use_delta_residual(spike_func)
-    # reversed-time operands: gz + (delta | v, a) + zprev, plus gi out
-    n_in = 3 if store_delta else 4
-    bb, bh = _block_shape(B, H, K, n_blocks=n_in + 1)
+    # reversed-time operands: gz + (delta | v, a) + z, plus the boundary
+    # row (appended by _bwd_call) and the gi out
+    n_in = 4 if store_delta else 5
+    bb, bh = _block_shape(B, H, K, n_blocks=n_in)
     bb = _bf16_bb(bb, trace_dtype)
-    z_prev = _shift_prev(z)
-    operands = tuple(_pad(x, bb, bh) for x in (g_z, *outs[1:], z_prev))
+    operands = tuple(_pad(x, bb, bh) for x in (g_z, *outs[1:], z))
 
     def kernel(beta_ref, *rest):
         _alif_bwd_kernel(
@@ -456,10 +477,9 @@ def _lif_scan_bwd(alpha, threshold, gamma, spike_func, interpret,
     z, v = res
     T, B, H = z.shape
     K = _time_block(T)
-    bb, bh = _block_shape(B, H, K, n_blocks=4)  # gz/v/zprev in + gi out
+    bb, bh = _block_shape(B, H, K, n_blocks=4)  # gz/v/z in + gi out
     bb = _bf16_bb(bb, trace_dtype)
-    z_prev = _shift_prev(z)
-    operands = tuple(_pad(x, bb, bh) for x in (g_z, v, z_prev))
+    operands = tuple(_pad(x, bb, bh) for x in (g_z, v, z))
     kernel = functools.partial(
         _lif_bwd_kernel, K=K, alpha=alpha, threshold=threshold, gamma=gamma,
         spike_func=spike_func,
