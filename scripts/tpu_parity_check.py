@@ -81,36 +81,51 @@ def main():
     from snnimageclassification_tpu.data.datasets import EncodeConfig
     from snnimageclassification_tpu.ops.encoding import encode_spikes
 
-    for use_periods in (False, True):
-        cfg = SNNConfig(
-            input_size=784, output_size=10, n_hidden_neurons=128,
+    fused_variants = {
+        "alif-rec-learnbeta": dict(
             hidden_layer_type="ALIF", use_recurrent_connection=True,
-            learn_beta=True, int_time_steps=12,
-        )
-        params = M.init(cfg, jax.random.PRNGKey(1))
-        enc = EncodeConfig(n_steps=12, use_periods=use_periods)
+            learn_beta=True,
+        ),
+        "alif-ff": dict(
+            hidden_layer_type="ALIF", use_recurrent_connection=False,
+        ),
+        "lif-rec": dict(
+            hidden_layer_type="LIF", use_recurrent_connection=True,
+        ),
+        "lif-ff": dict(
+            hidden_layer_type="LIF", use_recurrent_connection=False,
+        ),
+    }
+    for vname, vkw in fused_variants.items():
+        for use_periods in (False, True):
+            cfg = SNNConfig(
+                input_size=784, output_size=10, n_hidden_neurons=128,
+                int_time_steps=12, **vkw,
+            )
+            params = M.init(cfg, jax.random.PRNGKey(1))
+            enc = EncodeConfig(n_steps=12, use_periods=use_periods)
 
-        def loss_fused(p):
-            trace, _ = M.apply_pixels(cfg, p, x, enc)
-            logits = M.prediction_logits(cfg, trace)
-            return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(64), y])
+            def loss_fused(p, cfg=cfg, enc=enc):
+                trace, _ = M.apply_pixels(cfg, p, x, enc)
+                logits = M.prediction_logits(cfg, trace)
+                return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(64), y])
 
-        def loss_ref(p):
-            spikes = encode_spikes(x, n_steps=12, use_periods=use_periods)
-            logits = M.forward_logits(cfg, p, spikes)
-            return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(64), y])
+            def loss_ref(p, cfg=cfg, use_periods=use_periods):
+                spikes = encode_spikes(x, n_steps=12, use_periods=use_periods)
+                logits = M.forward_logits(cfg, p, spikes)
+                return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(64), y])
 
-        name = f"fused_encode periods={use_periods}"
-        ok &= check(f"{name} loss", jax.jit(loss_fused)(params),
-                    jax.jit(loss_ref)(params), atol=1e-5)
-        gf = jax.jit(jax.grad(loss_fused))(params)
-        gr = jax.jit(jax.grad(loss_ref))(params)
-        for path, gp in jax.tree_util.tree_leaves_with_path(gf):
-            gx = gr
-            for k in path:
-                gx = gx[k.key]
-            ok &= check(f"{name} grad {jax.tree_util.keystr(path)}", gp, gx,
-                        atol=1e-4)
+            name = f"fused_encode {vname} periods={use_periods}"
+            ok &= check(f"{name} loss", jax.jit(loss_fused)(params),
+                        jax.jit(loss_ref)(params), atol=1e-5)
+            gf = jax.jit(jax.grad(loss_fused))(params)
+            gr = jax.jit(jax.grad(loss_ref))(params)
+            for path, gp in jax.tree_util.tree_leaves_with_path(gf):
+                gx = gr
+                for k in path:
+                    gx = gx[k.key]
+                ok &= check(f"{name} grad {jax.tree_util.keystr(path)}", gp, gx,
+                            atol=1e-4)
 
     print("PARITY", "PASS" if ok else "FAIL")
     return 0 if ok else 1

@@ -108,6 +108,7 @@ def apply(
     return_hidden: bool = False,
     initial_state: Optional[Tuple] = None,
     first_layer_currents: Optional[jax.Array] = None,
+    first_layer_output: Optional[jax.Array] = None,
 ):
     """Simulate the network for ``cfg.int_time_steps`` steps.
 
@@ -133,7 +134,13 @@ def apply(
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     matmul_dtype = jnp.dtype(cfg.matmul_dtype_eff)
     layer_cfgs = cfg.layer_configs
-    if first_layer_currents is not None:
+    if first_layer_output is not None:
+        # Layer 0 was fully computed upstream (the fused encode+matmul+
+        # scan kernel, ops/pallas_fused.py); its time-major (T,B,H0)
+        # spike trace feeds layer 1 directly.
+        x = None
+        batch = first_layer_output.shape[1]
+    elif first_layer_currents is not None:
         # Layer-0 input currents precomputed upstream (e.g. by the fused
         # encode+matmul kernel, ops/pallas_encode.py), time-major (T,B,H0).
         x = None
@@ -155,7 +162,7 @@ def apply(
     def mm(a, w):
         """a @ w with cfg.matmul_dtype operands, accumulating in the
         compute dtype (spike operands are 0/1 and exact in bf16)."""
-        if matmul_dtype == a.dtype:
+        if matmul_dtype == a.dtype == w.dtype:
             return a @ w
         return jax.lax.dot_general(
             a.astype(matmul_dtype), w.astype(matmul_dtype),
@@ -164,6 +171,11 @@ def apply(
         )
 
     for idx, (name, lcfg) in enumerate(layer_cfgs):
+        if idx == 0 and first_layer_output is not None:
+            # Keep the kernel's trace dtype (possibly bf16): mm() below
+            # handles operand dtypes for the next layer's matmul.
+            x_tm = first_layer_output
+            continue
         lparams = cparams[name]
         step_fn = STEP_FNS[type(lcfg)]
         w_rec_eff = (
@@ -293,20 +305,40 @@ def apply_pixels(
     fallback composes ``encode_spikes`` with :func:`apply` -- identical
     semantics.
     """
+    from ..ops.cells import ALIFConfig, LIFConfig
     from ..ops.encoding import encode_spikes, pixels_to_firing_periods
     from ..ops.pallas_encode import encode_matmul_supported, encoded_input_matmul
+    from ..ops.pallas_fused import (
+        fused_encode_ff_scan,
+        fused_encode_rec_scan,
+        fused_supported,
+    )
 
     if not enc.as_timeseries:
         return apply(cfg, params, pixels, return_hidden=return_hidden)
 
     first_name, first_cfg = cfg.layer_configs[0]
-    fused_ok = (
+    encode_on_device_ok = (
         cfg.use_pallas
         and jnp.dtype(cfg.compute_dtype) == jnp.float32
         and enc.n_steps == cfg.int_time_steps  # no time padding needed
-        and encode_matmul_supported(cfg.int_time_steps, first_cfg.output_size)
     )
-    if fused_ok:
+    # Fully-fused path: encoding + input matmul + the whole layer-0 scan
+    # in one kernel (ops/pallas_fused.py) -- the (T, B, H0) currents
+    # tensor never exists in HBM.  Hidden traces route through the XLA
+    # path instead (the kernels don't emit full state traces).
+    layer0_fused_ok = (
+        encode_on_device_ok
+        and not return_hidden
+        and type(first_cfg) in (LIFConfig, ALIFConfig)
+        and fused_supported(
+            cfg.int_time_steps, cfg.input_size, first_cfg.output_size
+        )
+    )
+    if encode_on_device_ok and (
+        layer0_fused_ok
+        or encode_matmul_supported(cfg.int_time_steps, first_cfg.output_size)
+    ):
         latencies = pixels_to_firing_periods(
             jnp.asarray(pixels, jnp.float32),
             t_max=float(cfg.int_time_steps),
@@ -314,9 +346,34 @@ def apply_pixels(
             thr=enc.thr,
             epsilon=enc.epsilon,
         )
-        # The kernel's matmul operands follow W's dtype (accumulation is
-        # always float32); spikes are 0/1, exact in bf16.
+        # Matmul operands follow W's dtype (accumulation is always
+        # float32); spikes are 0/1, exact in bf16.
         w0 = params[first_name]["w_in"].astype(jnp.dtype(cfg.matmul_dtype_eff))
+        if layer0_fused_ok:
+            lparams0 = params[first_name]
+            alif = type(first_cfg) is ALIFConfig
+            beta = (
+                (lparams0["beta"] if first_cfg.learn_beta else first_cfg.beta)
+                if alif
+                else 0.0
+            )
+            rho = first_cfg.rho if alif else 0.0
+            w_rec_eff = masked_recurrent(first_cfg, lparams0)
+            common = (
+                cfg.int_time_steps, enc.use_periods, alif, first_cfg.alpha,
+                rho, first_cfg.threshold, first_cfg.gamma,
+                first_cfg.spike_func,
+            )
+            if w_rec_eff is not None:
+                w_rec_eff = w_rec_eff.astype(w0.dtype)
+                z0 = fused_encode_rec_scan(latencies, w0, w_rec_eff, beta, *common)
+            else:
+                z0 = fused_encode_ff_scan(latencies, w0, beta, *common)
+            return apply(
+                cfg, params, None,
+                return_hidden=return_hidden,
+                first_layer_output=z0,
+            )
         currents0 = encoded_input_matmul(
             latencies,
             w0,

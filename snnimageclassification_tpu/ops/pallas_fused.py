@@ -1,0 +1,531 @@
+"""Pallas TPU kernel: spike encoding + input matmul + LIF/ALIF time scan
+fused into ONE kernel.
+
+The previous fast path (ops/pallas_encode.py + ops/pallas_rec.py) runs
+two kernels with a (T, B, H) float32 "input currents" tensor between
+them in HBM: the encode kernel writes it (~420 MB/step at the flagship
+shape) and the recurrent kernel reads it back; the backward pays the
+same round-trip for the currents cotangent.  This kernel eliminates the
+intermediate entirely:
+
+* forward: per (batch-tile, K-step time block) grid invocation, the
+  spike rows are generated in VMEM from the integer latency tile (which
+  is *revolving-window resident* per batch tile -- read once, not per
+  time block), multiplied onto the MXU against a VMEM-resident W_in, the
+  optional recurrent matmul and the membrane dynamics run in the same
+  loop, and only the z (+ delta | v,a) traces reach HBM;
+* backward: regenerates the spike rows (they cost VPU, not HBM),
+  accumulates g_W_in per batch tile in VMEM, and never materializes the
+  currents cotangent.
+
+Encoding semantics are identical to ops/encoding.py (reference
+datasets.py:42-86 incl. the period clamp); dynamics identical to
+ops/cells.py (spiking_layers.py:156-171, 229-243); the backward carries
+the same structure as ops/pallas_rec.py (quirks Q3's dead threshold
+cotangent included).  Latencies are integers -- no pixel gradient, like
+the reference's int cast (datasets.py:54).
+
+Trace storage follows W_in's dtype (bf16 under SNNConfig.matmul_dtype):
+spikes are 0/1 and bitwise exact; delta/v/a only feed the surrogate
+backward.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_scan import (
+    _fit_block_b,
+    _surrogate_grad,
+    _time_block,
+    _use_delta_residual,
+    _zprev_k,
+)
+from .surrogate import SpikeFuncType
+
+__all__ = ["fused_encode_rec_scan", "fused_encode_ff_scan", "fused_supported"]
+
+_LANE = 128
+_SUBLANE = 8
+_MAX_BLOCK_B = 512
+
+
+def fused_supported(n_steps: int, n_features: int, hidden: int) -> bool:
+    """The W_in block plus one latency tile must fit VMEM comfortably."""
+    f_pad = -(-n_features // _LANE) * _LANE
+    h_pad = -(-hidden // _LANE) * _LANE
+    w_bytes = f_pad * h_pad * 4
+    lat_bytes = _MAX_BLOCK_B * f_pad * 4
+    return (
+        jax.default_backend() == "tpu"
+        and n_steps >= 1
+        and w_bytes + 2 * lat_bytes <= 4 * 1024 * 1024
+    )
+
+
+def _spike_row(lat, step, n_steps: int, use_periods: bool):
+    """(bb, F_pad) bool spike row for scalar time ``step``.
+
+    TTFS: one spike at t == latency (datasets.py:81-86).  Periodic:
+    period clamped to [1, n_steps-1], spike where (t - p) % p == 0 and
+    t >= p (datasets.py:72-79); the remainder runs in float32 -- exact
+    for delta < n_steps <= 2^12 (see ops/pallas_encode.py).
+    """
+    if use_periods:
+        p = jnp.clip(lat, 1, n_steps - 1)
+        delta = step - p
+        d_f = delta.astype(jnp.float32)
+        p_f = p.astype(jnp.float32)
+        q = jnp.floor(d_f / p_f)
+        return (delta >= 0) & (d_f == q * p_f)
+    return lat == step
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
+                      alpha, rho, threshold, store_delta):
+    if has_w:
+        lat_ref, w_in_ref, w_rec_ref, beta_ref, *rest = refs
+    else:
+        lat_ref, w_in_ref, beta_ref, *rest = refs
+        w_rec_ref = None
+    n_out = 2 if (store_delta or not alif) else 3
+    out_refs = rest[:n_out]
+    v_scr, a_scr, z_scr = rest[n_out:]
+    if alif and not store_delta:
+        z_ref, v_ref, a_ref = out_refs
+        d_ref = None
+    elif alif:
+        z_ref, d_ref = out_refs
+        v_ref = a_ref = None
+    else:
+        z_ref, v_ref = out_refs  # LIF stores v (surrogate needs it)
+        d_ref = a_ref = None
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        v_scr[:] = jnp.zeros_like(v_scr)
+        a_scr[:] = jnp.zeros_like(a_scr)
+        z_scr[:] = jnp.zeros_like(z_scr)
+
+    lat = lat_ref[:]
+    w_in = w_in_ref[:]
+    w_rec = w_rec_ref[:] if has_w else None
+    trace_dtype = z_ref.dtype
+    v_c, a_c, z_prev = v_scr[:], a_scr[:], z_scr[:]
+    for k in range(K):
+        step = t * K + k
+        spk = _spike_row(lat, step, n_steps, use_periods)
+        cur = jnp.dot(spk.astype(w_in.dtype), w_in,
+                      preferred_element_type=jnp.float32)
+        if has_w:
+            cur = cur + jnp.dot(z_prev.astype(w_rec.dtype), w_rec,
+                                preferred_element_type=jnp.float32)
+        v_c = (alpha * v_c + cur) * (1.0 - z_prev)
+        if alif:
+            a_c = rho * a_c + z_prev
+            dyn_threshold = threshold + beta_ref[0, 0] * a_c
+        else:
+            dyn_threshold = threshold
+        delta = v_c - dyn_threshold
+        z_prev = (delta >= 0).astype(v_c.dtype)
+        z_ref[k] = z_prev.astype(trace_dtype)
+        if d_ref is not None:
+            d_ref[k] = delta.astype(trace_dtype)
+        else:
+            v_ref[k] = v_c.astype(trace_dtype)
+            if alif:
+                a_ref[k] = a_c.astype(trace_dtype)
+    v_scr[:] = v_c
+    a_scr[:] = a_c
+    z_scr[:] = z_prev
+
+
+def _pad_lat(lat, bb, f_pad):
+    B, F = lat.shape
+    pb = (-B) % bb
+    pf = f_pad - F
+    if pb or pf:
+        # Huge latency never fires in TTFS; in periodic mode a padded
+        # feature column meets a zero W_in row, and padded batch rows are
+        # sliced off the outputs.
+        lat = jnp.pad(lat, ((0, pb), (0, pf)), constant_values=10**9)
+    return lat
+
+
+def _pad2(w, r_pad, c_pad):
+    r, c = w.shape
+    if r_pad != r or c_pad != c:
+        w = jnp.pad(w, ((0, r_pad - r), (0, c_pad - c)))
+    return w
+
+
+# VMEM accounting uses the same (conservative) revolving-block count for
+# forward and backward so both directions pick the SAME batch tile -- the
+# backward reuses the forward's padded latency array.
+_N_BLOCKS = 6
+
+
+def _shapes(B, w_in, F, K):
+    H = w_in.shape[1]
+    f_pad = -(-F // _LANE) * _LANE
+    h_pad = -(-H // _LANE) * _LANE
+    bb = min(_MAX_BLOCK_B, -(-B // _SUBLANE) * _SUBLANE)
+    bb = _fit_block_b(bb, K, h_pad, _N_BLOCKS)
+    if w_in.dtype == jnp.bfloat16:
+        bb = max(16, -(-bb // 16) * 16)
+    return H, f_pad, h_pad, bb
+
+
+def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
+                    alpha, rho, threshold, store_delta, interpret,
+                    lat_prepadded=None):
+    has_w = w_rec is not None
+    K = _time_block(T)
+    n_out = 2 if (store_delta or not alif) else 3
+    B, F = latencies.shape
+    H, f_pad, h_pad, bb = _shapes(B, w_in, F, K)
+    lat = (
+        lat_prepadded
+        if lat_prepadded is not None
+        else _pad_lat(latencies.astype(jnp.int32), bb, f_pad)
+    )
+    w_in_p = _pad2(w_in, f_pad, h_pad)
+    Bp = lat.shape[0]
+    grid = (Bp // bb, T // K)
+    lat_spec = pl.BlockSpec((bb, f_pad), lambda b, t: (b, 0),
+                            memory_space=pltpu.VMEM)
+    w_in_spec = pl.BlockSpec((f_pad, h_pad), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    w_rec_spec = pl.BlockSpec((h_pad, h_pad), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    beta_spec = pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.SMEM)
+    tr_spec = pl.BlockSpec((K, bb, h_pad), lambda b, t: (t, b, 0),
+                           memory_space=pltpu.VMEM)
+    trace_dtype = w_in.dtype if jnp.issubdtype(w_in.dtype, jnp.floating) else jnp.float32
+    beta_s = jnp.asarray(beta, jnp.float32).reshape(1, 1)
+
+    kernel = functools.partial(
+        _fused_fwd_kernel, K=K, n_steps=T, use_periods=use_periods,
+        alif=alif, has_w=has_w, alpha=alpha, rho=rho, threshold=threshold,
+        store_delta=store_delta,
+    )
+    in_specs = [lat_spec, w_in_spec] + ([w_rec_spec] if has_w else []) + [beta_spec]
+    args = [lat, w_in_p] + ([_pad2(w_rec, h_pad, h_pad)] if has_w else []) + [beta_s]
+    outs = pl.pallas_call(
+        lambda *refs: kernel(refs),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[tr_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((T, Bp, h_pad), trace_dtype)] * n_out,
+        scratch_shapes=[pltpu.VMEM((bb, h_pad), jnp.float32)] * 3,
+        interpret=interpret,
+    )(*args)
+    return tuple(o[:, :B, :H] for o in outs), lat
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
+                      alpha, rho, threshold, gamma, spike_func,
+                      store_delta):
+    n_res = 1 if (store_delta or not alif) else 2
+    i = 0
+    gz_ref = refs[i]; i += 1
+    res_refs = refs[i:i + n_res]; i += n_res
+    z_ref = refs[i]; i += 1
+    zb_ref = refs[i]; i += 1
+    lat_ref = refs[i]; i += 1
+    w_in_ref = refs[i]; i += 1
+    w_rec_ref = refs[i] if has_w else None
+    i += 1 if has_w else 0
+    beta_ref = refs[i]; i += 1
+    dwin_ref = refs[i]; i += 1
+    dwr_ref = refs[i] if has_w else None
+    i += 1 if has_w else 0
+    dcur_scr, dcur_blk = refs[i], refs[i + 1]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dcur_scr[:] = jnp.zeros_like(dcur_scr)
+        dwin_ref[0] = jnp.zeros_like(dwin_ref[0])
+        if has_w:
+            dwr_ref[0] = jnp.zeros_like(dwr_ref[0])
+
+    is_first_block = t == pl.num_programs(1) - 1
+    w_in = w_in_ref[:]
+    w_rec = w_rec_ref[:] if has_w else None
+    lat = lat_ref[:]
+    f32 = jnp.float32
+    dcur_carry = dcur_scr[:]
+    for k in reversed(range(K)):  # reverse time inside the block
+        if store_delta or not alif:
+            if alif:
+                surr = _surrogate_grad(
+                    spike_func, res_refs[0][k].astype(f32), 0.0, gamma
+                )
+            else:
+                surr = _surrogate_grad(
+                    spike_func, res_refs[0][k].astype(f32), threshold, gamma
+                )
+        else:
+            v_k = res_refs[0][k].astype(f32)
+            a_k = res_refs[1][k].astype(f32)
+            surr = _surrogate_grad(
+                spike_func, v_k, threshold + beta_ref[0, 0] * a_k, gamma
+            )
+        dz = gz_ref[k].astype(f32)
+        if has_w:
+            dz = dz + jax.lax.dot_general(
+                dcur_carry.astype(w_rec.dtype), w_rec,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dv = dz * surr + alpha * dcur_carry
+        dcur = dv * (1.0 - _zprev_k(z_ref, zb_ref, k, is_first_block))
+        dcur_blk[k] = dcur
+        dcur_carry = dcur
+    dcur_scr[:] = dcur_carry
+
+    # g_W_in partials: sum_t spikes(t)^T @ dcur_t, spike rows regenerated
+    # in VMEM (VPU work, no HBM).  Off the serial chain.
+    for k in range(K):
+        step = t * K + k
+        spk = _spike_row(lat, step, n_steps, use_periods)
+        dwin_ref[0] += jax.lax.dot_general(
+            spk.astype(w_in.dtype), dcur_blk[k].astype(w_in.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if has_w:
+        K_, bb_, H_ = dcur_blk.shape
+        if K_ > 1:
+            dwr_ref[0] += jax.lax.dot_general(
+                z_ref[: K_ - 1].reshape((K_ - 1) * bb_, H_).astype(w_rec.dtype),
+                dcur_blk[1:].reshape((K_ - 1) * bb_, H_).astype(w_rec.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        zb0 = _zprev_k(z_ref, zb_ref, 0, is_first_block)
+        dwr_ref[0] += jax.lax.dot_general(
+            zb0.astype(w_rec.dtype), dcur_blk[0].astype(w_rec.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    del rho
+
+
+def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
+                    use_periods, alif, alpha, rho, threshold, gamma,
+                    spike_func, store_delta, interpret):
+    has_w = w_rec is not None
+    K = _time_block(T)
+    B, H = g_z.shape[1], g_z.shape[2]
+    F = w_in.shape[0]
+    f_pad = lat.shape[1]
+    # Same batch tile as the forward (lat is padded to a multiple of it).
+    _, _, h_pad, bb = _shapes(B, w_in, F, K)
+    Bp = lat.shape[0]
+
+    def padbh(x):
+        pb = Bp - x.shape[1]
+        ph = h_pad - x.shape[2]
+        if pb or ph:
+            x = jnp.pad(x, ((0, 0), (0, pb), (0, ph)))
+        return x
+
+    operands = [padbh(x) for x in (g_z, *residuals, z)]
+    nb = T // K
+    grid = (Bp // bb, nb)
+    rev = pl.BlockSpec((K, bb, h_pad), lambda b, t, n=nb: (n - 1 - t, b, 0),
+                       memory_space=pltpu.VMEM)
+    zb = pl.BlockSpec(
+        (1, bb, h_pad),
+        lambda b, t, n=nb, K=K: (jnp.maximum((n - 1 - t) * K - 1, 0), b, 0),
+        memory_space=pltpu.VMEM,
+    )
+    lat_spec = pl.BlockSpec((bb, f_pad), lambda b, t: (b, 0),
+                            memory_space=pltpu.VMEM)
+    w_in_spec = pl.BlockSpec((f_pad, h_pad), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    w_rec_spec = pl.BlockSpec((h_pad, h_pad), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    beta_spec = pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.SMEM)
+    dwin_spec = pl.BlockSpec((1, f_pad, h_pad), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dwr_spec = pl.BlockSpec((1, h_pad, h_pad), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    beta_s = jnp.asarray(beta, jnp.float32).reshape(1, 1)
+
+    kernel = functools.partial(
+        _fused_bwd_kernel, K=K, n_steps=T, use_periods=use_periods,
+        alif=alif, has_w=has_w, alpha=alpha, rho=rho, threshold=threshold,
+        gamma=gamma, spike_func=spike_func, store_delta=store_delta,
+    )
+    in_specs = (
+        [rev] * len(operands) + [zb, lat_spec, w_in_spec]
+        + ([w_rec_spec] if has_w else []) + [beta_spec]
+    )
+    args = (
+        operands + [operands[-1], lat, _pad2(w_in, f_pad, h_pad)]
+        + ([_pad2(w_rec, h_pad, h_pad)] if has_w else []) + [beta_s]
+    )
+    out_specs = [dwin_spec] + ([dwr_spec] if has_w else [])
+    out_shape = [jax.ShapeDtypeStruct((Bp // bb, f_pad, h_pad), jnp.float32)]
+    if has_w:
+        out_shape.append(
+            jax.ShapeDtypeStruct((Bp // bb, h_pad, h_pad), jnp.float32)
+        )
+    outs = pl.pallas_call(
+        lambda *refs: kernel(refs),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((bb, h_pad), jnp.float32),
+            pltpu.VMEM((K, bb, h_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    F = w_in.shape[0]
+    g_w_in = jnp.sum(outs[0], axis=0)[:F, :H].astype(w_in.dtype)
+    if has_w:
+        g_w_rec = jnp.sum(outs[1], axis=0)[:H, :H].astype(w_rec.dtype)
+        return g_w_in, g_w_rec
+    return g_w_in, None
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrappers
+# ---------------------------------------------------------------------------
+STATICS = (4, 5, 6, 7, 8, 9, 10, 11, 12)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=STATICS)
+def fused_encode_rec_scan(
+    latencies: jax.Array,
+    w_in: jax.Array,
+    w_rec: jax.Array,
+    beta,
+    n_steps: int,
+    use_periods: bool,
+    alif: bool,
+    alpha: float,
+    rho: float,
+    threshold: float,
+    gamma: float,
+    spike_func: SpikeFuncType = SpikeFuncType.FastSigmoid,
+    interpret: bool = False,
+) -> jax.Array:
+    """(latencies (B,F) int32, W_in, masked W_rec) -> spikes (T,B,H).
+
+    Numerically equal (up to f32 tile-summation order) to
+    ``encoded_input_matmul`` followed by ``rec_{alif,lif}_scan``.  For
+    LIF pass ``alif=False`` (beta is ignored, zero cotangent either way).
+    """
+    (z, *_), _ = _fused_fwd_call(
+        latencies, w_in, w_rec, beta, T=n_steps, use_periods=use_periods,
+        alif=alif, alpha=alpha, rho=rho, threshold=threshold,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret,
+    )
+    return z
+
+
+def _fused_rec_fwd(latencies, w_in, w_rec, beta, n_steps, use_periods, alif,
+                   alpha, rho, threshold, gamma, spike_func, interpret):
+    outs, lat = _fused_fwd_call(
+        latencies, w_in, w_rec, beta, T=n_steps, use_periods=use_periods,
+        alif=alif, alpha=alpha, rho=rho, threshold=threshold,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret,
+    )
+    return outs[0], (outs, lat, latencies.shape, w_in, w_rec, beta)
+
+
+def _fused_rec_bwd(n_steps, use_periods, alif, alpha, rho, threshold, gamma,
+                   spike_func, interpret, res, g_z):
+    outs, lat, lat_shape, w_in, w_rec, beta = res
+    z, *residuals = outs
+    g_w_in, g_w_rec = _fused_bwd_call(
+        g_z, tuple(residuals), z, lat, w_in, w_rec, beta, T=n_steps,
+        use_periods=use_periods, alif=alif, alpha=alpha, rho=rho,
+        threshold=threshold, gamma=gamma, spike_func=spike_func,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret,
+    )
+    g_lat = np.zeros(lat_shape, dtype=jax.dtypes.float0)
+    return g_lat, g_w_in, g_w_rec, jnp.zeros_like(jnp.asarray(beta))
+
+
+fused_encode_rec_scan.defvjp(_fused_rec_fwd, _fused_rec_bwd)
+
+
+FF_STATICS = (3, 4, 5, 6, 7, 8, 9, 10, 11)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=FF_STATICS)
+def fused_encode_ff_scan(
+    latencies: jax.Array,
+    w_in: jax.Array,
+    beta,
+    n_steps: int,
+    use_periods: bool,
+    alif: bool,
+    alpha: float,
+    rho: float,
+    threshold: float,
+    gamma: float,
+    spike_func: SpikeFuncType = SpikeFuncType.FastSigmoid,
+    interpret: bool = False,
+) -> jax.Array:
+    """Feedforward variant: no recurrent weights."""
+    (z, *_), _ = _fused_fwd_call(
+        latencies, w_in, None, beta, T=n_steps, use_periods=use_periods,
+        alif=alif, alpha=alpha, rho=rho, threshold=threshold,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret,
+    )
+    return z
+
+
+def _fused_ff_fwd(latencies, w_in, beta, n_steps, use_periods, alif,
+                  alpha, rho, threshold, gamma, spike_func, interpret):
+    outs, lat = _fused_fwd_call(
+        latencies, w_in, None, beta, T=n_steps, use_periods=use_periods,
+        alif=alif, alpha=alpha, rho=rho, threshold=threshold,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret,
+    )
+    return outs[0], (outs, lat, latencies.shape, w_in, beta)
+
+
+def _fused_ff_bwd(n_steps, use_periods, alif, alpha, rho, threshold, gamma,
+                  spike_func, interpret, res, g_z):
+    outs, lat, lat_shape, w_in, beta = res
+    z, *residuals = outs
+    g_w_in, _ = _fused_bwd_call(
+        g_z, tuple(residuals), z, lat, w_in, None, beta, T=n_steps,
+        use_periods=use_periods, alif=alif, alpha=alpha, rho=rho,
+        threshold=threshold, gamma=gamma, spike_func=spike_func,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret,
+    )
+    g_lat = np.zeros(lat_shape, dtype=jax.dtypes.float0)
+    return g_lat, g_w_in, jnp.zeros_like(jnp.asarray(beta))
+
+
+fused_encode_ff_scan.defvjp(_fused_ff_fwd, _fused_ff_bwd)

@@ -1,0 +1,162 @@
+"""Fused encode+matmul+scan kernel vs the unfused composition
+(encode_spikes -> currents matmul -> XLA lax.scan), in interpret mode on
+CPU: forward spikes and W_in / W_rec gradients."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from snnimageclassification_tpu.ops.cells import (
+    ALIFConfig,
+    LIFConfig,
+    alif_init_state,
+    alif_step,
+    lif_init_state,
+    lif_step,
+)
+from snnimageclassification_tpu.ops.encoding import (
+    encode_spikes,
+    pixels_to_firing_periods,
+)
+from snnimageclassification_tpu.ops.pallas_fused import (
+    fused_encode_ff_scan,
+    fused_encode_rec_scan,
+)
+from snnimageclassification_tpu.ops.surrogate import SpikeFuncType
+
+T, B, F, H = 12, 5, 30, 20
+
+
+def _data(seed=0):
+    rng = np.random.default_rng(seed)
+    pixels = rng.random((B, F)).astype(np.float32)
+    lat = pixels_to_firing_periods(jnp.asarray(pixels), t_max=float(T))
+    w_in = jnp.asarray(0.5 * rng.standard_normal((F, H)).astype(np.float32))
+    w_rec = jnp.asarray(
+        (0.3 * rng.standard_normal((H, H))).astype(np.float32)
+        * (1 - np.eye(H, dtype=np.float32))
+    )
+    return pixels, lat, w_in, w_rec
+
+
+def _xla_reference(pixels, w_in, w_rec, cfg, use_periods):
+    spikes = encode_spikes(
+        jnp.asarray(pixels), n_steps=T, use_periods=use_periods
+    )  # (B, T, F)
+    currents = jnp.swapaxes(spikes @ w_in, 0, 1)  # (T, B, H)
+    if isinstance(cfg, ALIFConfig):
+        init, step = alif_init_state(cfg, B), alif_step
+    else:
+        init, step = lif_init_state(cfg, B), lif_step
+
+    def body(state, i_t):
+        z, ns = step(cfg, {}, state, i_t, w_rec_eff=w_rec,
+                     precomputed_input_current=True)
+        return ns, z
+
+    _, z = jax.lax.scan(body, init, currents)
+    return z
+
+
+CASES = [
+    ("alif-rec-ttfs", True, True, False, SpikeFuncType.FastSigmoid),
+    ("alif-rec-periodic", True, True, True, SpikeFuncType.FastSigmoid),
+    ("alif-rec-phi", True, True, False, SpikeFuncType.Phi),
+    ("alif-ff-periodic", True, False, True, SpikeFuncType.FastSigmoid),
+    ("lif-rec-ttfs", False, True, False, SpikeFuncType.FastSigmoid),
+    ("lif-ff-periodic", False, False, True, SpikeFuncType.FastSigmoid),
+]
+
+
+def _run_fused(lat, w_in, w_rec, cfg, alif, use_periods, spike_func):
+    beta = cfg.beta if alif else 0.0
+    rho = cfg.rho if alif else 0.0
+    if w_rec is not None:
+        return fused_encode_rec_scan(
+            lat, w_in, w_rec, beta, T, use_periods, alif, cfg.alpha, rho,
+            cfg.threshold, cfg.gamma, spike_func, True,
+        )
+    return fused_encode_ff_scan(
+        lat, w_in, beta, T, use_periods, alif, cfg.alpha, rho,
+        cfg.threshold, cfg.gamma, spike_func, True,
+    )
+
+
+@pytest.mark.parametrize(
+    "name,alif,rec,use_periods,spike_func", CASES,
+    ids=[c[0] for c in CASES],
+)
+def test_fused_forward_and_grads(name, alif, rec, use_periods, spike_func):
+    pixels, lat, w_in, w_rec_full = _data()
+    w_rec = w_rec_full if rec else None
+    cfg_cls = ALIFConfig if alif else LIFConfig
+    cfg = cfg_cls(input_size=F, output_size=H, spike_func=spike_func,
+                  use_recurrent_connection=rec)
+
+    z_ref = _xla_reference(pixels, w_in, w_rec, cfg, use_periods)
+    z_fused = _run_fused(lat, w_in, w_rec, cfg, alif, use_periods, spike_func)
+    assert float(jnp.sum(z_ref)) > 0, "degenerate case: no spikes"
+    np.testing.assert_allclose(
+        np.asarray(z_fused), np.asarray(z_ref), atol=1e-5
+    )
+
+    wout = jnp.asarray(
+        np.random.default_rng(1).standard_normal((H,)).astype(np.float32)
+    )
+
+    def loss_ref(w_in, w_rec):
+        return jnp.sum(_xla_reference(pixels, w_in, w_rec, cfg, use_periods) * wout)
+
+    def loss_fused(w_in, w_rec):
+        z = _run_fused(lat, w_in, w_rec, cfg, alif, use_periods, spike_func)
+        return jnp.sum(z * wout)
+
+    if rec:
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(w_in, w_rec)
+        g_fus = jax.grad(loss_fused, argnums=(0, 1))(w_in, w_rec)
+    else:
+        g_ref = (jax.grad(lambda w: loss_ref(w, None))(w_in),)
+        g_fus = (jax.grad(lambda w: loss_fused(w, None))(w_in),)
+    for name_, a, b in zip(("w_in", "w_rec"), g_fus, g_ref):
+        assert float(jnp.linalg.norm(b)) > 0
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=name_,
+        )
+
+
+def test_fused_learnable_beta_zero_cotangent():
+    """Quirk Q3 survives the fusion: a traced beta gets exactly zero."""
+    _, lat, w_in, w_rec = _data(2)
+    cfg = ALIFConfig(input_size=F, output_size=H)
+
+    def loss(beta):
+        z = fused_encode_rec_scan(
+            lat, w_in, w_rec, beta, T, True, True, cfg.alpha, cfg.rho,
+            cfg.threshold, cfg.gamma, SpikeFuncType.FastSigmoid, True,
+        )
+        return jnp.sum(z)
+
+    g = jax.grad(loss)(jnp.asarray(1.6))
+    assert float(g) == 0.0
+
+
+def test_fused_bf16_trace_spikes_exact():
+    """bf16 W_in (matmul_dtype mode): trace dtype bf16, spikes match the
+    f32 run with identical (bf16-representable) weights."""
+    _, lat, w_in, w_rec = _data(3)
+    w_in16 = w_in.astype(jnp.bfloat16)
+    w_rec16 = w_rec.astype(jnp.bfloat16)
+    cfg = ALIFConfig(input_size=F, output_size=H)
+    args = (1.6, T, True, True, cfg.alpha, cfg.rho, cfg.threshold,
+            cfg.gamma, SpikeFuncType.FastSigmoid, True)
+
+    def run(w_in, w_rec):
+        return fused_encode_rec_scan(lat, w_in, w_rec, *args[:1], *args[1:])
+
+    z32 = run(w_in16.astype(jnp.float32), w_rec16.astype(jnp.float32))
+    z16 = run(w_in16, w_rec16)
+    assert z16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(z16.astype(jnp.float32)), np.asarray(z32)
+    )
