@@ -12,6 +12,8 @@ batch 4096 over the mesh" configuration.
 from __future__ import annotations
 
 import logging
+import os
+import shutil
 from typing import List, Optional, Sequence
 
 import jax
@@ -22,7 +24,7 @@ import optax
 from ..data.datasets import ArrayDataLoader, EncodeConfig
 from ..models import snn as model_lib
 from ..models.config import SNNConfig
-from ..train.checkpoint import CheckpointManager
+from ..train.checkpoint import CheckpointManager, LoadCheckpointMode
 from ..train.trainer import _encode_on_device, make_optimizer, nll_loss
 from ..utils.history import LossHistory
 
@@ -198,6 +200,8 @@ class EnsembleTrainer:
         train_dataloader: ArrayDataLoader,
         val_dataloader: ArrayDataLoader,
         nb_epochs: int = 15,
+        load_checkpoint_mode: Optional[LoadCheckpointMode] = None,
+        force_overwrite: bool = False,
         early_stopping: bool = False,
         early_stopping_patience: int = 5,
         verbose: bool = True,
@@ -215,13 +219,29 @@ class EnsembleTrainer:
         decision for the vmapped step, the ensemble-level reading of
         quirk Q6).  With a ``checkpoint_folder``, every epoch saves the
         stacked params/opt_state plus per-seed best metadata.
+
+        Resume semantics match ``Trainer.fit`` (quirk Q5, snn.py:302-317):
+        with ``load_checkpoint_mode=None`` an existing checkpoint folder
+        requires ``force_overwrite=True`` (then it is wiped); with
+        ``LAST_EPOCH``/``BEST_EPOCH`` the stacked params/opt_state, the
+        per-seed loss histories, and the per-seed best-val snapshots are
+        all restored, and a missing checkpoint downgrades to a warning.
         """
-        epochs_iter = range(nb_epochs)
+        start_epoch = self._prepare_resume(
+            load_checkpoint_mode, force_overwrite, verbose
+        )
+        if start_epoch >= nb_epochs:
+            return self.histories
+        epochs_iter = range(start_epoch, nb_epochs)
         if verbose:
             from tqdm.auto import tqdm
 
             epochs_iter = tqdm(epochs_iter, desc="Training ensemble", unit="epoch")
-        mean_val_history: List[float] = []
+        # Restored histories re-seed the early-stopping window.
+        mean_val_history: List[float] = [
+            float(np.mean([h["val"][e] for h in self.histories]))
+            for e in range(start_epoch)
+        ]
         for epoch in epochs_iter:
             train_losses = self.train_epoch(train_dataloader)
             val_losses, val_accs = self.eval_epoch(val_dataloader)
@@ -252,6 +272,105 @@ class EnsembleTrainer:
         if verbose:
             epochs_iter.close()
         return self.histories
+
+    def _replicate(self, tree):
+        """device_put with the mesh's replicated sharding (no-op off-mesh)."""
+        if self.mesh is None:
+            return tree
+        from .mesh import replicated
+
+        return jax.device_put(tree, replicated(self.mesh))
+
+    def _prepare_resume(
+        self,
+        load_checkpoint_mode: Optional[LoadCheckpointMode],
+        force_overwrite: bool,
+        verbose: bool,
+    ) -> int:
+        """Apply the Q5 overwrite/resume contract; returns the start epoch."""
+        if self.ckpt is None:
+            return 0
+        if load_checkpoint_mode is None:
+            if os.path.exists(self.ckpt.checkpoints_meta_path):
+                if not force_overwrite:
+                    raise AssertionError(
+                        f"{self.ckpt.checkpoints_meta_path} already exists. "
+                        "Set force_overwrite flag to True to overwrite "
+                        "existing saves."
+                    )
+                shutil.rmtree(self.ckpt.checkpoint_folder)
+            return 0
+        try:
+            return self._restore_from_checkpoint(load_checkpoint_mode)
+        except FileNotFoundError:
+            if verbose:
+                logger.warning("No such checkpoint. Fit from beginning.")
+            return 0
+
+    def _restore_from_checkpoint(self, mode: LoadCheckpointMode) -> int:
+        """Restore stacked params/opt_state, per-seed histories, and the
+        per-seed best-val snapshots (reconstructed from the per-epoch
+        checkpoint files recorded in ``best_per_seed``)."""
+        import json
+
+        checkpoint = self.ckpt.load_checkpoint(mode)
+        self.params, self.opt_state = self.ckpt.restore(
+            checkpoint, self.params, self.opt_state
+        )
+        self.params = self._replicate(self.params)
+        self.opt_state = self._replicate(self.opt_state)
+        start_epoch = int(checkpoint[self.ckpt.CHECKPOINT_EPOCH_KEY]) + 1
+        with open(self.ckpt.checkpoints_meta_path) as f:
+            meta = json.load(f)
+        ens_meta = meta.get("ensemble", {})
+        saved_seeds = ens_meta.get("seeds")
+        if saved_seeds is not None and list(saved_seeds) != list(self.seeds):
+            raise ValueError(
+                f"Checkpoint was written for seeds {saved_seeds}, "
+                f"this trainer has seeds {list(self.seeds)}"
+            )
+        self.histories = [LossHistory() for _ in self.seeds]
+        for epoch_key in sorted(ens_meta.get("history", {}), key=int):
+            per_seed = ens_meta["history"][epoch_key]
+            for i, hist in enumerate(self.histories):
+                hist.concat(
+                    dict(train=per_seed["train"][i], val=per_seed["val"][i])
+                )
+        best_val = ens_meta.get("best_val_per_seed", {})
+        best_epoch = meta.get("best_per_seed", {})
+        self.best_val = np.array(
+            [float(best_val.get(str(s), np.inf)) for s in self.seeds]
+        )
+        self.best_epoch = np.array(
+            [int(best_epoch.get(str(s), -1)) for s in self.seeds], dtype=int
+        )
+        self._reconstruct_best_params()
+        return start_epoch
+
+    def _reconstruct_best_params(self) -> None:
+        """Rebuild the stacked per-seed BEST snapshot: for every distinct
+        best epoch, load that epoch's (stacked) checkpoint and merge the
+        seeds whose best it is."""
+        from flax import serialization
+
+        if (self.best_epoch < 0).all():
+            self.best_params = None
+            return
+        best = jax.tree.map(jnp.copy, self.params)
+        for e in sorted({int(x) for x in self.best_epoch if x >= 0}):
+            payload = self.ckpt.load_checkpoint_at(e)
+            p_e = self._replicate(
+                serialization.from_state_dict(
+                    self.params, payload[self.ckpt.CHECKPOINT_STATE_DICT_KEY]
+                )
+            )
+            mask = jnp.asarray(self.best_epoch == e)
+
+            def merge(b, cur, m=mask):
+                return jnp.where(m.reshape((-1,) + (1,) * (cur.ndim - 1)), cur, b)
+
+            best = jax.tree.map(merge, best, p_e)
+        self.best_params = best
 
     def _update_best(self, improved: np.ndarray, epoch: int) -> None:
         """Merge the improved seeds' current params into the best snapshot."""
@@ -284,6 +403,23 @@ class EnsembleTrainer:
             {
                 "best_per_seed": {
                     str(s): int(e) for s, e in zip(self.seeds, self.best_epoch)
-                }
+                },
+                # Everything LAST_EPOCH resume needs beyond the stacked
+                # params/opt_state payload: per-seed losses per epoch and
+                # the per-seed best val losses.
+                "ensemble": {
+                    "seeds": [int(s) for s in self.seeds],
+                    "best_val_per_seed": {
+                        str(s): float(v)
+                        for s, v in zip(self.seeds, self.best_val)
+                        if np.isfinite(v)
+                    },
+                    "history": {
+                        str(epoch): {
+                            "train": [float(v) for v in train_losses],
+                            "val": [float(v) for v in val_losses],
+                        }
+                    },
+                },
             }
         )

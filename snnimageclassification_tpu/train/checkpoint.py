@@ -142,6 +142,15 @@ class CheckpointManager:
         with open(path, "rb") as f:
             return serialization.msgpack_restore(f.read())
 
+    def load_checkpoint_at(self, epoch: int) -> dict:
+        """Load one specific epoch's raw payload (used by the ensemble's
+        per-seed BEST reconstruction on resume)."""
+        path = self.checkpoint_path(epoch)
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        with open(path, "rb") as f:
+            return serialization.msgpack_restore(f.read())
+
     def restore(self, checkpoint: dict, params_template: Any, opt_state_template: Any):
         """Rebuild typed pytrees from a raw checkpoint payload."""
         params = serialization.from_state_dict(

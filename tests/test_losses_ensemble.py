@@ -174,6 +174,116 @@ class TestEnsemble:
         assert set(meta["best_per_seed"]) == {"0", "1"}
         assert all(len(h["train"]) == 2 for h in ens.histories)
 
+    def test_ensemble_resume_last_epoch_matches_continuous(self, tmp_path):
+        """2 epochs + LAST_EPOCH resume for 2 more == one 4-epoch run:
+        identical per-seed histories, final params, opt state effects, and
+        per-seed best-val snapshots (with unshuffled loaders so both runs
+        see the same batches)."""
+        from snnimageclassification_tpu.train.checkpoint import LoadCheckpointMode
+
+        cfg = self._cfg()
+        seeds = [0, 7]
+
+        def loaders():
+            rng = np.random.default_rng(3)
+            protos = rng.random((4, 16)).astype(np.float32)
+            y = (np.arange(96) % 4).astype(np.int32)
+            x = np.clip(
+                protos[y] + 0.1 * rng.standard_normal((96, 16)).astype(np.float32),
+                0, 1,
+            )
+            enc = EncodeConfig(n_steps=2, use_periods=False)
+            mk = lambda: ArrayDataLoader(x, y, 32, shuffle=False, encode_config=enc)
+            return mk(), mk()
+
+        cont = EnsembleTrainer(cfg, seeds=seeds,
+                               checkpoint_folder=str(tmp_path / "cont"))
+        tr, va = loaders()
+        cont_hists = cont.fit(tr, va, nb_epochs=4, verbose=False)
+
+        part = EnsembleTrainer(cfg, seeds=seeds,
+                               checkpoint_folder=str(tmp_path / "part"))
+        tr, va = loaders()
+        part.fit(tr, va, nb_epochs=2, verbose=False)
+
+        resumed = EnsembleTrainer(cfg, seeds=seeds,
+                                  checkpoint_folder=str(tmp_path / "part"))
+        tr, va = loaders()
+        res_hists = resumed.fit(
+            tr, va, nb_epochs=4,
+            load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH, verbose=False,
+        )
+        for i in range(len(seeds)):
+            np.testing.assert_allclose(
+                res_hists[i]["train"], cont_hists[i]["train"], rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                res_hists[i]["val"], cont_hists[i]["val"], rtol=1e-6
+            )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            ),
+            resumed.params, cont.params,
+        )
+        np.testing.assert_array_equal(resumed.best_epoch, cont.best_epoch)
+        np.testing.assert_allclose(resumed.best_val, cont.best_val, rtol=1e-6)
+        # BEST snapshots agree too (reconstructed from epoch files).
+        cont.load_best()
+        resumed.load_best()
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            ),
+            resumed.params, cont.params,
+        )
+
+    def test_ensemble_resume_past_end_returns_restored_history(self, tmp_path):
+        from snnimageclassification_tpu.train.checkpoint import LoadCheckpointMode
+
+        cfg = self._cfg()
+        ens = EnsembleTrainer(cfg, seeds=[0, 1],
+                              checkpoint_folder=str(tmp_path / "ck"))
+        ens.fit(self._loader(), self._loader(seed=1), nb_epochs=2, verbose=False)
+        again = EnsembleTrainer(cfg, seeds=[0, 1],
+                                checkpoint_folder=str(tmp_path / "ck"))
+        hists = again.fit(
+            self._loader(), self._loader(seed=1), nb_epochs=2,
+            load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH, verbose=False,
+        )
+        assert all(len(h["train"]) == 2 for h in hists)
+
+    def test_ensemble_fit_existing_folder_without_overwrite_raises(self, tmp_path):
+        cfg = self._cfg()
+        ens = EnsembleTrainer(cfg, seeds=[0, 1],
+                              checkpoint_folder=str(tmp_path / "ck"))
+        ens.fit(self._loader(), self._loader(seed=1), nb_epochs=1, verbose=False)
+        again = EnsembleTrainer(cfg, seeds=[0, 1],
+                                checkpoint_folder=str(tmp_path / "ck"))
+        with pytest.raises(AssertionError):
+            again.fit(self._loader(), self._loader(seed=1), nb_epochs=1,
+                      verbose=False)
+        # force_overwrite wipes and restarts (quirk Q5).
+        hists = again.fit(self._loader(), self._loader(seed=1), nb_epochs=1,
+                          force_overwrite=True, verbose=False)
+        assert all(len(h["train"]) == 1 for h in hists)
+
+    def test_ensemble_resume_seed_mismatch_raises(self, tmp_path):
+        from snnimageclassification_tpu.train.checkpoint import LoadCheckpointMode
+
+        cfg = self._cfg()
+        ens = EnsembleTrainer(cfg, seeds=[0, 1],
+                              checkpoint_folder=str(tmp_path / "ck"))
+        ens.fit(self._loader(), self._loader(seed=1), nb_epochs=1, verbose=False)
+        other = EnsembleTrainer(cfg, seeds=[0, 2],
+                                checkpoint_folder=str(tmp_path / "ck"))
+        with pytest.raises(ValueError, match="seeds"):
+            other.fit(
+                self._loader(), self._loader(seed=1), nb_epochs=2,
+                load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH,
+                verbose=False,
+            )
+
     def test_train_all_params_seeds_emits_row_per_seed(self, tmp_path):
         from snnimageclassification_tpu.data.datasets import DatasetId
         from snnimageclassification_tpu.ops.cells import LayerType
