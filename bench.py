@@ -62,10 +62,10 @@ def build_step(cfg):
 
     def train_step(params, opt_state, x, y):
         def loss_fn(p):
-            # Production path: encoding fused into the first-layer matmul
-            # on TPU (ops/pallas_encode.py), XLA fallback elsewhere.
-            trace, _ = model_lib.apply_pixels(cfg, p, x, enc)
-            logits = model_lib.prediction_logits(cfg, trace)
+            # Production path: the whole single-hidden-layer network runs
+            # as one fused kernel pair on TPU (ops/pallas_fused.py head
+            # variants); XLA fallback elsewhere.
+            logits = model_lib.forward_logits_pixels(cfg, p, x, enc)
             return nll_loss(logits, y)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -96,36 +96,53 @@ def main():
             hidden_layer_type="LIF", use_recurrent_connection=False,
         ),
     }
+    # n_steps=12 runs in ONE time block (K=12); n_steps=24 forces TWO
+    # blocks through the K-step-blocked kernels -- this caught a real bug
+    # where the fused backward regenerated spike rows with the reverse
+    # grid index instead of the forward block index.
     for vname, vkw in fused_variants.items():
-        for use_periods in (False, True):
+        for use_periods, n_steps in ((False, 12), (True, 12), (False, 24), (True, 24)):
             cfg = SNNConfig(
                 input_size=784, output_size=10, n_hidden_neurons=128,
-                int_time_steps=12, **vkw,
+                int_time_steps=n_steps, **vkw,
             )
             params = M.init(cfg, jax.random.PRNGKey(1))
-            enc = EncodeConfig(n_steps=12, use_periods=use_periods)
+            enc = EncodeConfig(n_steps=n_steps, use_periods=use_periods)
 
             def loss_fused(p, cfg=cfg, enc=enc):
                 trace, _ = M.apply_pixels(cfg, p, x, enc)
                 logits = M.prediction_logits(cfg, trace)
                 return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(64), y])
 
-            def loss_ref(p, cfg=cfg, use_periods=use_periods):
-                spikes = encode_spikes(x, n_steps=12, use_periods=use_periods)
+            def loss_ref(p, cfg=cfg, enc=enc):
+                spikes = encode_spikes(x, n_steps=enc.n_steps,
+                                       use_periods=enc.use_periods)
                 logits = M.forward_logits(cfg, p, spikes)
                 return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(64), y])
 
-            name = f"fused_encode {vname} periods={use_periods}"
+            def loss_head(p, cfg=cfg, enc=enc):
+                logits = M.forward_logits_pixels(cfg, p, x, enc)
+                return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(64), y])
+
+            name = f"fused_encode {vname} periods={use_periods} T={n_steps}"
             ok &= check(f"{name} loss", jax.jit(loss_fused)(params),
+                        jax.jit(loss_ref)(params), atol=1e-5)
+            # Whole-network head fusion (encode+scan+readout+max in one
+            # kernel pair) for these single-hidden-layer configs.
+            ok &= check(f"{name} head loss", jax.jit(loss_head)(params),
                         jax.jit(loss_ref)(params), atol=1e-5)
             gf = jax.jit(jax.grad(loss_fused))(params)
             gr = jax.jit(jax.grad(loss_ref))(params)
+            gh = jax.jit(jax.grad(loss_head))(params)
             for path, gp in jax.tree_util.tree_leaves_with_path(gf):
-                gx = gr
+                gx, ghh = gr, gh
                 for k in path:
                     gx = gx[k.key]
+                    ghh = ghh[k.key]
                 ok &= check(f"{name} grad {jax.tree_util.keystr(path)}", gp, gx,
                             atol=1e-4)
+                ok &= check(f"{name} head grad {jax.tree_util.keystr(path)}",
+                            ghh, gx, atol=1e-4)
 
     print("PARITY", "PASS" if ok else "FAIL")
     return 0 if ok else 1

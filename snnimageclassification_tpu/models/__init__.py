@@ -4,6 +4,7 @@ from . import snn
 from .snn import (
     apply,
     forward_logits,
+    forward_logits_pixels,
     format_inputs,
     init,
     init_state,

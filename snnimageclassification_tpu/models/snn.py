@@ -41,6 +41,7 @@ __all__ = [
     "apply",
     "prediction_logits",
     "forward_logits",
+    "forward_logits_pixels",
     "param_labels",
 ]
 
@@ -399,6 +400,91 @@ def apply_pixels(
     # v5e: 93k -> 145k img/s on the flagship).
     spikes = jax.lax.optimization_barrier(spikes)
     return apply(cfg, params, spikes, return_hidden=return_hidden)
+
+
+def _head_fusible(cfg: SNNConfig, enc) -> bool:
+    """Whole-network fusion (encode -> hidden scan -> readout -> max) is
+    available for single-hidden-layer LIF/ALIF classifiers with the
+    default max-over-time readout on TPU float32 compute."""
+    from ..ops.cells import ALIFConfig, LIFConfig, ReadoutConfig
+    from ..ops.pallas_fused import fused_head_supported
+
+    if not (cfg.use_pallas and jnp.dtype(cfg.compute_dtype) == jnp.float32):
+        return False
+    if not (enc.as_timeseries and enc.n_steps == cfg.int_time_steps):
+        return False
+    if cfg.readout_mth != ReadoutMth.RNN:  # RNN = max-over-time (snn.py:228)
+        return False
+    layer_cfgs = cfg.layer_configs
+    if len(layer_cfgs) != 2:
+        return False
+    first_cfg, last_cfg = layer_cfgs[0][1], layer_cfgs[1][1]
+    if type(first_cfg) not in (LIFConfig, ALIFConfig):
+        return False
+    if type(last_cfg) is not ReadoutConfig:
+        return False
+    return fused_head_supported(
+        cfg.int_time_steps, cfg.input_size, first_cfg.output_size,
+        last_cfg.output_size,
+    )
+
+
+def forward_logits_pixels(
+    cfg: SNNConfig, params: Params, pixels: jax.Array, enc
+) -> jax.Array:
+    """Raw pixels ``(B, F)`` -> class logits, with the encoding inside the
+    graph.
+
+    On TPU, single-hidden-layer LIF/ALIF models with the max-over-time
+    readout run as ONE Pallas kernel pair covering the entire network
+    (ops/pallas_fused.py head variants): neither the (T, B, H0) currents,
+    the (T, B, O) readout trace, nor the (T, B, H0) spike-trace cotangent
+    ever exist in HBM.  Everything else composes :func:`apply_pixels` with
+    :func:`prediction_logits` -- identical semantics.
+    """
+    from ..ops.cells import ALIFConfig
+    from ..ops.encoding import pixels_to_firing_periods
+    from ..ops.pallas_fused import (
+        fused_encode_ff_scan_head,
+        fused_encode_rec_scan_head,
+    )
+
+    if not _head_fusible(cfg, enc):
+        trace, _ = apply_pixels(cfg, params, pixels, enc)
+        return prediction_logits(cfg, trace)
+
+    (first_name, first_cfg), (last_name, last_cfg) = cfg.layer_configs
+    latencies = pixels_to_firing_periods(
+        jnp.asarray(pixels, jnp.float32),
+        t_max=float(cfg.int_time_steps),
+        tau=enc.tau,
+        thr=enc.thr,
+        epsilon=enc.epsilon,
+    )
+    matmul_dtype = jnp.dtype(cfg.matmul_dtype_eff)
+    lparams0 = params[first_name]
+    w0 = lparams0["w_in"].astype(matmul_dtype)
+    w_out = params[last_name]["w_in"].astype(matmul_dtype)
+    b_out = params[last_name]["b"]
+    alif = type(first_cfg) is ALIFConfig
+    beta = (
+        (lparams0["beta"] if first_cfg.learn_beta else first_cfg.beta)
+        if alif
+        else 0.0
+    )
+    rho = first_cfg.rho if alif else 0.0
+    common = (
+        cfg.int_time_steps, enc.use_periods, alif, first_cfg.alpha, rho,
+        first_cfg.threshold, first_cfg.gamma, last_cfg.kappa,
+        first_cfg.spike_func,
+    )
+    w_rec_eff = masked_recurrent(first_cfg, lparams0)
+    if w_rec_eff is not None:
+        w_rec_eff = w_rec_eff.astype(matmul_dtype)
+        return fused_encode_rec_scan_head(
+            latencies, w0, w_rec_eff, beta, w_out, b_out, *common
+        )
+    return fused_encode_ff_scan_head(latencies, w0, beta, w_out, b_out, *common)
 
 
 def prediction_logits(cfg: SNNConfig, outputs_trace: jax.Array) -> jax.Array:

@@ -48,7 +48,14 @@ from .pallas_scan import (
 )
 from .surrogate import SpikeFuncType
 
-__all__ = ["fused_encode_rec_scan", "fused_encode_ff_scan", "fused_supported"]
+__all__ = [
+    "fused_encode_rec_scan",
+    "fused_encode_ff_scan",
+    "fused_encode_rec_scan_head",
+    "fused_encode_ff_scan_head",
+    "fused_supported",
+    "fused_head_supported",
+]
 
 _LANE = 128
 _SUBLANE = 8
@@ -65,6 +72,17 @@ def fused_supported(n_steps: int, n_features: int, hidden: int) -> bool:
         jax.default_backend() == "tpu"
         and n_steps >= 1
         and w_bytes + 2 * lat_bytes <= 4 * 1024 * 1024
+    )
+
+
+def fused_head_supported(
+    n_steps: int, n_features: int, hidden: int, n_out: int
+) -> bool:
+    """Head variant additionally keeps W_out and (bb, o_pad) readout
+    state resident; cheap for classification-sized outputs."""
+    return (
+        fused_supported(n_steps, n_features, hidden)
+        and -(-n_out // _LANE) * _LANE <= 512
     )
 
 
@@ -90,15 +108,23 @@ def _spike_row(lat, step, n_steps: int, use_periods: bool):
 # Forward
 # ---------------------------------------------------------------------------
 def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
-                      alpha, rho, threshold, store_delta):
+                      alpha, rho, threshold, store_delta, head=False,
+                      kappa=0.0):
     if has_w:
         lat_ref, w_in_ref, w_rec_ref, beta_ref, *rest = refs
     else:
         lat_ref, w_in_ref, beta_ref, *rest = refs
         w_rec_ref = None
-    n_out = 2 if (store_delta or not alif) else 3
-    out_refs = rest[:n_out]
-    v_scr, a_scr, z_scr = rest[n_out:]
+    if head:
+        w_out_ref, b_out_ref, *rest = rest
+    n_trace = 2 if (store_delta or not alif) else 3
+    out_refs = rest[:n_trace]
+    rest = rest[n_trace:]
+    if head:
+        logits_ref, tstar_ref, *rest = rest
+        v_scr, a_scr, z_scr, vr_scr, m_scr, ts_scr = rest
+    else:
+        v_scr, a_scr, z_scr = rest
     if alif and not store_delta:
         z_ref, v_ref, a_ref = out_refs
         d_ref = None
@@ -115,10 +141,18 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
         v_scr[:] = jnp.zeros_like(v_scr)
         a_scr[:] = jnp.zeros_like(a_scr)
         z_scr[:] = jnp.zeros_like(z_scr)
+        if head:
+            vr_scr[:] = jnp.zeros_like(vr_scr)
+            m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+            ts_scr[:] = jnp.zeros_like(ts_scr)
 
     lat = lat_ref[:]
     w_in = w_in_ref[:]
     w_rec = w_rec_ref[:] if has_w else None
+    if head:
+        w_out = w_out_ref[:]
+        b_out = b_out_ref[:]
+        v_r, m_run, ts_run = vr_scr[:], m_scr[:], ts_scr[:]
     trace_dtype = z_ref.dtype
     v_c, a_c, z_prev = v_scr[:], a_scr[:], z_scr[:]
     for k in range(K):
@@ -144,9 +178,30 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
             v_ref[k] = v_c.astype(trace_dtype)
             if alif:
                 a_ref[k] = a_c.astype(trace_dtype)
+        if head:
+            # Readout leaky integrator consumes z at the SAME step
+            # (layer-then-time ordering, snn.py:209-214; dynamics
+            # spiking_layers.py:402-408) + running first-argmax
+            # max-over-time (snn.py:228 via torch.max tie semantics:
+            # strict > keeps the earliest maximal step).
+            r = jnp.dot(z_prev.astype(w_out.dtype), w_out,
+                        preferred_element_type=jnp.float32) + b_out
+            v_r = kappa * v_r + r
+            better = v_r > m_run
+            m_run = jnp.where(better, v_r, m_run)
+            ts_run = jnp.where(better, step, ts_run)
     v_scr[:] = v_c
     a_scr[:] = a_c
     z_scr[:] = z_prev
+    if head:
+        vr_scr[:] = v_r
+        m_scr[:] = m_run
+        ts_scr[:] = ts_run
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _():
+            logits_ref[:] = m_run
+            tstar_ref[:] = ts_run
 
 
 def _pad_lat(lat, bb, f_pad):
@@ -174,12 +229,14 @@ def _pad2(w, r_pad, c_pad):
 _N_BLOCKS = 6
 
 
-def _shapes(B, w_in, F, K):
+def _shapes(B, w_in, F, K, head=False):
     H = w_in.shape[1]
     f_pad = -(-F // _LANE) * _LANE
     h_pad = -(-H // _LANE) * _LANE
     bb = min(_MAX_BLOCK_B, -(-B // _SUBLANE) * _SUBLANE)
-    bb = _fit_block_b(bb, K, h_pad, _N_BLOCKS)
+    # The head keeps an extra (K, bb, o_pad) s-block plus (bb, o_pad)
+    # readout state resident; budget it like two more revolving blocks.
+    bb = _fit_block_b(bb, K, h_pad, _N_BLOCKS + (2 if head else 0))
     if w_in.dtype == jnp.bfloat16:
         bb = max(16, -(-bb // 16) * 16)
     return H, f_pad, h_pad, bb
@@ -187,12 +244,13 @@ def _shapes(B, w_in, F, K):
 
 def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
                     alpha, rho, threshold, store_delta, interpret,
-                    lat_prepadded=None):
+                    lat_prepadded=None, w_out=None, b_out=None, kappa=0.0):
     has_w = w_rec is not None
+    head = w_out is not None
     K = _time_block(T)
-    n_out = 2 if (store_delta or not alif) else 3
+    n_trace = 2 if (store_delta or not alif) else 3
     B, F = latencies.shape
-    H, f_pad, h_pad, bb = _shapes(B, w_in, F, K)
+    H, f_pad, h_pad, bb = _shapes(B, w_in, F, K, head)
     lat = (
         lat_prepadded
         if lat_prepadded is not None
@@ -217,20 +275,52 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
     kernel = functools.partial(
         _fused_fwd_kernel, K=K, n_steps=T, use_periods=use_periods,
         alif=alif, has_w=has_w, alpha=alpha, rho=rho, threshold=threshold,
-        store_delta=store_delta,
+        store_delta=store_delta, head=head, kappa=kappa,
     )
     in_specs = [lat_spec, w_in_spec] + ([w_rec_spec] if has_w else []) + [beta_spec]
     args = [lat, w_in_p] + ([_pad2(w_rec, h_pad, h_pad)] if has_w else []) + [beta_s]
+    out_specs = [tr_spec] * n_trace
+    out_shape = [jax.ShapeDtypeStruct((T, Bp, h_pad), trace_dtype)] * n_trace
+    scratch = [pltpu.VMEM((bb, h_pad), jnp.float32)] * 3
+    if head:
+        o_pad = -(-w_out.shape[1] // _LANE) * _LANE
+        w_out_spec = pl.BlockSpec((h_pad, o_pad), lambda b, t: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        b_out_spec = pl.BlockSpec((1, o_pad), lambda b, t: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        head_spec = pl.BlockSpec((bb, o_pad), lambda b, t: (b, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [w_out_spec, b_out_spec]
+        args += [
+            _pad2(w_out, h_pad, o_pad),
+            _pad2(jnp.asarray(b_out, jnp.float32).reshape(1, -1), 1, o_pad),
+        ]
+        out_specs += [head_spec, head_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((Bp, o_pad), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, o_pad), jnp.int32),
+        ]
+        scratch += [
+            pltpu.VMEM((bb, o_pad), jnp.float32),
+            pltpu.VMEM((bb, o_pad), jnp.float32),
+            pltpu.VMEM((bb, o_pad), jnp.int32),
+        ]
     outs = pl.pallas_call(
         lambda *refs: kernel(refs),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[tr_spec] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((T, Bp, h_pad), trace_dtype)] * n_out,
-        scratch_shapes=[pltpu.VMEM((bb, h_pad), jnp.float32)] * 3,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
-    return tuple(o[:, :B, :H] for o in outs), lat
+    traces = tuple(o[:, :B, :H] for o in outs[:n_trace])
+    if head:
+        O = w_out.shape[1]
+        logits = outs[n_trace][:B, :O]
+        tstar = outs[n_trace + 1][:B, :O]
+        return traces, lat, logits, tstar
+    return traces, lat
 
 
 # ---------------------------------------------------------------------------
@@ -238,10 +328,15 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
 # ---------------------------------------------------------------------------
 def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
                       alpha, rho, threshold, gamma, spike_func,
-                      store_delta):
+                      store_delta, head=False, kappa=0.0):
     n_res = 1 if (store_delta or not alif) else 2
     i = 0
-    gz_ref = refs[i]; i += 1
+    if head:
+        g_ref = refs[i]; i += 1
+        ts_ref = refs[i]; i += 1
+        gz_ref = None
+    else:
+        gz_ref = refs[i]; i += 1
     res_refs = refs[i:i + n_res]; i += n_res
     z_ref = refs[i]; i += 1
     zb_ref = refs[i]; i += 1
@@ -250,10 +345,18 @@ def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
     w_rec_ref = refs[i] if has_w else None
     i += 1 if has_w else 0
     beta_ref = refs[i]; i += 1
+    w_out_ref = refs[i] if head else None
+    i += 1 if head else 0
     dwin_ref = refs[i]; i += 1
     dwr_ref = refs[i] if has_w else None
     i += 1 if has_w else 0
+    if head:
+        dwout_ref = refs[i]; i += 1
+        db_ref = refs[i]; i += 1
     dcur_scr, dcur_blk = refs[i], refs[i + 1]
+    i += 2
+    if head:
+        s_scr, s_blk = refs[i], refs[i + 1]
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -262,13 +365,23 @@ def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
         dwin_ref[0] = jnp.zeros_like(dwin_ref[0])
         if has_w:
             dwr_ref[0] = jnp.zeros_like(dwr_ref[0])
+        if head:
+            s_scr[:] = jnp.zeros_like(s_scr)
+            dwout_ref[0] = jnp.zeros_like(dwout_ref[0])
+            db_ref[0] = jnp.zeros_like(db_ref[0])
 
     is_first_block = t == pl.num_programs(1) - 1
+    fwd_blk = pl.num_programs(1) - 1 - t  # forward block this grid step
     w_in = w_in_ref[:]
     w_rec = w_rec_ref[:] if has_w else None
     lat = lat_ref[:]
     f32 = jnp.float32
     dcur_carry = dcur_scr[:]
+    if head:
+        g = g_ref[:].astype(f32)
+        ts = ts_ref[:]
+        w_out = w_out_ref[:]
+        s_carry = s_scr[:]
     for k in reversed(range(K)):  # reverse time inside the block
         if store_delta or not alif:
             if alif:
@@ -285,7 +398,23 @@ def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
             surr = _surrogate_grad(
                 spike_func, v_k, threshold + beta_ref[0, 0] * a_k, gamma
             )
-        dz = gz_ref[k].astype(f32)
+        if head:
+            # Readout cotangent chain, reverse time:
+            #   s(t) = kappa * s(t+1) + g_logits * [t == argmax step]
+            # (max-over-time routes the whole cotangent to the first
+            # maximal step, torch.max semantics; v_r(t) depends on
+            # cur_r(t) with unit gain, so dcur_r(t) = s(t).)
+            step = fwd_blk * K + k
+            s_k = kappa * s_carry + g * (step == ts).astype(f32)
+            s_blk[k] = s_k
+            s_carry = s_k
+            dz = jax.lax.dot_general(
+                s_k.astype(w_out.dtype), w_out,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            dz = gz_ref[k].astype(f32)
         if has_w:
             dz = dz + jax.lax.dot_general(
                 dcur_carry.astype(w_rec.dtype), w_rec,
@@ -297,11 +426,28 @@ def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
         dcur_blk[k] = dcur
         dcur_carry = dcur
     dcur_scr[:] = dcur_carry
+    if head:
+        s_scr[:] = s_carry
+        # Readout weight/bias partials, off the serial chain:
+        # g_W_out += sum_t z(t)^T s(t); g_b += sum_{t,batch} s(t).
+        K_, bb_, O_ = s_blk.shape
+        H_ = z_ref.shape[2]
+        s_flat = s_blk[:].reshape(K_ * bb_, O_)
+        dwout_ref[0] += jax.lax.dot_general(
+            z_ref[:].reshape(K_ * bb_, H_).astype(w_out.dtype),
+            s_flat.astype(w_out.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db_ref[0] += jnp.sum(s_flat, axis=0, keepdims=True)
 
     # g_W_in partials: sum_t spikes(t)^T @ dcur_t, spike rows regenerated
-    # in VMEM (VPU work, no HBM).  Off the serial chain.
+    # in VMEM (VPU work, no HBM).  Off the serial chain.  The grid walks
+    # time blocks in reverse (the block specs map grid step t to forward
+    # block nb-1-t), so the regenerated spike rows must use the *forward*
+    # step index of the dcur rows they pair with.
     for k in range(K):
-        step = t * K + k
+        step = fwd_blk * K + k
         spk = _spike_row(lat, step, n_steps, use_periods)
         dwin_ref[0] += jax.lax.dot_general(
             spk.astype(w_in.dtype), dcur_blk[k].astype(w_in.dtype),
@@ -328,14 +474,16 @@ def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
 
 def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
                     use_periods, alif, alpha, rho, threshold, gamma,
-                    spike_func, store_delta, interpret):
+                    spike_func, store_delta, interpret,
+                    g_logits=None, tstar=None, w_out=None, kappa=0.0):
     has_w = w_rec is not None
+    head = w_out is not None
     K = _time_block(T)
-    B, H = g_z.shape[1], g_z.shape[2]
+    B, H = z.shape[1], z.shape[2]
     F = w_in.shape[0]
     f_pad = lat.shape[1]
     # Same batch tile as the forward (lat is padded to a multiple of it).
-    _, _, h_pad, bb = _shapes(B, w_in, F, K)
+    _, _, h_pad, bb = _shapes(B, w_in, F, K, head)
     Bp = lat.shape[0]
 
     def padbh(x):
@@ -345,7 +493,7 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
             x = jnp.pad(x, ((0, 0), (0, pb), (0, ph)))
         return x
 
-    operands = [padbh(x) for x in (g_z, *residuals, z)]
+    operands = [padbh(x) for x in (*((g_z,) if not head else ()), *residuals, z)]
     nb = T // K
     grid = (Bp // bb, nb)
     rev = pl.BlockSpec((K, bb, h_pad), lambda b, t, n=nb: (n - 1 - t, b, 0),
@@ -373,6 +521,7 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
         _fused_bwd_kernel, K=K, n_steps=T, use_periods=use_periods,
         alif=alif, has_w=has_w, alpha=alpha, rho=rho, threshold=threshold,
         gamma=gamma, spike_func=spike_func, store_delta=store_delta,
+        head=head, kappa=kappa,
     )
     in_specs = (
         [rev] * len(operands) + [zb, lat_spec, w_in_spec]
@@ -388,24 +537,63 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
         out_shape.append(
             jax.ShapeDtypeStruct((Bp // bb, h_pad, h_pad), jnp.float32)
         )
+    scratch = [
+        pltpu.VMEM((bb, h_pad), jnp.float32),
+        pltpu.VMEM((K, bb, h_pad), jnp.float32),
+    ]
+    if head:
+        o_pad = -(-w_out.shape[1] // _LANE) * _LANE
+        O = w_out.shape[1]
+        head_spec = pl.BlockSpec((bb, o_pad), lambda b, t: (b, 0),
+                                 memory_space=pltpu.VMEM)
+        # g_logits/tstar arrive padded to (Bp, o_pad) from the forward;
+        # padded rows/cols carry zero cotangent so they contribute nothing.
+        gl = jnp.pad(
+            g_logits.astype(jnp.float32),
+            ((0, Bp - g_logits.shape[0]), (0, o_pad - g_logits.shape[1])),
+        )
+        ts_p = jnp.pad(
+            tstar, ((0, Bp - tstar.shape[0]), (0, o_pad - tstar.shape[1]))
+        )
+        in_specs = [head_spec, head_spec] + in_specs
+        args = [gl, ts_p] + args
+        w_out_spec = pl.BlockSpec((h_pad, o_pad), lambda b, t: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        in_specs.append(w_out_spec)
+        args.append(_pad2(w_out, h_pad, o_pad))
+        dwout_spec = pl.BlockSpec((1, h_pad, o_pad), lambda b, t: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        db_spec = pl.BlockSpec((1, 1, o_pad), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        out_specs += [dwout_spec, db_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((Bp // bb, h_pad, o_pad), jnp.float32),
+            jax.ShapeDtypeStruct((Bp // bb, 1, o_pad), jnp.float32),
+        ]
+        scratch += [
+            pltpu.VMEM((bb, o_pad), jnp.float32),
+            pltpu.VMEM((K, bb, o_pad), jnp.float32),
+        ]
     outs = pl.pallas_call(
         lambda *refs: kernel(refs),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((bb, h_pad), jnp.float32),
-            pltpu.VMEM((K, bb, h_pad), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
     F = w_in.shape[0]
     g_w_in = jnp.sum(outs[0], axis=0)[:F, :H].astype(w_in.dtype)
-    if has_w:
-        g_w_rec = jnp.sum(outs[1], axis=0)[:H, :H].astype(w_rec.dtype)
-        return g_w_in, g_w_rec
-    return g_w_in, None
+    g_w_rec = (
+        jnp.sum(outs[1], axis=0)[:H, :H].astype(w_rec.dtype) if has_w else None
+    )
+    if head:
+        j = 2 if has_w else 1
+        g_w_out = jnp.sum(outs[j], axis=0)[:H, :O].astype(w_out.dtype)
+        g_b = jnp.sum(outs[j + 1], axis=0)[0, :O]
+        return g_w_in, g_w_rec, g_w_out, g_b
+    return g_w_in, g_w_rec
 
 
 # ---------------------------------------------------------------------------
@@ -529,3 +717,146 @@ def _fused_ff_bwd(n_steps, use_periods, alif, alpha, rho, threshold, gamma,
 
 
 fused_encode_ff_scan.defvjp(_fused_ff_fwd, _fused_ff_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Head variants: + readout leaky integrator + first-argmax max-over-time
+# ---------------------------------------------------------------------------
+# For a single-hidden-layer model these fuse the ENTIRE network into one
+# kernel pair: pixels' latencies -> spikes -> W_in matmul -> LIF/ALIF scan
+# -> W_out readout integrator (spiking_layers.py:402-408) -> max-over-time
+# logits (snn.py:228).  Beyond the currents tensor, this also eliminates
+# the (T, B, H) spike-trace *cotangent* round trip and the (T, B, O)
+# readout trace from HBM: the backward rebuilds dz in VMEM from the
+# kappa-decay chain of the logits cotangent.
+
+HEAD_REC_STATICS = tuple(range(6, 16))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=HEAD_REC_STATICS)
+def fused_encode_rec_scan_head(
+    latencies: jax.Array,
+    w_in: jax.Array,
+    w_rec: jax.Array,
+    beta,
+    w_out: jax.Array,
+    b_out: jax.Array,
+    n_steps: int,
+    use_periods: bool,
+    alif: bool,
+    alpha: float,
+    rho: float,
+    threshold: float,
+    gamma: float,
+    kappa: float,
+    spike_func: SpikeFuncType = SpikeFuncType.FastSigmoid,
+    interpret: bool = False,
+) -> jax.Array:
+    """(latencies (B,F) int32, weights) -> max-over-time logits (B, O).
+
+    Numerically equal (up to f32 tile-summation order) to the composed
+    pipeline ``fused_encode_rec_scan`` -> readout matmul -> kappa scan ->
+    ``temporal_max`` -- including torch.max's first-argmax tie routing.
+    """
+    _, _, logits, _ = _fused_fwd_call(
+        latencies, w_in, w_rec, beta, T=n_steps, use_periods=use_periods,
+        alif=alif, alpha=alpha, rho=rho, threshold=threshold,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret, w_out=w_out, b_out=b_out, kappa=kappa,
+    )
+    return logits
+
+
+def _fused_rec_head_fwd(latencies, w_in, w_rec, beta, w_out, b_out, n_steps,
+                        use_periods, alif, alpha, rho, threshold, gamma,
+                        kappa, spike_func, interpret):
+    traces, lat, logits, tstar = _fused_fwd_call(
+        latencies, w_in, w_rec, beta, T=n_steps, use_periods=use_periods,
+        alif=alif, alpha=alpha, rho=rho, threshold=threshold,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret, w_out=w_out, b_out=b_out, kappa=kappa,
+    )
+    return logits, (traces, lat, latencies.shape, w_in, w_rec, beta, w_out,
+                    tstar)
+
+
+def _fused_rec_head_bwd(n_steps, use_periods, alif, alpha, rho, threshold,
+                        gamma, kappa, spike_func, interpret, res, g_logits):
+    traces, lat, lat_shape, w_in, w_rec, beta, w_out, tstar = res
+    z, *residuals = traces
+    g_w_in, g_w_rec, g_w_out, g_b = _fused_bwd_call(
+        None, tuple(residuals), z, lat, w_in, w_rec, beta, T=n_steps,
+        use_periods=use_periods, alif=alif, alpha=alpha, rho=rho,
+        threshold=threshold, gamma=gamma, spike_func=spike_func,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret, g_logits=g_logits, tstar=tstar, w_out=w_out,
+        kappa=kappa,
+    )
+    g_lat = np.zeros(lat_shape, dtype=jax.dtypes.float0)
+    return (g_lat, g_w_in, g_w_rec, jnp.zeros_like(jnp.asarray(beta)),
+            g_w_out, g_b)
+
+
+fused_encode_rec_scan_head.defvjp(_fused_rec_head_fwd, _fused_rec_head_bwd)
+
+
+HEAD_FF_STATICS = tuple(range(5, 15))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=HEAD_FF_STATICS)
+def fused_encode_ff_scan_head(
+    latencies: jax.Array,
+    w_in: jax.Array,
+    beta,
+    w_out: jax.Array,
+    b_out: jax.Array,
+    n_steps: int,
+    use_periods: bool,
+    alif: bool,
+    alpha: float,
+    rho: float,
+    threshold: float,
+    gamma: float,
+    kappa: float,
+    spike_func: SpikeFuncType = SpikeFuncType.FastSigmoid,
+    interpret: bool = False,
+) -> jax.Array:
+    """Feedforward head variant: no recurrent weights."""
+    _, _, logits, _ = _fused_fwd_call(
+        latencies, w_in, None, beta, T=n_steps, use_periods=use_periods,
+        alif=alif, alpha=alpha, rho=rho, threshold=threshold,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret, w_out=w_out, b_out=b_out, kappa=kappa,
+    )
+    return logits
+
+
+def _fused_ff_head_fwd(latencies, w_in, beta, w_out, b_out, n_steps,
+                       use_periods, alif, alpha, rho, threshold, gamma,
+                       kappa, spike_func, interpret):
+    traces, lat, logits, tstar = _fused_fwd_call(
+        latencies, w_in, None, beta, T=n_steps, use_periods=use_periods,
+        alif=alif, alpha=alpha, rho=rho, threshold=threshold,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret, w_out=w_out, b_out=b_out, kappa=kappa,
+    )
+    return logits, (traces, lat, latencies.shape, w_in, beta, w_out, tstar)
+
+
+def _fused_ff_head_bwd(n_steps, use_periods, alif, alpha, rho, threshold,
+                       gamma, kappa, spike_func, interpret, res, g_logits):
+    traces, lat, lat_shape, w_in, beta, w_out, tstar = res
+    z, *residuals = traces
+    g_w_in, _, g_w_out, g_b = _fused_bwd_call(
+        None, tuple(residuals), z, lat, w_in, None, beta, T=n_steps,
+        use_periods=use_periods, alif=alif, alpha=alpha, rho=rho,
+        threshold=threshold, gamma=gamma, spike_func=spike_func,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret, g_logits=g_logits, tstar=tstar, w_out=w_out,
+        kappa=kappa,
+    )
+    g_lat = np.zeros(lat_shape, dtype=jax.dtypes.float0)
+    return (g_lat, g_w_in, jnp.zeros_like(jnp.asarray(beta)), g_w_out, g_b)
+
+
+fused_encode_ff_scan_head.defvjp(_fused_ff_head_fwd, _fused_ff_head_bwd)

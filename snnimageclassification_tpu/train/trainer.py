@@ -192,14 +192,16 @@ class Trainer:
 
         def loss_fn(params, x, y, w):
             return_hidden = reg_fn is not None
-            trace, hidden = model_lib.apply_pixels(
-                cfg, params, x, enc, return_hidden=return_hidden
-            )
-            logits = model_lib.prediction_logits(cfg, trace)
-            loss = criterion(logits, y, w)
             if return_hidden:
-                loss = loss + reg_fn(hidden)
-            return loss, logits
+                trace, hidden = model_lib.apply_pixels(
+                    cfg, params, x, enc, return_hidden=True
+                )
+                logits = model_lib.prediction_logits(cfg, trace)
+                return criterion(logits, y, w) + reg_fn(hidden), logits
+            # Single-hidden-layer models fuse the whole network (encode ->
+            # scan -> readout -> max) into one kernel pair on TPU.
+            logits = model_lib.forward_logits_pixels(cfg, params, x, enc)
+            return criterion(logits, y, w), logits
 
         def train_step_fn(params, opt_state, x, y, w):
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(

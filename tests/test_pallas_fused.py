@@ -39,9 +39,9 @@ def _data(seed=0):
     return pixels, lat, w_in, w_rec
 
 
-def _xla_reference(pixels, w_in, w_rec, cfg, use_periods):
+def _xla_reference(pixels, w_in, w_rec, cfg, use_periods, n_steps=T):
     spikes = encode_spikes(
-        jnp.asarray(pixels), n_steps=T, use_periods=use_periods
+        jnp.asarray(pixels), n_steps=n_steps, use_periods=use_periods
     )  # (B, T, F)
     currents = jnp.swapaxes(spikes @ w_in, 0, 1)  # (T, B, H)
     if isinstance(cfg, ALIFConfig):
@@ -68,33 +68,42 @@ CASES = [
 ]
 
 
-def _run_fused(lat, w_in, w_rec, cfg, alif, use_periods, spike_func):
+def _run_fused(lat, w_in, w_rec, cfg, alif, use_periods, spike_func,
+               n_steps=T):
     beta = cfg.beta if alif else 0.0
     rho = cfg.rho if alif else 0.0
     if w_rec is not None:
         return fused_encode_rec_scan(
-            lat, w_in, w_rec, beta, T, use_periods, alif, cfg.alpha, rho,
-            cfg.threshold, cfg.gamma, spike_func, True,
+            lat, w_in, w_rec, beta, n_steps, use_periods, alif, cfg.alpha,
+            rho, cfg.threshold, cfg.gamma, spike_func, True,
         )
     return fused_encode_ff_scan(
-        lat, w_in, beta, T, use_periods, alif, cfg.alpha, rho,
+        lat, w_in, beta, n_steps, use_periods, alif, cfg.alpha, rho,
         cfg.threshold, cfg.gamma, spike_func, True,
     )
 
 
+# T=12 exercises a single K-step time block; T=24 forces TWO blocks
+# through the kernel grid (regression: the backward once regenerated
+# spike rows with the reverse grid index instead of the forward block
+# index, corrupting g_W_in whenever T spanned multiple blocks).
+@pytest.mark.parametrize("n_steps", [T, 24], ids=["T12-1block", "T24-2blocks"])
 @pytest.mark.parametrize(
     "name,alif,rec,use_periods,spike_func", CASES,
     ids=[c[0] for c in CASES],
 )
-def test_fused_forward_and_grads(name, alif, rec, use_periods, spike_func):
-    pixels, lat, w_in, w_rec_full = _data()
+def test_fused_forward_and_grads(name, alif, rec, use_periods, spike_func,
+                                 n_steps):
+    pixels, _, w_in, w_rec_full = _data()
+    lat = pixels_to_firing_periods(jnp.asarray(pixels), t_max=float(n_steps))
     w_rec = w_rec_full if rec else None
     cfg_cls = ALIFConfig if alif else LIFConfig
     cfg = cfg_cls(input_size=F, output_size=H, spike_func=spike_func,
                   use_recurrent_connection=rec)
 
-    z_ref = _xla_reference(pixels, w_in, w_rec, cfg, use_periods)
-    z_fused = _run_fused(lat, w_in, w_rec, cfg, alif, use_periods, spike_func)
+    z_ref = _xla_reference(pixels, w_in, w_rec, cfg, use_periods, n_steps)
+    z_fused = _run_fused(lat, w_in, w_rec, cfg, alif, use_periods,
+                         spike_func, n_steps)
     assert float(jnp.sum(z_ref)) > 0, "degenerate case: no spikes"
     np.testing.assert_allclose(
         np.asarray(z_fused), np.asarray(z_ref), atol=1e-5
@@ -105,10 +114,14 @@ def test_fused_forward_and_grads(name, alif, rec, use_periods, spike_func):
     )
 
     def loss_ref(w_in, w_rec):
-        return jnp.sum(_xla_reference(pixels, w_in, w_rec, cfg, use_periods) * wout)
+        return jnp.sum(
+            _xla_reference(pixels, w_in, w_rec, cfg, use_periods, n_steps)
+            * wout
+        )
 
     def loss_fused(w_in, w_rec):
-        z = _run_fused(lat, w_in, w_rec, cfg, alif, use_periods, spike_func)
+        z = _run_fused(lat, w_in, w_rec, cfg, alif, use_periods, spike_func,
+                       n_steps)
         return jnp.sum(z * wout)
 
     if rec:
@@ -160,3 +173,172 @@ def test_fused_bf16_trace_spikes_exact():
     np.testing.assert_array_equal(
         np.asarray(z16.astype(jnp.float32)), np.asarray(z32)
     )
+
+
+# ---------------------------------------------------------------------------
+# Head variants: + readout integrator + first-argmax max-over-time
+# ---------------------------------------------------------------------------
+from snnimageclassification_tpu.ops.cells import (  # noqa: E402
+    ReadoutConfig,
+    alif_init_state as _alif_init,
+)
+from snnimageclassification_tpu.ops.pallas_fused import (  # noqa: E402
+    fused_encode_ff_scan_head,
+    fused_encode_rec_scan_head,
+)
+from snnimageclassification_tpu.ops.temporal import temporal_max  # noqa: E402
+
+O = 10
+_KAPPA = ReadoutConfig(input_size=H, output_size=O).kappa
+
+
+def _composed_head(pixels, w_in, w_rec, w_out, b_out, cfg, use_periods,
+                   n_steps):
+    """encode -> scan -> readout matmul -> kappa integrator -> temporal_max."""
+    z = _xla_reference(pixels, w_in, w_rec, cfg, use_periods, n_steps)
+    rcur = z @ w_out + b_out  # (T, B, O)
+
+    def rbody(v, c):
+        v = _KAPPA * v + c
+        return v, v
+
+    _, vr = jax.lax.scan(rbody, jnp.zeros((B, O)), rcur)
+    return temporal_max(jnp.swapaxes(vr, 0, 1), time_axis=1)
+
+
+def _run_head(lat, w_in, w_rec, w_out, b_out, cfg, alif, use_periods,
+              spike_func, n_steps):
+    beta = cfg.beta if alif else 0.0
+    rho = cfg.rho if alif else 0.0
+    common = (n_steps, use_periods, alif, cfg.alpha, rho, cfg.threshold,
+              cfg.gamma, _KAPPA, spike_func, True)
+    if w_rec is not None:
+        return fused_encode_rec_scan_head(
+            lat, w_in, w_rec, beta, w_out, b_out, *common
+        )
+    return fused_encode_ff_scan_head(lat, w_in, beta, w_out, b_out, *common)
+
+
+HEAD_CASES = [
+    ("alif-rec-ttfs", True, True, False, SpikeFuncType.FastSigmoid, 12),
+    ("alif-ff-periodic", True, False, True, SpikeFuncType.FastSigmoid, 12),
+    ("lif-rec-phi", False, True, True, SpikeFuncType.Phi, 12),
+    # 2 time blocks: the s-chain and tstar routing cross block boundaries.
+    ("alif-rec-2blocks", True, True, False, SpikeFuncType.FastSigmoid, 24),
+    ("lif-ff-2blocks", False, False, True, SpikeFuncType.FastSigmoid, 24),
+]
+
+
+@pytest.mark.parametrize(
+    "name,alif,rec,use_periods,spike_func,n_steps", HEAD_CASES,
+    ids=[c[0] for c in HEAD_CASES],
+)
+def test_fused_head_logits_and_grads(name, alif, rec, use_periods,
+                                     spike_func, n_steps):
+    rng = np.random.default_rng(11)
+    pixels = rng.random((B, F)).astype(np.float32)
+    lat = pixels_to_firing_periods(jnp.asarray(pixels), t_max=float(n_steps))
+    w_in = jnp.asarray(0.5 * rng.standard_normal((F, H)).astype(np.float32))
+    w_rec = (
+        jnp.asarray(
+            (0.3 * rng.standard_normal((H, H))).astype(np.float32)
+            * (1 - np.eye(H, dtype=np.float32))
+        )
+        if rec
+        else None
+    )
+    w_out = jnp.asarray(rng.standard_normal((H, O)).astype(np.float32))
+    b_out = jnp.asarray(0.1 * rng.standard_normal((O,)).astype(np.float32))
+    cfg_cls = ALIFConfig if alif else LIFConfig
+    cfg = cfg_cls(input_size=F, output_size=H, spike_func=spike_func,
+                  use_recurrent_connection=rec)
+
+    ref = _composed_head(pixels, w_in, w_rec, w_out, b_out, cfg, use_periods,
+                         n_steps)
+    got = _run_head(lat, w_in, w_rec, w_out, b_out, cfg, alif, use_periods,
+                    spike_func, n_steps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    y = jnp.asarray(rng.integers(0, O, B), jnp.int32)
+
+    def nll(logits):
+        return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(B), y])
+
+    def loss_ref(w_in, w_rec, w_out, b_out):
+        return nll(_composed_head(pixels, w_in, w_rec, w_out, b_out, cfg,
+                                  use_periods, n_steps))
+
+    def loss_head(w_in, w_rec, w_out, b_out):
+        return nll(_run_head(lat, w_in, w_rec, w_out, b_out, cfg, alif,
+                             use_periods, spike_func, n_steps))
+
+    if rec:
+        g_ref = jax.grad(loss_ref, (0, 1, 2, 3))(w_in, w_rec, w_out, b_out)
+        g_got = jax.grad(loss_head, (0, 1, 2, 3))(w_in, w_rec, w_out, b_out)
+        names = ("w_in", "w_rec", "w_out", "b_out")
+    else:
+        g_ref = jax.grad(lambda a, c, d: loss_ref(a, None, c, d), (0, 1, 2))(
+            w_in, w_out, b_out
+        )
+        g_got = jax.grad(lambda a, c, d: loss_head(a, None, c, d), (0, 1, 2))(
+            w_in, w_out, b_out
+        )
+        names = ("w_in", "w_out", "b_out")
+    for pname, a, b in zip(names, g_got, g_ref):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-12)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-6,
+            err_msg=f"{name} {pname}",
+        )
+
+
+def test_fused_head_tie_routing_matches_first_argmax():
+    """A never-spiking hidden layer makes the readout trace constant per
+    class; torch.max (and temporal_max) route the whole cotangent to the
+    FIRST maximal step -- the head's strict-> running max must agree."""
+    rng = np.random.default_rng(5)
+    pixels = rng.random((B, F)).astype(np.float32)
+    lat = pixels_to_firing_periods(jnp.asarray(pixels), t_max=float(T))
+    w_in = jnp.zeros((F, H), jnp.float32)  # no input current -> no spikes
+    w_out = jnp.asarray(rng.standard_normal((H, O)).astype(np.float32))
+    b_out = jnp.asarray(rng.standard_normal((O,)).astype(np.float32))
+    cfg = LIFConfig(input_size=F, output_size=H)
+    y = jnp.asarray(rng.integers(0, O, B), jnp.int32)
+
+    def nll(logits):
+        return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(B), y])
+
+    def loss_ref(b_out):
+        return nll(_composed_head(pixels, w_in, None, w_out, b_out, cfg,
+                                  False, T))
+
+    def loss_head(b_out):
+        return nll(_run_head(lat, w_in, None, w_out, b_out, cfg, False,
+                             False, SpikeFuncType.FastSigmoid, T))
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_head)(b_out)),
+        np.asarray(jax.grad(loss_ref)(b_out)),
+        atol=1e-6,
+    )
+
+
+def test_fused_head_beta_zero_cotangent():
+    """Quirk Q3 through the head: a traced learnable beta gets exactly 0."""
+    rng = np.random.default_rng(7)
+    pixels = rng.random((B, F)).astype(np.float32)
+    lat = pixels_to_firing_periods(jnp.asarray(pixels), t_max=float(T))
+    w_in = jnp.asarray(0.5 * rng.standard_normal((F, H)).astype(np.float32))
+    w_out = jnp.asarray(rng.standard_normal((H, O)).astype(np.float32))
+    b_out = jnp.zeros((O,), jnp.float32)
+    cfg = ALIFConfig(input_size=F, output_size=H)
+
+    def loss(beta):
+        logits = fused_encode_ff_scan_head(
+            lat, w_in, beta, w_out, b_out, T, True, True, cfg.alpha, cfg.rho,
+            cfg.threshold, cfg.gamma, _KAPPA, SpikeFuncType.FastSigmoid, True,
+        )
+        return jnp.sum(logits)
+
+    assert float(jax.grad(loss)(jnp.asarray(1.6))) == 0.0
