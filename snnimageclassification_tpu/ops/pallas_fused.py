@@ -46,7 +46,10 @@ from .pallas_scan import (
     _use_delta_residual,
     _zprev_k,
 )
-from .surrogate import SpikeFuncType
+from .surrogate import (
+    SpikeFuncType,
+    surrogate_grad_from_delta as _surrogate_grad_from_delta,
+)
 
 __all__ = [
     "fused_encode_rec_scan",
@@ -117,23 +120,35 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
         w_rec_ref = None
     if head:
         w_out_ref, b_out_ref, *rest = rest
-    n_trace = 2 if (store_delta or not alif) else 3
-    out_refs = rest[:n_trace]
-    rest = rest[n_trace:]
-    if head:
+        # The head writes NO z trace (no next layer consumes it; the
+        # backward recomputes z = (delta >= 0), sign-exact even in bf16)
+        # and stores the delta residual for every cell/surrogate combo
+        # (+ the adaptation trace for Phi's dynamic-threshold scale).
+        n_trace = 1 if (store_delta or not alif) else 2
+        out_refs = rest[:n_trace]
+        rest = rest[n_trace:]
         logits_ref, tstar_ref, *rest = rest
         v_scr, a_scr, z_scr, vr_scr, m_scr, ts_scr = rest
+        z_ref = v_ref = None
+        if alif and not store_delta:
+            d_ref, a_ref = out_refs
+        else:
+            (d_ref,) = out_refs
+            a_ref = None
     else:
+        n_trace = 2 if (store_delta or not alif) else 3
+        out_refs = rest[:n_trace]
+        rest = rest[n_trace:]
         v_scr, a_scr, z_scr = rest
-    if alif and not store_delta:
-        z_ref, v_ref, a_ref = out_refs
-        d_ref = None
-    elif alif:
-        z_ref, d_ref = out_refs
-        v_ref = a_ref = None
-    else:
-        z_ref, v_ref = out_refs  # LIF stores v (surrogate needs it)
-        d_ref = a_ref = None
+        if alif and not store_delta:
+            z_ref, v_ref, a_ref = out_refs
+            d_ref = None
+        elif alif:
+            z_ref, d_ref = out_refs
+            v_ref = a_ref = None
+        else:
+            z_ref, v_ref = out_refs  # LIF stores v (surrogate needs it)
+            d_ref = a_ref = None
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -152,9 +167,9 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
     if head:
         w_out = w_out_ref[:]
         b_out = b_out_ref[:]
-        v_r, m_run, ts_run = vr_scr[:], m_scr[:], ts_scr[:]
-    trace_dtype = z_ref.dtype
+    trace_dtype = out_refs[0].dtype
     v_c, a_c, z_prev = v_scr[:], a_scr[:], z_scr[:]
+    zs = []
     for k in range(K):
         step = t * K + k
         spk = _spike_row(lat, step, n_steps, use_periods)
@@ -171,29 +186,43 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
             dyn_threshold = threshold
         delta = v_c - dyn_threshold
         z_prev = (delta >= 0).astype(v_c.dtype)
-        z_ref[k] = z_prev.astype(trace_dtype)
-        if d_ref is not None:
-            d_ref[k] = delta.astype(trace_dtype)
-        else:
-            v_ref[k] = v_c.astype(trace_dtype)
-            if alif:
-                a_ref[k] = a_c.astype(trace_dtype)
         if head:
-            # Readout leaky integrator consumes z at the SAME step
-            # (layer-then-time ordering, snn.py:209-214; dynamics
-            # spiking_layers.py:402-408) + running first-argmax
-            # max-over-time (snn.py:228 via torch.max tie semantics:
-            # strict > keeps the earliest maximal step).
-            r = jnp.dot(z_prev.astype(w_out.dtype), w_out,
-                        preferred_element_type=jnp.float32) + b_out
-            v_r = kappa * v_r + r
-            better = v_r > m_run
-            m_run = jnp.where(better, v_r, m_run)
-            ts_run = jnp.where(better, step, ts_run)
+            zs.append(z_prev)
+            d_ref[k] = delta.astype(trace_dtype)
+            if a_ref is not None:
+                a_ref[k] = a_c.astype(trace_dtype)
+        else:
+            z_ref[k] = z_prev.astype(trace_dtype)
+            if d_ref is not None:
+                d_ref[k] = delta.astype(trace_dtype)
+            else:
+                v_ref[k] = v_c.astype(trace_dtype)
+                if alif:
+                    a_ref[k] = a_c.astype(trace_dtype)
     v_scr[:] = v_c
     a_scr[:] = a_c
     z_scr[:] = z_prev
     if head:
+        # Readout leaky integrator + running first-argmax max-over-time
+        # (spiking_layers.py:402-408; snn.py:228 with torch.max tie
+        # semantics: strict > keeps the earliest maximal step).  The
+        # readout consumes z at the SAME step (layer-then-time ordering,
+        # snn.py:209-214), and z for the whole block is known once the
+        # dynamics loop finishes -- so the K readout matmuls batch into
+        # ONE MXU call OFF the serial chain; only the cheap kappa/max
+        # updates stay sequential.
+        bb_, h_ = zs[0].shape
+        z_blk = jnp.stack(zs).reshape(K * bb_, h_)
+        r_all = (
+            jnp.dot(z_blk.astype(w_out.dtype), w_out,
+                    preferred_element_type=jnp.float32) + b_out
+        ).reshape(K, bb_, -1)
+        v_r, m_run, ts_run = vr_scr[:], m_scr[:], ts_scr[:]
+        for k in range(K):
+            v_r = kappa * v_r + r_all[k]
+            better = v_r > m_run
+            m_run = jnp.where(better, v_r, m_run)
+            ts_run = jnp.where(better, t * K + k, ts_run)
         vr_scr[:] = v_r
         m_scr[:] = m_run
         ts_scr[:] = ts_run
@@ -248,7 +277,10 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
     has_w = w_rec is not None
     head = w_out is not None
     K = _time_block(T)
-    n_trace = 2 if (store_delta or not alif) else 3
+    if head:  # delta (+ a for Phi) only -- no z trace leaves the kernel
+        n_trace = 1 if (store_delta or not alif) else 2
+    else:
+        n_trace = 2 if (store_delta or not alif) else 3
     B, F = latencies.shape
     H, f_pad, h_pad, bb = _shapes(B, w_in, F, K, head)
     lat = (
@@ -338,8 +370,15 @@ def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
     else:
         gz_ref = refs[i]; i += 1
     res_refs = refs[i:i + n_res]; i += n_res
-    z_ref = refs[i]; i += 1
-    zb_ref = refs[i]; i += 1
+    if head:
+        # Boundary row of the DELTA residual: z is never stored by the
+        # head forward; z_{t-1} is recomputed as (delta_{t-1} >= 0),
+        # which is sign-exact even with bf16 trace storage.
+        resb_ref = refs[i]; i += 1
+        z_ref = zb_ref = None
+    else:
+        z_ref = refs[i]; i += 1
+        zb_ref = refs[i]; i += 1
     lat_ref = refs[i]; i += 1
     w_in_ref = refs[i]; i += 1
     w_rec_ref = refs[i] if has_w else None
@@ -377,69 +416,98 @@ def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
     lat = lat_ref[:]
     f32 = jnp.float32
     dcur_carry = dcur_scr[:]
+
     if head:
         g = g_ref[:].astype(f32)
         ts = ts_ref[:]
         w_out = w_out_ref[:]
+        # Readout cotangent chain, reverse time:
+        #   s(t) = kappa * s(t+1) + g_logits * [t == argmax step]
+        # (max-over-time routes the whole cotangent to the first maximal
+        # step, torch.max semantics; v_r(t) has unit gain in cur_r(t), so
+        # dcur_r(t) = s(t)).  The chain is independent of the membrane
+        # dynamics, so the whole block's s values -- and the K dz matmuls
+        # as ONE batched MXU call -- are computed OFF the serial chain.
         s_carry = s_scr[:]
-    for k in reversed(range(K)):  # reverse time inside the block
-        if store_delta or not alif:
-            if alif:
-                surr = _surrogate_grad(
-                    spike_func, res_refs[0][k].astype(f32), 0.0, gamma
-                )
-            else:
-                surr = _surrogate_grad(
-                    spike_func, res_refs[0][k].astype(f32), threshold, gamma
-                )
-        else:
-            v_k = res_refs[0][k].astype(f32)
-            a_k = res_refs[1][k].astype(f32)
-            surr = _surrogate_grad(
-                spike_func, v_k, threshold + beta_ref[0, 0] * a_k, gamma
-            )
-        if head:
-            # Readout cotangent chain, reverse time:
-            #   s(t) = kappa * s(t+1) + g_logits * [t == argmax step]
-            # (max-over-time routes the whole cotangent to the first
-            # maximal step, torch.max semantics; v_r(t) depends on
-            # cur_r(t) with unit gain, so dcur_r(t) = s(t).)
+        for k in reversed(range(K)):
             step = fwd_blk * K + k
-            s_k = kappa * s_carry + g * (step == ts).astype(f32)
-            s_blk[k] = s_k
-            s_carry = s_k
-            dz = jax.lax.dot_general(
-                s_k.astype(w_out.dtype), w_out,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            dz = gz_ref[k].astype(f32)
-        if has_w:
-            dz = dz + jax.lax.dot_general(
-                dcur_carry.astype(w_rec.dtype), w_rec,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        dv = dz * surr + alpha * dcur_carry
-        dcur = dv * (1.0 - _zprev_k(z_ref, zb_ref, k, is_first_block))
-        dcur_blk[k] = dcur
-        dcur_carry = dcur
-    dcur_scr[:] = dcur_carry
-    if head:
+            s_carry = kappa * s_carry + g * (step == ts).astype(f32)
+            s_blk[k] = s_carry
         s_scr[:] = s_carry
+        K_, bb_, O_ = s_blk.shape
+        H_ = res_refs[0].shape[2]
+        s_flat = s_blk[:].reshape(K_ * bb_, O_)
+        dz_all = jax.lax.dot_general(
+            s_flat.astype(w_out.dtype), w_out,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ).reshape(K_, bb_, H_)
+        # z recomputed from the delta residual (sign-exact in bf16).
+        z_res = (res_refs[0][:].astype(f32) >= 0).astype(f32)
+        zb_row = jnp.where(
+            is_first_block, 0.0, (resb_ref[0].astype(f32) >= 0).astype(f32)
+        )
+        thr_dyn = (
+            threshold + beta_ref[0, 0] * res_refs[1][:].astype(f32)
+            if (alif and not store_delta)
+            else threshold
+        )
+        surr_all = _surrogate_grad_from_delta(
+            spike_func, res_refs[0][:].astype(f32), thr_dyn, gamma
+        )
+        for k in reversed(range(K)):  # the serial chain: VPU only
+            dz = dz_all[k]
+            if has_w:
+                dz = dz + jax.lax.dot_general(
+                    dcur_carry.astype(w_rec.dtype), w_rec,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+            dv = dz * surr_all[k] + alpha * dcur_carry
+            z_prev_k = z_res[k - 1] if k > 0 else zb_row
+            dcur = dv * (1.0 - z_prev_k)
+            dcur_blk[k] = dcur
+            dcur_carry = dcur
+        dcur_scr[:] = dcur_carry
         # Readout weight/bias partials, off the serial chain:
         # g_W_out += sum_t z(t)^T s(t); g_b += sum_{t,batch} s(t).
-        K_, bb_, O_ = s_blk.shape
-        H_ = z_ref.shape[2]
-        s_flat = s_blk[:].reshape(K_ * bb_, O_)
         dwout_ref[0] += jax.lax.dot_general(
-            z_ref[:].reshape(K_ * bb_, H_).astype(w_out.dtype),
+            z_res.reshape(K_ * bb_, H_).astype(w_out.dtype),
             s_flat.astype(w_out.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=f32,
         )
         db_ref[0] += jnp.sum(s_flat, axis=0, keepdims=True)
+    else:
+        for k in reversed(range(K)):  # reverse time inside the block
+            if store_delta or not alif:
+                if alif:
+                    surr = _surrogate_grad(
+                        spike_func, res_refs[0][k].astype(f32), 0.0, gamma
+                    )
+                else:
+                    surr = _surrogate_grad(
+                        spike_func, res_refs[0][k].astype(f32), threshold,
+                        gamma
+                    )
+            else:
+                v_k = res_refs[0][k].astype(f32)
+                a_k = res_refs[1][k].astype(f32)
+                surr = _surrogate_grad(
+                    spike_func, v_k, threshold + beta_ref[0, 0] * a_k, gamma
+                )
+            dz = gz_ref[k].astype(f32)
+            if has_w:
+                dz = dz + jax.lax.dot_general(
+                    dcur_carry.astype(w_rec.dtype), w_rec,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            dv = dz * surr + alpha * dcur_carry
+            dcur = dv * (1.0 - _zprev_k(z_ref, zb_ref, k, is_first_block))
+            dcur_blk[k] = dcur
+            dcur_carry = dcur
+        dcur_scr[:] = dcur_carry
 
     # g_W_in partials: sum_t spikes(t)^T @ dcur_t, spike rows regenerated
     # in VMEM (VPU work, no HBM).  Off the serial chain.  The grid walks
@@ -457,13 +525,18 @@ def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
     if has_w:
         K_, bb_, H_ = dcur_blk.shape
         if K_ > 1:
+            zrows = (
+                z_res[: K_ - 1]
+                if head
+                else z_ref[: K_ - 1].astype(f32)
+            )
             dwr_ref[0] += jax.lax.dot_general(
-                z_ref[: K_ - 1].reshape((K_ - 1) * bb_, H_).astype(w_rec.dtype),
+                zrows.reshape((K_ - 1) * bb_, H_).astype(w_rec.dtype),
                 dcur_blk[1:].reshape((K_ - 1) * bb_, H_).astype(w_rec.dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        zb0 = _zprev_k(z_ref, zb_ref, 0, is_first_block)
+        zb0 = zb_row if head else _zprev_k(z_ref, zb_ref, 0, is_first_block)
         dwr_ref[0] += jax.lax.dot_general(
             zb0.astype(w_rec.dtype), dcur_blk[0].astype(w_rec.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -479,7 +552,8 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
     has_w = w_rec is not None
     head = w_out is not None
     K = _time_block(T)
-    B, H = z.shape[1], z.shape[2]
+    ref3d = residuals[0] if head else z
+    B, H = ref3d.shape[1], ref3d.shape[2]
     F = w_in.shape[0]
     f_pad = lat.shape[1]
     # Same batch tile as the forward (lat is padded to a multiple of it).
@@ -493,7 +567,12 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
             x = jnp.pad(x, ((0, 0), (0, pb), (0, ph)))
         return x
 
-    operands = [padbh(x) for x in (*((g_z,) if not head else ()), *residuals, z)]
+    # head: the z trace is never materialized -- operands are the
+    # residual traces only, and the boundary companion row comes from
+    # the delta residual instead of z.
+    parts = (*(() if head else (g_z,)), *residuals, *(() if head else (z,)))
+    operands = [padbh(x) for x in parts]
+    boundary_op = operands[0] if head else operands[-1]
     nb = T // K
     grid = (Bp // bb, nb)
     rev = pl.BlockSpec((K, bb, h_pad), lambda b, t, n=nb: (n - 1 - t, b, 0),
@@ -528,7 +607,7 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
         + ([w_rec_spec] if has_w else []) + [beta_spec]
     )
     args = (
-        operands + [operands[-1], lat, _pad2(w_in, f_pad, h_pad)]
+        operands + [boundary_op, lat, _pad2(w_in, f_pad, h_pad)]
         + ([_pad2(w_rec, h_pad, h_pad)] if has_w else []) + [beta_s]
     )
     out_specs = [dwin_spec] + ([dwr_spec] if has_w else [])
@@ -783,9 +862,8 @@ def _fused_rec_head_fwd(latencies, w_in, w_rec, beta, w_out, b_out, n_steps,
 def _fused_rec_head_bwd(n_steps, use_periods, alif, alpha, rho, threshold,
                         gamma, kappa, spike_func, interpret, res, g_logits):
     traces, lat, lat_shape, w_in, w_rec, beta, w_out, tstar = res
-    z, *residuals = traces
     g_w_in, g_w_rec, g_w_out, g_b = _fused_bwd_call(
-        None, tuple(residuals), z, lat, w_in, w_rec, beta, T=n_steps,
+        None, tuple(traces), None, lat, w_in, w_rec, beta, T=n_steps,
         use_periods=use_periods, alif=alif, alpha=alpha, rho=rho,
         threshold=threshold, gamma=gamma, spike_func=spike_func,
         store_delta=alif and _use_delta_residual(spike_func),
@@ -846,9 +924,8 @@ def _fused_ff_head_fwd(latencies, w_in, beta, w_out, b_out, n_steps,
 def _fused_ff_head_bwd(n_steps, use_periods, alif, alpha, rho, threshold,
                        gamma, kappa, spike_func, interpret, res, g_logits):
     traces, lat, lat_shape, w_in, beta, w_out, tstar = res
-    z, *residuals = traces
     g_w_in, _, g_w_out, g_b = _fused_bwd_call(
-        None, tuple(residuals), z, lat, w_in, None, beta, T=n_steps,
+        None, tuple(traces), None, lat, w_in, None, beta, T=n_steps,
         use_periods=use_periods, alif=alif, alpha=alpha, rho=rho,
         threshold=threshold, gamma=gamma, spike_func=spike_func,
         store_delta=alif and _use_delta_residual(spike_func),

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 __all__ = [
     "SpikeFuncType",
     "surrogate_grad",
+    "surrogate_grad_from_delta",
     "heaviside_sigmoid",
     "heaviside_phi",
     "PHI_EPSILON",
@@ -73,6 +74,28 @@ def surrogate_grad(spike_func: "SpikeFuncType", v, threshold, gamma):
         return scale * jnp.maximum(
             jnp.zeros_like(v),
             1.0 - jnp.abs((v - threshold) / (threshold + PHI_EPSILON)),
+        )
+    raise ValueError(f"No closed-form surrogate gradient for {spike_func}")
+
+
+def surrogate_grad_from_delta(spike_func: "SpikeFuncType", delta, threshold,
+                              gamma):
+    """:func:`surrogate_grad` parameterized by ``delta = v - threshold``.
+
+    Both closed forms depend on v only through the difference, so kernels
+    that store the delta residual (sign-exact for the spike recompute
+    ``z = (delta >= 0)`` even in bf16) evaluate the identical expression:
+    FastSigmoid ignores ``threshold``; Phi still needs it for its scale
+    (for ALIF pass the *dynamic* threshold ``thr + beta * a``).
+    """
+    if spike_func == SpikeFuncType.FastSigmoid:
+        denom = gamma * jnp.abs(delta) + 1.0
+        return 1.0 / (denom * denom)
+    if spike_func == SpikeFuncType.Phi:
+        scale = gamma / (threshold + PHI_EPSILON)
+        return scale * jnp.maximum(
+            jnp.zeros_like(delta),
+            1.0 - jnp.abs(delta / (threshold + PHI_EPSILON)),
         )
     raise ValueError(f"No closed-form surrogate gradient for {spike_func}")
 
