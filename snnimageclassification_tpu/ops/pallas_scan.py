@@ -77,7 +77,10 @@ def _fit_block_b(bb: int, K: int, bh: int, n_blocks: int, itemsize: int = 4):
     budget: ``n_blocks`` distinct (K, bb, bh) HBM blocks, each
     double-buffered."""
     while bb > _SUBLANE and 2 * n_blocks * K * bb * bh * itemsize > _VMEM_BUDGET:
-        bb //= 2
+        # Keep the tile a sublane multiple: halving e.g. 200 -> 100 would
+        # violate the TPU block-shape rule (second-minor % 8 == 0), which
+        # bites for non-power-of-two batches (remainder val/test batches).
+        bb = (bb // 2) // _SUBLANE * _SUBLANE
     return max(_SUBLANE, bb)
 
 

@@ -174,3 +174,24 @@ def test_alif_bf16_traces():
     assert g16.dtype == jnp.float32  # currents cotangent stays f32
     rel = float(jnp.linalg.norm(g16 - g32) / jnp.linalg.norm(g32))
     assert rel < 0.05, rel
+
+
+def test_fit_block_b_stays_sublane_aligned():
+    """Regression: halving the batch tile under VMEM pressure must keep it
+    a multiple of the 8-row sublane (200 -> 96, not 100).  Non-power-of-two
+    batches (remainder val/test batches, e.g. sklearn-digits splits) hit
+    this on real TPUs; interpret mode doesn't enforce the tiling rule."""
+    from snnimageclassification_tpu.ops import pallas_fused, pallas_scan
+
+    for B in (198, 200, 359, 1222, 8192):
+        for K in (10, 16):
+            for n_blocks in (4, 7, 9):
+                bb0 = min(pallas_scan._MAX_BLOCK_B,
+                          -(-B // pallas_scan._SUBLANE) * pallas_scan._SUBLANE)
+                bb = pallas_scan._fit_block_b(bb0, K, 128, n_blocks)
+                assert bb % pallas_scan._SUBLANE == 0 and bb >= 8, (B, K, n_blocks, bb)
+    # The fused-kernel shape helper too (larger _MAX_BLOCK_B, head budget).
+    w_in = jnp.zeros((64, 128), jnp.float32)
+    for B in (198, 200, 359):
+        _, _, _, bb = pallas_fused._shapes(B, w_in, 64, 10, head=True)
+        assert bb % 8 == 0 and bb >= 8, (B, bb)
