@@ -46,10 +46,18 @@ DATA_DIR_ENV = "SNN_TPU_DATA_DIR"
 
 
 class DatasetId(enum.Enum):
-    """Mirror of the reference's DatasetId enum (datasets.py:11-13)."""
+    """Mirror of the reference's DatasetId enum (datasets.py:11-13).
+
+    DIGITS is an extension beyond the reference: the scikit-learn bundled
+    8x8 handwritten-digits dataset (1797 samples, UCI optical digits).  It
+    ships inside the sklearn package, so it is REAL image data that loads
+    in zero-egress environments -- used to demonstrate real-data learning
+    when no MNIST/FMNIST files exist on disk.
+    """
 
     MNIST = enum.auto()
     FASHION_MNIST = enum.auto()
+    DIGITS = enum.auto()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -214,6 +222,28 @@ def _conv2d_same(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
     return out
 
 
+def _load_digits_raw() -> Dict[str, np.ndarray]:
+    """scikit-learn's bundled 8x8 digits, split 80/20 deterministically.
+
+    Pixel values are 0..16; rescaled to 0..255 uint8 so the shared
+    ``flat`` normalization (/255) puts them in [0, 1] like MNIST.
+    """
+    from sklearn.datasets import load_digits
+
+    d = load_digits()
+    x = (d.images.astype(np.float32) * (255.0 / 16.0)).astype(np.uint8)
+    y = d.target.astype(np.int32)
+    # Deterministic shuffle so the class order of the bundled file doesn't
+    # leak into the train/test split.
+    perm = np.random.default_rng(0).permutation(x.shape[0])
+    x, y = x[perm], y[perm]
+    n_test = x.shape[0] // 5
+    return {
+        "train_images": x[n_test:], "train_labels": y[n_test:],
+        "test_images": x[:n_test], "test_labels": y[:n_test],
+    }
+
+
 def load_raw(
     dataset_id: DatasetId,
     data_dir: Optional[str] = None,
@@ -230,6 +260,10 @@ def load_raw(
     reference would have populated, datasets.py:129-135); falls back to a
     deterministic synthetic dataset when ``allow_synthetic``.
     """
+    if dataset_id is DatasetId.DIGITS:
+        raw = _load_digits_raw()
+        source = "sklearn:load_digits"
+        return _finalize_raw(raw, source)
     raw = None
     source = None
     for root in _candidate_roots(data_dir):
@@ -272,6 +306,10 @@ def load_raw(
         raw = _make_synthetic(dataset_id, synthetic_train, synthetic_test)
         source = "synthetic"
 
+    return _finalize_raw(raw, source)
+
+
+def _finalize_raw(raw: Dict[str, np.ndarray], source: str) -> Dict[str, np.ndarray]:
     def flat(x):
         x = np.asarray(x)
         return (x.reshape(x.shape[0], -1).astype(np.float32)) / 255.0

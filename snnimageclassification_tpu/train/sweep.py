@@ -107,7 +107,7 @@ def train_with_params(
             seeds=seeds, mesh=mesh, verbose=verbose,
         )
     network = SNN(
-        inputs_size=28 * 28,
+        inputs_size=int(dataloaders["train"].x.shape[1]),
         output_size=10,
         n_hidden_neurons=params["n_hidden_neurons"],
         int_time_steps=params["n_steps"],
@@ -158,7 +158,7 @@ def _train_ensemble_with_params(
     from ..parallel.ensemble import EnsembleTrainer
 
     cfg = SNNConfig(
-        input_size=28 * 28,
+        input_size=int(dataloaders["train"].x.shape[1]),
         output_size=10,
         n_hidden_neurons=params["n_hidden_neurons"],
         int_time_steps=params["n_steps"],

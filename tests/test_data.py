@@ -104,6 +104,19 @@ class TestLoadRaw:
         with pytest.raises(FileNotFoundError):
             load_raw(DatasetId.MNIST, str(tmp_path / "nope"), allow_synthetic=False)
 
+    def test_digits_is_real_offline_data(self, tmp_path):
+        pytest.importorskip("sklearn")
+        raw = load_raw(DatasetId.DIGITS, str(tmp_path / "nope"),
+                       allow_synthetic=False)
+        assert raw["source"] == "sklearn:load_digits"
+        assert raw["x_train"].shape == (1797 - 359, 64)
+        assert raw["x_test"].shape == (359, 64)
+        assert 0.0 <= raw["x_train"].min() and raw["x_train"].max() <= 1.0
+        assert set(np.unique(raw["y_test"])) == set(range(10))
+        # deterministic split
+        raw2 = load_raw(DatasetId.DIGITS, allow_synthetic=False)
+        np.testing.assert_array_equal(raw["y_test"], raw2["y_test"])
+
 
 class TestArrayDataLoader:
     def test_batching_and_len(self):
