@@ -14,7 +14,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["DeviceDataCache"]
+__all__ = ["DeviceDataCache", "pad_rows"]
+
+
+def pad_rows(idx: np.ndarray, target: int):
+    """Pad a 1-D index array up to ``target`` rows; returns (padded, w).
+
+    Padding rows index row 0 (any valid row works) and carry weight 0, so
+    weighted losses/metrics stay exact while every batch of an epoch
+    shares one compiled shape."""
+    n = idx.shape[0]
+    w = np.ones((n,), np.float32)
+    if target <= n:
+        return idx, w
+    return np.pad(idx, (0, target - n)), np.pad(w, (0, target - n))
 
 
 class DeviceDataCache:
@@ -51,22 +64,28 @@ class DeviceDataCache:
     def batches(self, loader, mesh=None):
         """One epoch of (x, y, w) device batches.
 
-        Single-device: plain on-device gathers, all-ones weights.  Under a
-        ``mesh``: the dataset is HBM-resident *replicated*, the shuffled
-        index array is padded to the mesh size (padding rows carry weight
-        0), the gather runs on device, and the result is resharded to the
-        batch axis -- a replicated->sharded device_put is a local slice,
-        no cross-chip traffic.  Host->device work per batch stays a ~KB
-        index transfer either way.
+        Single-device: plain on-device gathers.  Under a ``mesh``: the
+        dataset is HBM-resident *replicated*, the gather runs on device,
+        and the result is resharded to the batch axis -- a
+        replicated->sharded device_put is a local slice, no cross-chip
+        traffic.  Host->device work per batch stays a ~KB index transfer
+        either way.
+
+        Every batch is padded up to ``loader.batch_size`` rows (and then
+        to the mesh size) with weight-0 rows, so one compiled step shape
+        serves the whole epoch -- a remainder batch would otherwise
+        trigger a full recompile of the T-step kernels, which costs
+        minutes on relay-attached TPUs and dwarfs the wasted rows.
         """
         x_dev, y_dev = self.arrays(loader, mesh)
         if mesh is None:
             for idx in loader.iter_indices():
-                idx_d = jnp.asarray(idx)
+                idx_p, w = pad_rows(np.asarray(idx), loader.batch_size)
+                idx_d = jnp.asarray(idx_p)
                 yield (
                     jnp.take(x_dev, idx_d, axis=0),
                     jnp.take(y_dev, idx_d, axis=0),
-                    jnp.ones((idx.shape[0],), jnp.float32),
+                    jnp.asarray(w),
                 )
             return
 
@@ -75,7 +94,9 @@ class DeviceDataCache:
         bsh = batch_sharded(mesh)
         repl = replicated(mesh)
         for idx in loader.iter_indices():
-            idx_p, w = pad_to_multiple(np.asarray(idx), mesh.size)
+            idx_p, w = pad_rows(np.asarray(idx), loader.batch_size)
+            idx_p, w2 = pad_to_multiple(idx_p, mesh.size)
+            w = np.pad(w, (0, w2.shape[0] - w.shape[0]))
             idx_d = jax.device_put(jnp.asarray(idx_p), repl)
             yield (
                 jax.device_put(jnp.take(x_dev, idx_d, axis=0), bsh),

@@ -145,13 +145,18 @@ class EnsembleTrainer:
             self._steps[enc] = self._build(enc)
         return self._steps[enc]
 
-    def _prep(self, x, y):
+    def _prep(self, x, y, n_real: int = None):
+        """Shard (and mesh-pad) one batch; rows past ``n_real`` get weight 0."""
+        x, y = np.asarray(x), np.asarray(y)
+        n_real = x.shape[0] if n_real is None else n_real
         if self.mesh is None:
-            return x, y, np.ones((x.shape[0],), np.float32)
+            w = (np.arange(x.shape[0]) < n_real).astype(np.float32)
+            return x, y, w
         from .mesh import pad_to_multiple, shard_batch
 
-        x, w = pad_to_multiple(np.asarray(x), self.mesh.size)
-        y, _ = pad_to_multiple(np.asarray(y), self.mesh.size)
+        x, _ = pad_to_multiple(x, self.mesh.size)
+        y, _ = pad_to_multiple(y, self.mesh.size)
+        w = (np.arange(x.shape[0]) < n_real).astype(np.float32)
         return shard_batch(self.mesh, x, y, w)
 
     def _batches(self, loader: ArrayDataLoader):
@@ -159,7 +164,17 @@ class EnsembleTrainer:
             yield from self.device_data.batches(loader, self.mesh)
             return
         for x, y in loader:
-            yield self._prep(x, y)
+            x, y = np.asarray(x), np.asarray(y)
+            # One compiled shape per epoch: pad remainder batches to the
+            # nominal batch size with weight-0 rows (exact; see
+            # data/device_cache.pad_rows for the device-resident path).
+            if x.shape[0] < loader.batch_size:
+                pad = loader.batch_size - x.shape[0]
+                xp = np.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+                yp = np.pad(y, (0, pad))
+                yield self._prep(xp, yp, n_real=x.shape[0])
+            else:
+                yield self._prep(x, y)
 
     def train_epoch(self, loader: ArrayDataLoader) -> np.ndarray:
         """One epoch over the loader; returns mean loss per seed."""

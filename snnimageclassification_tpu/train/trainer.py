@@ -237,15 +237,28 @@ class Trainer:
             eval_step = jax.jit(eval_step_fn)
         return train_step, eval_step
 
-    def _prep_batch(self, x: np.ndarray, y: np.ndarray):
-        """Pad to the mesh size and shard, or pass through single-device."""
+    def _prep_batch(self, x: np.ndarray, y: np.ndarray, target: int = 0):
+        """Pad to ``target`` rows (the loader's nominal batch size) and to
+        the mesh size, then shard.  Weight-0 padding keeps losses/metrics
+        exact while giving every batch of an epoch one compiled shape --
+        remainder batches would otherwise recompile the T-step kernels
+        (minutes on relay-attached TPUs)."""
+        x, y = np.asarray(x), np.asarray(y)
+        n = x.shape[0]
+        w = np.ones((n,), np.float32)
+        if target > n:
+            pad = target - n
+            x = np.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+            y = np.pad(y, (0, pad))
+            w = np.pad(w, (0, pad))
         if self.mesh is None:
-            return x, y, np.ones((x.shape[0],), np.float32)
+            return x, y, w
         from ..parallel.mesh import pad_to_multiple, shard_batch
 
         n_dev = self.mesh.size
-        x, w = pad_to_multiple(np.asarray(x), n_dev)
-        y, _ = pad_to_multiple(np.asarray(y), n_dev)
+        x, w2 = pad_to_multiple(x, n_dev)
+        y, _ = pad_to_multiple(y, n_dev)
+        w = np.pad(w, (0, w2.shape[0] - w.shape[0]))
         return shard_batch(self.mesh, x, y, w)
 
     def _steps_for(self, enc: EncodeConfig):
@@ -390,7 +403,7 @@ class Trainer:
         return prefetch_to_device(
             iter(loader), size=2,
             transfer=lambda b: jax.tree.map(
-                jax.device_put, self._prep_batch(*b)
+                jax.device_put, self._prep_batch(*b, target=loader.batch_size)
             ),
         )
 

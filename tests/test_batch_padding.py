@@ -1,0 +1,96 @@
+"""Remainder batches are padded to one compiled shape per epoch.
+
+A remainder batch (dataset size not divisible by batch_size) used to
+yield a second jit shape, forcing a full recompile of the T-step kernels
+-- minutes of relay-attached TPU compile time for a handful of rows.
+Every batch path now pads up to the loader's nominal batch size with
+weight-0 rows; weighted losses/metrics keep results exact
+(train/trainer.py nll_loss, parallel/ensemble.py eval masking)."""
+import numpy as np
+import pytest
+
+from snnimageclassification_tpu.data.datasets import ArrayDataLoader, EncodeConfig
+from snnimageclassification_tpu.data.device_cache import DeviceDataCache, pad_rows
+
+
+def _loader(n=10, batch=4, f=6, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.random((n, f)).astype(np.float32)
+    y = rng.integers(0, 3, n).astype(np.int32)
+    return ArrayDataLoader(x, y, batch, encode_config=EncodeConfig(n_steps=4))
+
+
+def test_pad_rows():
+    idx = np.array([7, 8, 9])
+    p, w = pad_rows(idx, 5)
+    np.testing.assert_array_equal(p, [7, 8, 9, 0, 0])
+    np.testing.assert_array_equal(w, [1, 1, 1, 0, 0])
+    p, w = pad_rows(idx, 3)
+    np.testing.assert_array_equal(p, idx)
+    np.testing.assert_array_equal(w, [1, 1, 1])
+
+
+def test_device_cache_single_device_uniform_shapes():
+    loader = _loader(n=10, batch=4)
+    cache = DeviceDataCache()
+    batches = list(cache.batches(loader))
+    assert [b[0].shape[0] for b in batches] == [4, 4, 4]
+    ws = np.concatenate([np.asarray(b[2]) for b in batches])
+    assert ws.sum() == 10  # exactly the real rows carry weight
+    # weighted rows reproduce the dataset exactly
+    xs = np.concatenate([np.asarray(b[0])[np.asarray(b[2]) > 0] for b in batches])
+    np.testing.assert_allclose(np.sort(xs, axis=0), np.sort(loader.x, axis=0))
+
+
+def test_device_cache_mesh_uniform_shapes():
+    import jax
+
+    from snnimageclassification_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the 8-virtual-device conftest")
+    mesh = make_mesh()
+    loader = _loader(n=10, batch=4)
+    batches = list(DeviceDataCache().batches(loader, mesh))
+    shapes = {b[0].shape[0] for b in batches}
+    assert len(shapes) == 1  # one compiled shape for the whole epoch
+    (bs,) = shapes
+    assert bs % mesh.size == 0 and bs >= 4
+    total_w = sum(float(np.asarray(b[2]).sum()) for b in batches)
+    assert total_w == 10
+
+
+def test_trainer_prep_batch_pads_to_target():
+    from snnimageclassification_tpu.models.config import SNNConfig
+    from snnimageclassification_tpu.train.trainer import Trainer
+
+    cfg = SNNConfig(input_size=6, output_size=3, n_hidden_neurons=8,
+                    int_time_steps=4)
+    tr = Trainer(cfg)
+    x = np.ones((3, 6), np.float32)
+    y = np.arange(3, dtype=np.int32)
+    xb, yb, wb = tr._prep_batch(x, y, target=8)
+    assert xb.shape == (8, 6) and yb.shape == (8,) and wb.shape == (8,)
+    np.testing.assert_array_equal(wb, [1, 1, 1, 0, 0, 0, 0, 0])
+
+
+def test_accuracy_exact_with_remainder_batches():
+    """compute_classification_accuracy over a remainder-padded loader
+    equals a direct argmax over the raw split."""
+    import jax.numpy as jnp
+
+    from snnimageclassification_tpu.models import snn as model_lib
+    from snnimageclassification_tpu.models.config import SNNConfig
+    from snnimageclassification_tpu.train.trainer import Trainer
+
+    cfg = SNNConfig(input_size=6, output_size=3, n_hidden_neurons=8,
+                    int_time_steps=4)
+    loader = _loader(n=10, batch=4)
+    tr = Trainer(cfg)
+    acc = tr.compute_classification_accuracy(loader)
+    from snnimageclassification_tpu.train.trainer import _encode_on_device
+
+    inputs = _encode_on_device(jnp.asarray(loader.x), loader.encode_config)
+    logits = model_lib.forward_logits(cfg, tr.params, inputs)
+    expect = float(np.mean(np.argmax(np.asarray(logits), -1) == loader.y))
+    assert acc == pytest.approx(expect)
