@@ -144,6 +144,47 @@ def main():
                 ok &= check(f"{name} head grad {jax.tree_util.keystr(path)}",
                             ghh, gx, atol=1e-4)
 
+    # Fused encode+Izhikevich layer-0 (ops/pallas_fused_izh.py): the
+    # model routes Izhikevich first layers through apply_pixels'
+    # layer0_fused path; compare against encode-then-apply like above.
+    for rec in (True, False):
+        for use_periods, n_steps in ((False, 12), (True, 24)):
+            cfg = SNNConfig(
+                input_size=784, output_size=10, n_hidden_neurons=128,
+                int_time_steps=n_steps, hidden_layer_type="Izhikevich",
+                use_recurrent_connection=rec,
+            )
+            params = M.init(cfg, jax.random.PRNGKey(2))
+            enc = EncodeConfig(n_steps=n_steps, use_periods=use_periods)
+            # Izhikevich needs ~1e6-scale currents to spike; scale W_in.
+            params = dict(params)
+            params["input"] = dict(
+                params["input"], w_in=params["input"]["w_in"] * 3e6
+            )
+
+            def loss_fused(p, cfg=cfg, enc=enc):
+                trace, _ = M.apply_pixels(cfg, p, x, enc)
+                logits = M.prediction_logits(cfg, trace)
+                return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(64), y])
+
+            def loss_ref(p, cfg=cfg, enc=enc):
+                spikes = encode_spikes(x, n_steps=enc.n_steps,
+                                       use_periods=enc.use_periods)
+                logits = M.forward_logits(cfg, p, spikes)
+                return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(64), y])
+
+            name = f"fused_izh rec={rec} periods={use_periods} T={n_steps}"
+            ok &= check(f"{name} loss", jax.jit(loss_fused)(params),
+                        jax.jit(loss_ref)(params), atol=1e-5)
+            gf = jax.jit(jax.grad(loss_fused))(params)
+            gr = jax.jit(jax.grad(loss_ref))(params)
+            for path, gp in jax.tree_util.tree_leaves_with_path(gf):
+                gx = gr
+                for kk in path:
+                    gx = gx[kk.key]
+                ok &= check(f"{name} grad {jax.tree_util.keystr(path)}",
+                            gp, gx, atol=1e-4)
+
     print("PARITY", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -306,7 +306,7 @@ def apply_pixels(
     fallback composes ``encode_spikes`` with :func:`apply` -- identical
     semantics.
     """
-    from ..ops.cells import ALIFConfig, LIFConfig
+    from ..ops.cells import ALIFConfig, IzhikevichConfig, LIFConfig
     from ..ops.encoding import encode_spikes, pixels_to_firing_periods
     from ..ops.pallas_encode import encode_matmul_supported, encoded_input_matmul
     from ..ops.pallas_fused import (
@@ -314,6 +314,7 @@ def apply_pixels(
         fused_encode_rec_scan,
         fused_supported,
     )
+    from ..ops.pallas_fused_izh import fused_encode_izh_scan, fused_izh_supported
 
     if not enc.as_timeseries:
         return apply(cfg, params, pixels, return_hidden=return_hidden)
@@ -331,9 +332,19 @@ def apply_pixels(
     layer0_fused_ok = (
         encode_on_device_ok
         and not return_hidden
-        and type(first_cfg) in (LIFConfig, ALIFConfig)
-        and fused_supported(
-            cfg.int_time_steps, cfg.input_size, first_cfg.output_size
+        and (
+            (
+                type(first_cfg) in (LIFConfig, ALIFConfig)
+                and fused_supported(
+                    cfg.int_time_steps, cfg.input_size, first_cfg.output_size
+                )
+            )
+            or (
+                type(first_cfg) is IzhikevichConfig
+                and fused_izh_supported(
+                    cfg.int_time_steps, cfg.input_size, first_cfg.output_size
+                )
+            )
         )
     )
     if encode_on_device_ok and (
@@ -352,6 +363,22 @@ def apply_pixels(
         w0 = params[first_name]["w_in"].astype(jnp.dtype(cfg.matmul_dtype_eff))
         if layer0_fused_ok:
             lparams0 = params[first_name]
+            w_rec_eff = masked_recurrent(first_cfg, lparams0)
+            if type(first_cfg) is IzhikevichConfig:
+                from ..ops.pallas_izh import izh_kernel_params
+
+                if w_rec_eff is not None:
+                    w_rec_eff = w_rec_eff.astype(w0.dtype)
+                z0 = fused_encode_izh_scan(
+                    latencies, w0, w_rec_eff, izh_kernel_params(first_cfg),
+                    cfg.int_time_steps, enc.use_periods, first_cfg.gamma,
+                    first_cfg.spike_func,
+                )
+                return apply(
+                    cfg, params, None,
+                    return_hidden=return_hidden,
+                    first_layer_output=z0,
+                )
             alif = type(first_cfg) is ALIFConfig
             beta = (
                 (lparams0["beta"] if first_cfg.learn_beta else first_cfg.beta)
@@ -359,7 +386,6 @@ def apply_pixels(
                 else 0.0
             )
             rho = first_cfg.rho if alif else 0.0
-            w_rec_eff = masked_recurrent(first_cfg, lparams0)
             common = (
                 cfg.int_time_steps, enc.use_periods, alif, first_cfg.alpha,
                 rho, first_cfg.threshold, first_cfg.gamma,

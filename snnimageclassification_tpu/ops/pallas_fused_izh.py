@@ -1,0 +1,341 @@
+"""Pallas TPU kernel: spike encoding + input matmul + Izhikevich scan
+fused into ONE kernel (forward and backward).
+
+Izhikevich counterpart of ops/pallas_fused.py: layer-0 Izhikevich models
+previously ran encode (ops/pallas_encode.py) and dynamics
+(ops/pallas_izh.py) as two kernels with the (T, B, H) input-currents
+tensor -- and its cotangent -- round-tripping through HBM between them.
+Here the spike rows are regenerated in VMEM from the integer latency tile
+in both directions and the currents never exist in HBM; g_W_in
+accumulates on-chip against the regenerated rows.
+
+Dynamics are identical to ops/pallas_izh.py (reference
+spiking_layers.py:337-353; v initialized at v_rest per :317-322, reset
+and v_peak threshold gradient-dead); encoding identical to
+ops/encoding.py (reference datasets.py:42-86).  Residual traces: v and z
+(u is never needed -- every u partial is state-independent, see the
+backward derivation in ops/pallas_izh.py's module docstring).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_fused import (
+    _pad2,
+    _pad_lat,
+    _shapes,
+    _spike_row,
+    fused_supported,
+)
+from .pallas_scan import _surrogate_grad, _time_block, _zprev_k
+from .surrogate import SpikeFuncType
+
+__all__ = ["fused_encode_izh_scan", "fused_izh_supported"]
+
+
+def fused_izh_supported(n_steps: int, n_features: int, hidden: int) -> bool:
+    """Same VMEM footprint as the LIF/ALIF fused kernels."""
+    return fused_supported(n_steps, n_features, hidden)
+
+
+def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
+                    v_th, k, a, b, c, d, v_peak):
+    if has_w:
+        lat_ref, w_in_ref, w_rec_ref, z_ref, v_ref, v_scr, u_scr, z_scr = refs
+    else:
+        lat_ref, w_in_ref, z_ref, v_ref, v_scr, u_scr, z_scr = refs
+        w_rec_ref = None
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        v_scr[:] = jnp.full_like(v_scr, v_rest)  # spiking_layers.py:317-322
+        u_scr[:] = jnp.zeros_like(u_scr)
+        z_scr[:] = jnp.zeros_like(z_scr)
+
+    lat = lat_ref[:]
+    w_in = w_in_ref[:]
+    w_rec = w_rec_ref[:] if has_w else None
+    trace_dtype = z_ref.dtype
+    v_prev, u_prev, z_prev = v_scr[:], u_scr[:], z_scr[:]
+    for kk in range(K):
+        step = t * K + kk
+        spk = _spike_row(lat, step, n_steps, use_periods)
+        cur = jnp.dot(spk.astype(w_in.dtype), w_in,
+                      preferred_element_type=jnp.float32)
+        if has_w:
+            cur = cur + jnp.dot(z_prev.astype(w_rec.dtype), w_rec,
+                                preferred_element_type=jnp.float32)
+        dvdt = k * (v_prev - v_rest) * (v_prev - v_th) - u_prev + cur
+        v = (v_prev + dt * dvdt / C) * (1.0 - z_prev) + c * z_prev
+        dudt = a * (b * (v_prev - v_rest) - u_prev)
+        u = (u_prev + dt * dudt) + d * z_prev
+        z = (v >= v_peak).astype(v.dtype)
+        z_ref[kk] = z.astype(trace_dtype)
+        v_ref[kk] = v.astype(trace_dtype)
+        v_prev, u_prev, z_prev = v, u, z
+    v_scr[:] = v_prev
+    u_scr[:] = u_prev
+    z_scr[:] = z_prev
+
+
+def _izh_bwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
+                    v_th, k, a, b, v_peak, gamma, spike_func):
+    if has_w:
+        (gz_ref, v_ref, z_ref, zb_ref, lat_ref, w_in_ref, w_rec_ref,
+         dwin_ref, dwr_ref, dv_scr, du_scr, gi_blk) = refs
+    else:
+        (gz_ref, v_ref, z_ref, zb_ref, lat_ref, w_in_ref,
+         dwin_ref, dv_scr, du_scr, gi_blk) = refs
+        w_rec_ref = dwr_ref = None
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+        du_scr[:] = jnp.zeros_like(du_scr)
+        dwin_ref[0] = jnp.zeros_like(dwin_ref[0])
+        if has_w:
+            dwr_ref[0] = jnp.zeros_like(dwr_ref[0])
+
+    is_first_block = t == pl.num_programs(1) - 1
+    fwd_blk = pl.num_programs(1) - 1 - t  # forward block this grid step
+    lat = lat_ref[:]
+    w_in = w_in_ref[:]
+    w_rec = w_rec_ref[:] if has_w else None
+    f32 = jnp.float32
+    dv_next, du_next = dv_scr[:], du_scr[:]
+    for kk in reversed(range(K)):  # reverse time inside the block
+        v_t = v_ref[kk].astype(f32)
+        z_t = z_ref[kk].astype(f32)
+        z_prev = _zprev_k(z_ref, zb_ref, kk, is_first_block).astype(f32)
+        not_reset_next = 1.0 - z_t  # the (1-r) factor inside step t+1
+        dcur_next = dv_next * (dt / C) * not_reset_next
+        dz = gz_ref[kk].astype(f32)
+        if has_w:
+            dz = dz + jax.lax.dot_general(
+                dcur_next.astype(w_rec.dtype), w_rec,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        surr = _surrogate_grad(spike_func, v_t, v_peak, gamma)
+        dv = (
+            dz * surr
+            + dv_next * (1.0 + (dt * k / C) * (2.0 * v_t - v_rest - v_th))
+            * not_reset_next
+            + du_next * (dt * a * b)
+        )
+        du = -dcur_next + du_next * (1.0 - dt * a)
+        gi_blk[kk] = dv * (dt / C) * (1.0 - z_prev)
+        dv_next, du_next = dv, du
+    dv_scr[:] = dv_next
+    du_scr[:] = du_next
+
+    # g_W_in partials against regenerated spike rows (forward step index
+    # of the gi rows they pair with -- the grid walks blocks in reverse).
+    for kk in range(K):
+        step = fwd_blk * K + kk
+        spk = _spike_row(lat, step, n_steps, use_periods)
+        dwin_ref[0] += jax.lax.dot_general(
+            spk.astype(w_in.dtype), gi_blk[kk].astype(w_in.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+    if has_w:
+        K_, bb_, H_ = gi_blk.shape
+        if K_ > 1:
+            dwr_ref[0] += jax.lax.dot_general(
+                z_ref[: K_ - 1].reshape((K_ - 1) * bb_, H_).astype(w_rec.dtype),
+                gi_blk[1:].reshape((K_ - 1) * bb_, H_).astype(w_rec.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        zb0 = _zprev_k(z_ref, zb_ref, 0, is_first_block)
+        dwr_ref[0] += jax.lax.dot_general(
+            zb0.astype(w_rec.dtype), gi_blk[0].astype(w_rec.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+
+def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
+                  lat_prepadded=None):
+    has_w = w_rec is not None
+    K = _time_block(T)
+    B, F = latencies.shape
+    H, f_pad, h_pad, bb = _shapes(B, w_in, F, K)
+    lat = (
+        lat_prepadded
+        if lat_prepadded is not None
+        else _pad_lat(latencies.astype(jnp.int32), bb, f_pad)
+    )
+    Bp = lat.shape[0]
+    grid = (Bp // bb, T // K)
+    lat_spec = pl.BlockSpec((bb, f_pad), lambda bi, t: (bi, 0),
+                            memory_space=pltpu.VMEM)
+    w_in_spec = pl.BlockSpec((f_pad, h_pad), lambda bi, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    w_rec_spec = pl.BlockSpec((h_pad, h_pad), lambda bi, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    tr_spec = pl.BlockSpec((K, bb, h_pad), lambda bi, t: (t, bi, 0),
+                           memory_space=pltpu.VMEM)
+    # Traces stay f32 regardless of the matmul dtype: v feeds both the
+    # surrogate and the dv recurrence factor (2v - vr - vth), where bf16
+    # quantization at |v| ~ 60 mV would visibly perturb gradients (the
+    # two-kernel izh path keeps f32 traces for the same reason).
+    trace_dtype = jnp.float32
+    kernel = functools.partial(
+        _izh_fwd_kernel, K=K, n_steps=T, use_periods=use_periods,
+        has_w=has_w, **kp,
+    )
+    in_specs = [lat_spec, w_in_spec] + ([w_rec_spec] if has_w else [])
+    args = [lat, _pad2(w_in, f_pad, h_pad)] + (
+        [_pad2(w_rec, h_pad, h_pad)] if has_w else []
+    )
+    z, v = pl.pallas_call(
+        lambda *refs: kernel(refs),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[tr_spec, tr_spec],
+        out_shape=[jax.ShapeDtypeStruct((T, Bp, h_pad), trace_dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((bb, h_pad), jnp.float32)] * 3,
+        interpret=interpret,
+    )(*args)
+    return z[:, :B, :H], v[:, :B, :H], lat
+
+
+def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
+                  gamma, spike_func, interpret):
+    has_w = w_rec is not None
+    K = _time_block(T)
+    B, H = z.shape[1], z.shape[2]
+    F = w_in.shape[0]
+    f_pad = lat.shape[1]
+    _, _, h_pad, bb = _shapes(B, w_in, F, K)  # same tile as the forward
+    Bp = lat.shape[0]
+
+    def padbh(x):
+        pb = Bp - x.shape[1]
+        ph = h_pad - x.shape[2]
+        if pb or ph:
+            x = jnp.pad(x, ((0, 0), (0, pb), (0, ph)))
+        return x
+
+    operands = [padbh(x) for x in (g_z, v, z)]
+    nb = T // K
+    grid = (Bp // bb, nb)
+    rev = pl.BlockSpec((K, bb, h_pad), lambda bi, t, n=nb: (n - 1 - t, bi, 0),
+                       memory_space=pltpu.VMEM)
+    zb = pl.BlockSpec(
+        (1, bb, h_pad),
+        lambda bi, t, n=nb, K=K: (jnp.maximum((n - 1 - t) * K - 1, 0), bi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    lat_spec = pl.BlockSpec((bb, f_pad), lambda bi, t: (bi, 0),
+                            memory_space=pltpu.VMEM)
+    w_in_spec = pl.BlockSpec((f_pad, h_pad), lambda bi, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    w_rec_spec = pl.BlockSpec((h_pad, h_pad), lambda bi, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    dwin_spec = pl.BlockSpec((1, f_pad, h_pad), lambda bi, t: (bi, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dwr_spec = pl.BlockSpec((1, h_pad, h_pad), lambda bi, t: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bwd_kp = {n: kp[n] for n in ("dt", "C", "v_rest", "v_th", "k", "a", "b",
+                                 "v_peak")}
+    kernel = functools.partial(
+        _izh_bwd_kernel, K=K, n_steps=T, use_periods=use_periods,
+        has_w=has_w, gamma=gamma, spike_func=spike_func, **bwd_kp,
+    )
+    in_specs = (
+        [rev] * 3 + [zb, lat_spec, w_in_spec]
+        + ([w_rec_spec] if has_w else [])
+    )
+    args = (
+        operands + [operands[2], lat, _pad2(w_in, f_pad, h_pad)]
+        + ([_pad2(w_rec, h_pad, h_pad)] if has_w else [])
+    )
+    out_specs = [dwin_spec] + ([dwr_spec] if has_w else [])
+    out_shape = [jax.ShapeDtypeStruct((Bp // bb, f_pad, h_pad), jnp.float32)]
+    if has_w:
+        out_shape.append(
+            jax.ShapeDtypeStruct((Bp // bb, h_pad, h_pad), jnp.float32)
+        )
+    scratch = [
+        pltpu.VMEM((bb, h_pad), jnp.float32),
+        pltpu.VMEM((bb, h_pad), jnp.float32),
+        pltpu.VMEM((K, bb, h_pad), jnp.float32),
+    ]
+    outs = pl.pallas_call(
+        lambda *refs: kernel(refs),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+    g_w_in = jnp.sum(outs[0], axis=0)[:F, :H].astype(w_in.dtype)
+    g_w_rec = (
+        jnp.sum(outs[1], axis=0)[:H, :H].astype(w_rec.dtype) if has_w else None
+    )
+    return g_w_in, g_w_rec
+
+
+IZH_STATICS = (3, 4, 5, 6, 7, 8)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=IZH_STATICS)
+def fused_encode_izh_scan(
+    latencies: jax.Array,
+    w_in: jax.Array,
+    w_rec,
+    kernel_params: tuple,
+    n_steps: int,
+    use_periods: bool,
+    gamma: float,
+    spike_func: SpikeFuncType = SpikeFuncType.FastSigmoid,
+    interpret: bool = False,
+) -> jax.Array:
+    """(latencies (B,F) int32, W_in [, masked W_rec]) -> spikes (T,B,H).
+
+    Numerically equal (up to f32 tile-summation order) to
+    ``encoded_input_matmul`` followed by ``izh_scan``.  ``kernel_params``
+    is the hashable constants tuple from ``pallas_izh.izh_kernel_params``;
+    ``w_rec`` may be None for feedforward layers.
+    """
+    z, _, _ = _izh_fwd_call(
+        latencies, w_in, w_rec, dict(kernel_params), T=n_steps,
+        use_periods=use_periods, interpret=interpret,
+    )
+    return z
+
+
+def _fused_izh_fwd(latencies, w_in, w_rec, kernel_params, n_steps,
+                   use_periods, gamma, spike_func, interpret):
+    z, v, lat = _izh_fwd_call(
+        latencies, w_in, w_rec, dict(kernel_params), T=n_steps,
+        use_periods=use_periods, interpret=interpret,
+    )
+    return z, (z, v, lat, latencies.shape, w_in, w_rec)
+
+
+def _fused_izh_bwd(kernel_params, n_steps, use_periods, gamma, spike_func,
+                   interpret, res, g_z):
+    z, v, lat, lat_shape, w_in, w_rec = res
+    g_w_in, g_w_rec = _izh_bwd_call(
+        g_z, v, z, lat, w_in, w_rec, dict(kernel_params), T=n_steps,
+        use_periods=use_periods, gamma=gamma, spike_func=spike_func,
+        interpret=interpret,
+    )
+    g_lat = np.zeros(lat_shape, dtype=jax.dtypes.float0)
+    return g_lat, g_w_in, g_w_rec
+
+
+fused_encode_izh_scan.defvjp(_fused_izh_fwd, _fused_izh_bwd)

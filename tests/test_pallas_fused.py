@@ -342,3 +342,100 @@ def test_fused_head_beta_zero_cotangent():
         return jnp.sum(logits)
 
     assert float(jax.grad(loss)(jnp.asarray(1.6))) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Izhikevich fused encode (ops/pallas_fused_izh.py)
+# ---------------------------------------------------------------------------
+def _xla_izh_reference(pixels, w_in, w_rec, cfg, use_periods, n_steps):
+    from snnimageclassification_tpu.ops.cells import (
+        izhikevich_init_state,
+        izhikevich_step,
+    )
+
+    spikes = encode_spikes(
+        jnp.asarray(pixels), n_steps=n_steps, use_periods=use_periods
+    )
+    currents = jnp.swapaxes(spikes @ w_in, 0, 1)
+
+    def body(state, i_t):
+        z, ns = izhikevich_step(cfg, {}, state, i_t, w_rec_eff=w_rec,
+                                precomputed_input_current=True)
+        return ns, z
+
+    _, z = jax.lax.scan(body, izhikevich_init_state(cfg, B), currents)
+    return z
+
+
+@pytest.mark.parametrize("n_steps", [T, 24], ids=["T12-1block", "T24-2blocks"])
+@pytest.mark.parametrize("rec", [True, False], ids=["rec", "ff"])
+@pytest.mark.parametrize("use_periods", [False, True], ids=["ttfs", "periodic"])
+def test_fused_izh_forward_and_grads(rec, use_periods, n_steps):
+    from snnimageclassification_tpu.ops.cells import IzhikevichConfig
+    from snnimageclassification_tpu.ops.pallas_fused_izh import (
+        fused_encode_izh_scan,
+    )
+    from snnimageclassification_tpu.ops.pallas_izh import izh_kernel_params
+
+    pixels, _, _, _ = _data(3)
+    # Izhikevich needs ~1e6-scale step currents to push v from v_rest
+    # (-60 mV) to v_peak (35 mV): dv/step ~ dt*cur/C = 1e-5*cur (same
+    # scaling as tests/test_pallas_izh.py).
+    rng = np.random.default_rng(7)
+    # Zero-mean with large variance so neurons spike heterogeneously
+    # across time (an all-spike-at-t=0 raster makes the exact w_rec
+    # gradient vanish through the reset mask).
+    w_in = jnp.asarray(
+        (3e6 * rng.standard_normal((F, H))).astype(np.float32)
+    )
+    w_rec = (
+        jnp.asarray(
+            (5e5 * rng.standard_normal((H, H))).astype(np.float32)
+            * (1 - np.eye(H, dtype=np.float32))
+        )
+        if rec
+        else None
+    )
+    lat = pixels_to_firing_periods(jnp.asarray(pixels), t_max=float(n_steps))
+    cfg = IzhikevichConfig(input_size=F, output_size=H,
+                           use_recurrent_connection=rec)
+    kp = izh_kernel_params(cfg)
+
+    z_ref = _xla_izh_reference(pixels, w_in, w_rec, cfg, use_periods, n_steps)
+    z_fused = fused_encode_izh_scan(
+        lat, w_in, w_rec, kp, n_steps, use_periods, cfg.gamma,
+        cfg.spike_func, True,
+    )
+    assert float(jnp.sum(z_ref)) > 0, "degenerate case: no spikes"
+    np.testing.assert_allclose(np.asarray(z_fused), np.asarray(z_ref),
+                               atol=1e-5)
+
+    wout = jnp.asarray(
+        np.random.default_rng(1).standard_normal((H,)).astype(np.float32)
+    )
+
+    def loss_ref(w_in, w_rec):
+        return jnp.sum(
+            _xla_izh_reference(pixels, w_in, w_rec, cfg, use_periods, n_steps)
+            * wout
+        )
+
+    def loss_fused(w_in, w_rec):
+        z = fused_encode_izh_scan(
+            lat, w_in, w_rec, kp, n_steps, use_periods, cfg.gamma,
+            cfg.spike_func, True,
+        )
+        return jnp.sum(z * wout)
+
+    if rec:
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(w_in, w_rec)
+        g_fus = jax.grad(loss_fused, argnums=(0, 1))(w_in, w_rec)
+    else:
+        g_ref = (jax.grad(lambda w: loss_ref(w, None))(w_in),)
+        g_fus = (jax.grad(lambda w: loss_fused(w, None))(w_in),)
+    for name_, a, b in zip(("w_in", "w_rec"), g_fus, g_ref):
+        assert float(jnp.linalg.norm(b)) > 0
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=name_,
+        )
