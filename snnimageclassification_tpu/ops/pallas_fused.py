@@ -169,12 +169,21 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
         b_out = b_out_ref[:]
     trace_dtype = out_refs[0].dtype
     v_c, a_c, z_prev = v_scr[:], a_scr[:], z_scr[:]
+    # Input currents are state-independent, so the K spike-gen + W_in
+    # matmuls run OFF the serial chain (back-to-back, MXU pipelined)
+    # before the dynamics loop -- the chain keeps only the recurrent
+    # matmul + VPU updates, one dependent matmul latency per step
+    # instead of two.
+    curs = [
+        jnp.dot(
+            _spike_row(lat, t * K + k, n_steps, use_periods).astype(w_in.dtype),
+            w_in, preferred_element_type=jnp.float32,
+        )
+        for k in range(K)
+    ]
     zs = []
     for k in range(K):
-        step = t * K + k
-        spk = _spike_row(lat, step, n_steps, use_periods)
-        cur = jnp.dot(spk.astype(w_in.dtype), w_in,
-                      preferred_element_type=jnp.float32)
+        cur = curs[k]
         if has_w:
             cur = cur + jnp.dot(z_prev.astype(w_rec.dtype), w_rec,
                                 preferred_element_type=jnp.float32)

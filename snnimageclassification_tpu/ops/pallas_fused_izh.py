@@ -64,11 +64,17 @@ def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
     w_rec = w_rec_ref[:] if has_w else None
     trace_dtype = z_ref.dtype
     v_prev, u_prev, z_prev = v_scr[:], u_scr[:], z_scr[:]
+    # Input currents off the serial chain (see pallas_fused.py): the K
+    # spike-gen + W_in matmuls have no state dependence.
+    curs = [
+        jnp.dot(
+            _spike_row(lat, t * K + kk, n_steps, use_periods).astype(w_in.dtype),
+            w_in, preferred_element_type=jnp.float32,
+        )
+        for kk in range(K)
+    ]
     for kk in range(K):
-        step = t * K + kk
-        spk = _spike_row(lat, step, n_steps, use_periods)
-        cur = jnp.dot(spk.astype(w_in.dtype), w_in,
-                      preferred_element_type=jnp.float32)
+        cur = curs[kk]
         if has_w:
             cur = cur + jnp.dot(z_prev.astype(w_rec.dtype), w_rec,
                                 preferred_element_type=jnp.float32)
