@@ -1,0 +1,91 @@
+"""End-to-end `fit` throughput: the full training-loop surface, not just
+the jitted step.
+
+Measures Trainer.fit on the flagship config (ALIF-128 recurrent,
+learn_beta, T=100, bf16 matmul recipe) over a synthetic device-cacheable
+dataset: per-epoch train phase + fused validation loss/accuracy sweep +
+async best-val checkpointing + loss-history bookkeeping.  Reports
+end-to-end img/s over the whole call and the steady-state epoch rate
+(excluding the first, compile-bearing epoch).
+
+Usage: python scripts/fit_throughput.py [--epochs N] [--batch B] [--n N]
+"""
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--n", type=int, default=65536)
+    ap.add_argument("--t", type=int, default=100)
+    ap.add_argument("--f32", action="store_true")
+    args = ap.parse_args()
+
+    from snnimageclassification_tpu.data.datasets import (
+        ArrayDataLoader,
+        EncodeConfig,
+    )
+    from snnimageclassification_tpu.models.config import SNNConfig
+    from snnimageclassification_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    protos = rng.random((10, 784)).astype(np.float32)
+    y = rng.integers(0, 10, args.n).astype(np.int32)
+    x = np.clip(
+        protos[y] + 0.25 * rng.standard_normal((args.n, 784)).astype(np.float32),
+        0, 1,
+    )
+    n_val = args.n // 16
+    enc = EncodeConfig(n_steps=args.t, use_periods=True)
+    train = ArrayDataLoader(x[n_val:], y[n_val:], args.batch, shuffle=True,
+                            encode_config=enc)
+    val = ArrayDataLoader(x[:n_val], y[:n_val], args.batch, encode_config=enc)
+
+    cfg = SNNConfig(
+        input_size=784, output_size=10, n_hidden_neurons=128,
+        hidden_layer_type="ALIF", use_recurrent_connection=True,
+        learn_beta=True, int_time_steps=args.t,
+        **({} if args.f32 else {"matmul_dtype": "bfloat16"}),
+    )
+    with tempfile.TemporaryDirectory() as folder:
+        tr = Trainer(cfg, checkpoint_folder=folder)
+        t0 = time.perf_counter()
+        epoch_marks = []
+        orig = tr._exec_phase
+
+        def timed(*a, **kw):
+            r = orig(*a, **kw)
+            epoch_marks.append(time.perf_counter())
+            return r
+
+        tr._exec_phase = timed
+        tr.fit(train, val, nb_epochs=args.epochs, force_overwrite=True)
+        wall = time.perf_counter() - t0
+    n_train = train.n_samples
+    e2e = n_train * args.epochs / wall
+    steady = (
+        n_train * (len(epoch_marks) - 1) / (epoch_marks[-1] - epoch_marks[0])
+        if len(epoch_marks) > 1
+        else e2e
+    )
+    print(json.dumps({
+        "metric": "fit img/s e2e (flagship, T=%d, batch %d)" % (args.t, args.batch),
+        "e2e_img_per_sec": round(e2e, 1),
+        "steady_state_img_per_sec": round(steady, 1),
+        "epochs": args.epochs,
+        "wall_sec": round(wall, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

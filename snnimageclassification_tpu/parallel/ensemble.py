@@ -138,7 +138,47 @@ class EnsembleTrainer:
         else:
             train = jax.jit(train_step, donate_argnums=(0, 1))
             evals = jax.jit(eval_step)
-        return train, evals
+
+        # Whole-epoch scan variants (single-device, device-resident data):
+        # one dispatch per epoch instead of ~5 relay round trips per batch
+        # (see train/trainer.py's epoch path; ~30 ms each on relays).
+        def train_epoch_fn(params, opt_state, x_all, y_all, idx_mat, w_mat):
+            def body(carry, batch):
+                p, o = carry
+                idx, w = batch
+                p, o, losses = train_step(
+                    p, o, jnp.take(x_all, idx, axis=0),
+                    jnp.take(y_all, idx, axis=0), w,
+                )
+                return (p, o), losses
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (idx_mat, w_mat)
+            )
+            return params, opt_state, losses  # (n_batches, n_seeds)
+
+        def eval_epoch_fn(params, x_all, y_all, idx_mat, w_mat):
+            def body(_, batch):
+                idx, w = batch
+                y = jnp.take(y_all, idx, axis=0)
+                losses, preds = eval_step(
+                    params, jnp.take(x_all, idx, axis=0), y, w
+                )
+                correct = jnp.sum((preds == y[None]) * w[None], axis=1)
+                return 0, (losses, correct, jnp.sum(w))
+
+            _, (losses, correct, total) = jax.lax.scan(
+                body, 0, (idx_mat, w_mat)
+            )
+            # (n_batches, n_seeds) losses; per-seed correct counts; total.
+            return losses, jnp.sum(correct, axis=0), jnp.sum(total)
+
+        if self.mesh is None:
+            train_epoch = jax.jit(train_epoch_fn, donate_argnums=(0, 1))
+            eval_epoch = jax.jit(eval_epoch_fn)
+        else:
+            train_epoch = eval_epoch = None  # mesh path stays per-batch
+        return train, evals, train_epoch, eval_epoch
 
     def _steps_for(self, enc: EncodeConfig):
         if enc not in self._steps:
@@ -178,6 +218,15 @@ class EnsembleTrainer:
 
     def train_epoch(self, loader: ArrayDataLoader) -> np.ndarray:
         """One epoch over the loader; returns mean loss per seed."""
+        if self._epoch_eligible(loader):
+            train_epoch = self._steps_for(loader.encode_config)[2]
+            x_all, y_all = self.device_data.arrays(loader)
+            mi, mw = self._epoch_index_matrix(loader)
+            self.params, self.opt_state, losses = train_epoch(
+                self.params, self.opt_state, x_all, y_all,
+                jnp.asarray(mi), jnp.asarray(mw),
+            )
+            return np.mean(np.asarray(losses), axis=0)
         step = self._steps_for(loader.encode_config)[0]
         losses = []
         for xb, yb, wb in self._batches(loader):
@@ -187,8 +236,35 @@ class EnsembleTrainer:
             losses.append(batch_losses)
         return np.mean(np.asarray(jnp.stack(losses)), axis=0)
 
+    def _epoch_eligible(self, loader) -> bool:
+        return self.mesh is None and self.device_data.fits(loader)
+
+    def _epoch_index_matrix(self, loader):
+        from ..data.device_cache import pad_rows
+
+        idxs, ws = [], []
+        for idx in loader.iter_indices():
+            p, w = pad_rows(np.asarray(idx), loader.batch_size)
+            idxs.append(p)
+            ws.append(w)
+        return (
+            np.stack(idxs).astype(np.int32),
+            np.stack(ws).astype(np.float32),
+        )
+
     def eval_epoch(self, loader: ArrayDataLoader):
         """One fused eval sweep: (per-seed mean loss, per-seed accuracy)."""
+        if self._epoch_eligible(loader):
+            eval_epoch = self._steps_for(loader.encode_config)[3]
+            x_all, y_all = self.device_data.arrays(loader)
+            mi, mw = self._epoch_index_matrix(loader)
+            losses, correct, total = eval_epoch(
+                self.params, x_all, y_all, jnp.asarray(mi), jnp.asarray(mw)
+            )
+            return (
+                np.mean(np.asarray(losses), axis=0),
+                np.asarray(correct) / max(float(total), 1.0),
+            )
         evals = self._steps_for(loader.encode_config)[1]
         losses = []
         correct = np.zeros(len(self.seeds))
@@ -407,9 +483,12 @@ class EnsembleTrainer:
             self.params = jax.tree.map(jnp.copy, self.best_params)
 
     def _save_checkpoint(self, epoch, train_losses, val_losses, improved) -> None:
+        from ..train.trainer import host_snapshot
+
+        params_h, opt_h = host_snapshot((self.params, self.opt_state))
         self.ckpt.save_checkpoint(
-            jax.tree.map(np.asarray, self.params),
-            jax.tree.map(np.asarray, self.opt_state),
+            params_h,
+            opt_h,
             epoch,
             dict(train=float(np.mean(train_losses)), val=float(np.mean(val_losses))),
             best=bool(np.any(improved)),

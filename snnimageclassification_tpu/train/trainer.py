@@ -81,6 +81,45 @@ def make_optimizer(
     )
 
 
+@jax.jit
+def _pack_leaves(leaves):
+    """Concatenate arbitrary-dtype leaves into one uint8 device buffer."""
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(
+            l.ravel().astype(jnp.uint8) if l.dtype == jnp.bool_ else l.ravel(),
+            jnp.uint8,
+        ).ravel()
+        for l in leaves
+    ])
+
+
+def host_snapshot(tree):
+    """Device->host copy of a pytree in ONE device round trip.
+
+    ``jax.device_get`` fetches leaf by leaf; on relay-attached TPUs every
+    fetch pays a ~30 ms round trip, so a params+opt_state tree (~30
+    leaves) costs ~1 s.  Packing the leaves into a single uint8 buffer on
+    device and slicing on the host makes it one round trip regardless of
+    tree size."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arrays = [l for l in leaves if isinstance(l, jax.Array) and l.size]
+    if not arrays:
+        return jax.device_get(tree)
+    flat = np.asarray(_pack_leaves(arrays))  # the single transfer
+    out, off = [], 0
+    for l in leaves:
+        if not (isinstance(l, jax.Array) and l.size):
+            out.append(np.asarray(l) if isinstance(l, jax.Array) else l)
+            continue
+        nbytes = l.size * l.dtype.itemsize
+        out.append(
+            np.frombuffer(flat[off:off + nbytes].tobytes(), dtype=l.dtype)
+            .reshape(l.shape)
+        )
+        off += nbytes
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def _encode_on_device(x: jax.Array, enc: EncodeConfig) -> jax.Array:
     """Pixels -> model inputs, inside the jitted step."""
     if not enc.as_timeseries:
@@ -160,20 +199,18 @@ class Trainer:
 
     def _save_checkpoint(self, epoch: int, epoch_loss, is_best: bool):
         self._join_pending_save()
+        # Snapshot to HOST in one device round trip (see host_snapshot:
+        # per-leaf fetches cost one ~30 ms relay round trip each, ~30
+        # leaves = ~0.6 s/epoch).  Host arrays are immune to donation, so
+        # the serializing thread needs no device access at all.
+        params, opt_state = host_snapshot((self.params, self.opt_state))
         if not self.async_checkpointing:
             self.ckpt.save_checkpoint(
-                self.params, self.opt_state, epoch, epoch_loss, is_best
+                params, opt_state, epoch, epoch_loss, is_best
             )
             return
         import threading
 
-        # Device-copy the snapshot: the live buffers get DONATED into the
-        # next epoch's first train step and would be deleted under the
-        # serializing thread.  The copy is a cheap on-device op; the slow
-        # device->host fetch happens in the thread.
-        params, opt_state = jax.tree.map(
-            jnp.copy, (self.params, self.opt_state)
-        )
         self._ckpt_thread = threading.Thread(
             target=self.ckpt.save_checkpoint,
             args=(params, opt_state, epoch, epoch_loss, is_best),
@@ -235,7 +272,48 @@ class Trainer:
         else:
             train_step = jax.jit(train_step_fn, donate_argnums=(0, 1))
             eval_step = jax.jit(eval_step_fn)
-        return train_step, eval_step
+
+        # Whole-epoch variants (single-device, device-resident dataset):
+        # one dispatch per EPOCH instead of ~5 relay round trips per batch
+        # (index transfer, two gathers, weights, step).  On relay-attached
+        # TPUs each round trip costs ~30 ms, which dominates small-epoch
+        # fits; a lax.scan over the shuffled index matrix keeps the whole
+        # epoch on device.  Identical math and batch order.
+        def train_epoch_fn(params, opt_state, x_all, y_all, idx_mat, w_mat):
+            def body(carry, batch):
+                p, o = carry
+                idx, w = batch
+                p, o, loss = train_step_fn(
+                    p, o, jnp.take(x_all, idx, axis=0),
+                    jnp.take(y_all, idx, axis=0), w,
+                )
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (idx_mat, w_mat)
+            )
+            return params, opt_state, losses
+
+        def eval_epoch_fn(params, x_all, y_all, idx_mat, w_mat):
+            def body(_, batch):
+                idx, w = batch
+                y = jnp.take(y_all, idx, axis=0)
+                loss, preds = eval_step_fn(
+                    params, jnp.take(x_all, idx, axis=0), y, w
+                )
+                return 0, (loss, jnp.sum((preds == y) * w), jnp.sum(w))
+
+            _, (losses, correct, total) = jax.lax.scan(
+                body, 0, (idx_mat, w_mat)
+            )
+            return losses, jnp.sum(correct), jnp.sum(total)
+
+        if self.mesh is None:
+            train_epoch = jax.jit(train_epoch_fn, donate_argnums=(0, 1))
+            eval_epoch = jax.jit(eval_epoch_fn)
+        else:
+            train_epoch = eval_epoch = None  # mesh path stays per-batch
+        return train_step, eval_step, train_epoch, eval_epoch
 
     def _prep_batch(self, x: np.ndarray, y: np.ndarray, target: int = 0):
         """Pad to ``target`` rows (the loader's nominal batch size) and to
@@ -407,6 +485,24 @@ class Trainer:
             ),
         )
 
+    def _epoch_index_matrix(self, loader):
+        """(n_batches, batch_size) index + weight matrices for one epoch
+        (shuffled when the loader shuffles; weight-0 padding rows)."""
+        from ..data.device_cache import pad_rows
+
+        idxs, ws = [], []
+        for idx in loader.iter_indices():
+            p, w = pad_rows(np.asarray(idx), loader.batch_size)
+            idxs.append(p)
+            ws.append(w)
+        return (
+            np.stack(idxs).astype(np.int32),
+            np.stack(ws).astype(np.float32),
+        )
+
+    def _epoch_eligible(self, loader) -> bool:
+        return self.mesh is None and self.device_data.fits(loader)
+
     def _exec_phase(self, train_loader, val_loader):
         """One train epoch + one val epoch (snn.py:352-365).
 
@@ -415,8 +511,32 @@ class Trainer:
         (snn.py:332-333); here the single val sweep produces loss and
         accuracy together from ``eval_step``'s ``(loss, preds)`` -- same
         numbers, half the val compute.
+
+        Single-device with a device-resident dataset, both phases run as
+        whole-epoch scans: two dispatches + one host sync per epoch
+        instead of ~5 relay round trips per batch (identical math and
+        batch order -- the same iter_indices() shuffle drives both paths).
         """
-        train_step, eval_step = self._steps_for(train_loader.encode_config)
+        if self._epoch_eligible(train_loader) and self._epoch_eligible(val_loader):
+            train_epoch = self._steps_for(train_loader.encode_config)[2]
+            eval_epoch = self._steps_for(val_loader.encode_config)[3]
+            x_tr, y_tr = self.device_data.arrays(train_loader)
+            ti, tw = self._epoch_index_matrix(train_loader)
+            self.params, self.opt_state, train_losses = train_epoch(
+                self.params, self.opt_state, x_tr, y_tr,
+                jnp.asarray(ti), jnp.asarray(tw),
+            )
+            x_va, y_va = self.device_data.arrays(val_loader)
+            vi, vw = self._epoch_index_matrix(val_loader)
+            val_losses, v_corr, v_tot = eval_epoch(
+                self.params, x_va, y_va, jnp.asarray(vi), jnp.asarray(vw)
+            )
+            stats = np.asarray(jnp.stack([  # ONE host sync per epoch
+                jnp.mean(train_losses), jnp.mean(val_losses), v_corr, v_tot
+            ]))
+            epoch_loss = dict(train=float(stats[0]), val=float(stats[1]))
+            return epoch_loss, float(stats[2]) / max(float(stats[3]), 1.0)
+        train_step, eval_step = self._steps_for(train_loader.encode_config)[:2]
         train_losses = []
         for xb, yb, wb in self._prefetched(train_loader):
             self.params, self.opt_state, loss = train_step(
@@ -454,6 +574,14 @@ class Trainer:
     ) -> float:
         """Per-sample mean accuracy over a loader (snn.py:507-525)."""
         self._ensure_optimizer_any()
+        if not verbose and self._epoch_eligible(dataloader):
+            eval_epoch = self._steps_for(dataloader.encode_config)[3]
+            x_all, y_all = self.device_data.arrays(dataloader)
+            mi, mw = self._epoch_index_matrix(dataloader)
+            _, corr, tot = eval_epoch(
+                self.params, x_all, y_all, jnp.asarray(mi), jnp.asarray(mw)
+            )
+            return int(corr) / max(int(tot), 1)
         eval_step = self._steps_for(dataloader.encode_config)[1]
         n_correct = 0
         n_total = 0

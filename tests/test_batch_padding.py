@@ -94,3 +94,36 @@ def test_accuracy_exact_with_remainder_batches():
     logits = model_lib.forward_logits(cfg, tr.params, inputs)
     expect = float(np.mean(np.argmax(np.asarray(logits), -1) == loader.y))
     assert acc == pytest.approx(expect)
+
+
+def test_epoch_scan_matches_per_batch_path(tmp_path):
+    """The whole-epoch lax.scan fit path (one dispatch per epoch) produces
+    the same loss history and val accuracy as the per-batch path -- the
+    same iter_indices() shuffle drives both."""
+    from snnimageclassification_tpu.models.config import SNNConfig
+    from snnimageclassification_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    x = rng.random((50, 6)).astype(np.float32)
+    y = rng.integers(0, 3, 50).astype(np.int32)
+    enc = EncodeConfig(n_steps=4)
+    cfg = SNNConfig(input_size=6, output_size=3, n_hidden_neurons=8,
+                    int_time_steps=4)
+
+    def run(limit):
+        tr_loader = ArrayDataLoader(x[:40], y[:40], 16, shuffle=True,
+                                    seed=5, encode_config=enc)
+        va_loader = ArrayDataLoader(x[40:], y[40:], 16, encode_config=enc)
+        t = Trainer(cfg, checkpoint_folder=str(tmp_path / f"l{limit}"))
+        t.device_data.limit_bytes = limit
+        t.async_checkpointing = False
+        hist = t.fit(tr_loader, va_loader, nb_epochs=3, force_overwrite=True)
+        return ([float(v) for v in hist["train"]],
+                [float(v) for v in hist["val"]],
+                t.compute_classification_accuracy(va_loader))
+
+    scan_path = run(512 * 1024 * 1024)  # device cache fits -> epoch scan
+    batch_path = run(1)                  # forced host streaming per batch
+    np.testing.assert_allclose(scan_path[0], batch_path[0], rtol=1e-6)
+    np.testing.assert_allclose(scan_path[1], batch_path[1], rtol=1e-6)
+    assert scan_path[2] == pytest.approx(batch_path[2])
