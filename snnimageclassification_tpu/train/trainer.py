@@ -199,23 +199,27 @@ class Trainer:
 
     def _save_checkpoint(self, epoch: int, epoch_loss, is_best: bool):
         self._join_pending_save()
-        # Snapshot to HOST in one device round trip (see host_snapshot:
-        # per-leaf fetches cost one ~30 ms relay round trip each, ~30
-        # leaves = ~0.6 s/epoch).  Host arrays are immune to donation, so
-        # the serializing thread needs no device access at all.
-        params, opt_state = host_snapshot((self.params, self.opt_state))
         if not self.async_checkpointing:
+            params, opt_state = host_snapshot((self.params, self.opt_state))
             self.ckpt.save_checkpoint(
                 params, opt_state, epoch, epoch_loss, is_best
             )
             return
         import threading
 
-        self._ckpt_thread = threading.Thread(
-            target=self.ckpt.save_checkpoint,
-            args=(params, opt_state, epoch, epoch_loss, is_best),
-            daemon=True,
-        )
+        # Main thread pays ONE on-device copy dispatch (the live buffers
+        # get DONATED into the next epoch and would be deleted under the
+        # thread); the thread does the single-round-trip host fetch
+        # (host_snapshot) and the serialize+write.
+        snap = jax.tree.map(jnp.copy, (self.params, self.opt_state))
+
+        def save():
+            params, opt_state = host_snapshot(snap)
+            self.ckpt.save_checkpoint(
+                params, opt_state, epoch, epoch_loss, is_best
+            )
+
+        self._ckpt_thread = threading.Thread(target=save, daemon=True)
         self._ckpt_thread.start()
 
     # -- jitted step builders -------------------------------------------------
