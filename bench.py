@@ -106,6 +106,11 @@ def measure(cfg, batch=BATCH):
 
 def main():
     from snnimageclassification_tpu.models.config import SNNConfig
+    from snnimageclassification_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
 
     img_per_sec, loss = measure(SNNConfig(**FLAGSHIP))
     result = {

@@ -25,6 +25,11 @@ from snnimageclassification_tpu.train.sweep import train_with_params
 
 
 def main() -> None:
+    from snnimageclassification_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seeds", type=str, default="")

@@ -23,6 +23,11 @@ import numpy as np
 
 
 def main() -> None:
+    from snnimageclassification_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--batch", type=int, default=8192)

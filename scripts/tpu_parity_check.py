@@ -30,6 +30,11 @@ def check(name, got, ref, atol=1e-5, rtol=1e-4):
 
 def main():
     from snnimageclassification_tpu.models import snn as M
+    from snnimageclassification_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     from snnimageclassification_tpu.models.config import SNNConfig
 
     if jax.default_backend() != "tpu":

@@ -127,3 +127,28 @@ def test_epoch_scan_matches_per_batch_path(tmp_path):
     np.testing.assert_allclose(scan_path[0], batch_path[0], rtol=1e-6)
     np.testing.assert_allclose(scan_path[1], batch_path[1], rtol=1e-6)
     assert scan_path[2] == pytest.approx(batch_path[2])
+
+
+def test_host_snapshot_roundtrip_dtypes():
+    """host_snapshot (one packed device->host transfer) reproduces every
+    leaf bitwise across dtypes, shapes, and non-array leaves."""
+    import jax
+    import jax.numpy as jnp
+
+    from snnimageclassification_tpu.train.trainer import host_snapshot
+
+    tree = {
+        "f32": jnp.arange(12, dtype=jnp.float32).reshape(3, 4) * 1.5,
+        "bf16": jnp.asarray([[1.5, -2.25], [0.125, 3e4]], jnp.bfloat16),
+        "i32": jnp.asarray([[7, -9]], jnp.int32),
+        "scalar": jnp.asarray(42, jnp.int32),
+        "bool": jnp.asarray([True, False, True]),
+        "py": 3.5,
+        "none": None,
+    }
+    out = host_snapshot(tree)
+    assert isinstance(out["f32"], np.ndarray)
+    for k in ("f32", "bf16", "i32", "scalar", "bool"):
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(tree[k]))
+        assert out[k].dtype == tree[k].dtype and out[k].shape == tree[k].shape
+    assert out["py"] == 3.5 and out["none"] is None
