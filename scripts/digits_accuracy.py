@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--n-steps", type=int, default=100)
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--use-periods", action="store_true")
+    ap.add_argument("--clip", type=float, default=None,
+                    help="optional max grad norm (beyond-reference "
+                         "stability knob; default off = parity)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon sitecustomize "
                          "ignores JAX_PLATFORMS)")
@@ -55,6 +58,7 @@ def main() -> None:
         "learn_beta": True,  # reference README example; Q3: beta stays frozen
         "n_steps": args.n_steps,
         "nb_epochs": args.epochs,
+        **({"max_grad_norm": args.clip} if args.clip else {}),
         "train_val_split_ratio": 0.85,
     }
     seeds = [int(s) for s in args.seeds.split(",") if s] or None
@@ -72,6 +76,7 @@ def main() -> None:
         "config": "ALIF128-rec-FastSigmoid",
         "n_steps": args.n_steps,
         "epochs": args.epochs,
+        "max_grad_norm": args.clip,
         "accuracies": acc,
     }))
 

@@ -53,6 +53,7 @@ class EnsembleTrainer:
         seeds: Sequence[int],
         lr: float = 1e-3,
         weight_decay: float = 1e-5,
+        max_grad_norm=None,
         mesh=None,
         checkpoint_folder: Optional[str] = None,
         model_name: str = "snn_ensemble",
@@ -72,7 +73,8 @@ class EnsembleTrainer:
         self.best_val = np.full(len(self.seeds), np.inf)
         self.best_epoch = np.full(len(self.seeds), -1, dtype=int)
         labels = model_lib.param_labels(cfg, jax.tree.map(lambda x: x[0], self.params))
-        self.tx = make_optimizer(labels, lr=lr, weight_decay=weight_decay)
+        self.tx = make_optimizer(labels, lr=lr, weight_decay=weight_decay,
+                                 max_grad_norm=max_grad_norm)
         self.opt_state = jax.vmap(self.tx.init)(self.params)
         if mesh is not None:
             from .mesh import replicated

@@ -124,6 +124,7 @@ def train_with_params(
         dataloaders["train"],
         dataloaders["val"],
         nb_epochs=params.get("nb_epochs", 15),
+        max_grad_norm=params.get("max_grad_norm"),
         load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH,
         force_overwrite=True,
         verbose=verbose,
@@ -169,6 +170,7 @@ def _train_ensemble_with_params(
     )
     ensemble = EnsembleTrainer(
         cfg, seeds, mesh=mesh, checkpoint_folder=checkpoint_folder,
+        max_grad_norm=params.get("max_grad_norm"),
     )
     save_params(params, os.path.join(checkpoint_folder, "params.pkl"))
     ensemble.fit(

@@ -68,13 +68,23 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    max_grad_norm: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """Adam + L2 matching ``torch.optim.Adam(lr, weight_decay)``
-    (snn.py:299), with dead-gradient leaves (label "beta") frozen."""
-    weight_tx = optax.chain(
+    (snn.py:299), with dead-gradient leaves (label "beta") frozen.
+
+    ``max_grad_norm`` is a beyond-reference stability knob (global-norm
+    gradient clipping before the decay+Adam chain).  Default ``None``
+    reproduces the reference exactly -- its regime has no clipping and is
+    genuinely unstable on small datasets (see PARITY.md seed-sensitivity
+    note); opt in where stability matters more than strict parity."""
+    steps = [
         optax.add_decayed_weights(weight_decay),
         optax.adam(lr, b1=b1, b2=b2, eps=eps),
-    )
+    ]
+    if max_grad_norm is not None:
+        steps.insert(0, optax.clip_by_global_norm(float(max_grad_norm)))
+    weight_tx = optax.chain(*steps)
     return optax.multi_transform(
         {"weight": weight_tx, "beta": optax.set_to_zero()},
         param_labels,
@@ -352,7 +362,8 @@ class Trainer:
             self._step_cache[key] = self._build_steps(enc, self._tx)
         return self._step_cache[key]
 
-    def _ensure_optimizer(self, lr: float, weight_decay: float):
+    def _ensure_optimizer(self, lr: float, weight_decay: float,
+                          max_grad_norm: Optional[float] = None):
         """Build (or rebuild) the optimizer for these hyperparameters.
 
         A changed (lr, weight_decay) rebuilds the transform but keeps the
@@ -361,11 +372,27 @@ class Trainer:
         including after an eval/checkpoint call created the optimizer with
         defaults, and a second fit can change the learning rate.
         """
-        if self._tx is not None and self._opt_hparams == (lr, weight_decay):
+        if self._tx is not None and self._opt_hparams == (
+            lr, weight_decay, max_grad_norm,
+        ):
             return
         labels = model_lib.param_labels(self.cfg, self.params)
-        self._tx = make_optimizer(labels, lr=lr, weight_decay=weight_decay)
-        self._opt_hparams = (lr, weight_decay)
+        self._tx = make_optimizer(
+            labels, lr=lr, weight_decay=weight_decay,
+            max_grad_norm=max_grad_norm,
+        )
+        self._opt_hparams = (lr, weight_decay, max_grad_norm)
+        if self.opt_state is not None:
+            # Toggling clipping changes the chain-state structure; Adam
+            # moments can't carry over in that case.
+            fresh = jax.eval_shape(self._tx.init, self.params)
+            if (jax.tree_util.tree_structure(self.opt_state)
+                    != jax.tree_util.tree_structure(fresh)):
+                logger.warning(
+                    "Optimizer structure changed (max_grad_norm toggled); "
+                    "resetting optimizer state."
+                )
+                self.opt_state = None
         if self.opt_state is None:
             self.opt_state = self._tx.init(self.params)
 
@@ -383,6 +410,7 @@ class Trainer:
         lr: float = 1e-3,
         nb_epochs: int = 15,
         weight_decay: float = 1e-5,
+        max_grad_norm: Optional[float] = None,
         load_checkpoint_mode: Optional[LoadCheckpointMode] = None,
         force_overwrite: bool = False,
         early_stopping: bool = False,
@@ -400,7 +428,7 @@ class Trainer:
         snn.py:302-307); with a mode, a missing checkpoint downgrades to a
         warning and training starts fresh (snn.py:308-317).
         """
-        self._ensure_optimizer(lr, weight_decay)
+        self._ensure_optimizer(lr, weight_decay, max_grad_norm)
 
         start_epoch = 0
         if load_checkpoint_mode is None:

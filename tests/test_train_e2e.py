@@ -293,7 +293,7 @@ class TestOptimizerHyperparams:
         trainer.compute_classification_accuracy(val)  # builds default opt
         trainer.fit(train, val, lr=0.5, nb_epochs=1,
                     force_overwrite=True, verbose=False)
-        assert trainer._opt_hparams == (0.5, 1e-5)
+        assert trainer._opt_hparams == (0.5, 1e-5, None)
 
     def test_second_fit_can_change_lr(self, tmp_path):
         cfg = _mk_cfg(tmp_path)
@@ -304,7 +304,7 @@ class TestOptimizerHyperparams:
         trainer.fit(train, val, lr=1e-4, nb_epochs=2,
                     load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH,
                     verbose=False)
-        assert trainer._opt_hparams == (1e-4, 1e-5)
+        assert trainer._opt_hparams == (1e-4, 1e-5, None)
 
     def test_eval_does_not_stomp_fit_hparams(self, tmp_path):
         cfg = _mk_cfg(tmp_path)
@@ -313,7 +313,7 @@ class TestOptimizerHyperparams:
         trainer.fit(train, val, lr=5e-4, nb_epochs=1,
                     force_overwrite=True, verbose=False)
         trainer.compute_classification_accuracy(val)
-        assert trainer._opt_hparams == (5e-4, 1e-5)
+        assert trainer._opt_hparams == (5e-4, 1e-5, None)
 
 
 class TestFacadeConfigKnobs:
@@ -343,3 +343,59 @@ class TestSpikeCountParity:
         from snnimageclassification_tpu.train import losses as L
 
         assert float(L.l1_total_spike_count(hidden, cfg=net.config)) == 0.0
+
+
+class TestGradClipping:
+    """max_grad_norm: opt-in stability knob, off by default (parity)."""
+
+    def test_clip_caps_update(self):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from snnimageclassification_tpu.train.trainer import make_optimizer
+
+        params = {"layer": {"w_in": jnp.ones((4, 4)), "beta": jnp.ones(())}}
+        labels = {"layer": {"w_in": "weight", "beta": "beta"}}
+        grads = {"layer": {"w_in": jnp.full((4, 4), 100.0),
+                           "beta": jnp.zeros(())}}
+        tx = make_optimizer(labels, max_grad_norm=1.0)
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        # After clipping, Adam normalizes -- but the clipped gradient fed
+        # to the moments has global norm 1; verify the chain ran (beta
+        # still frozen, update finite and nonzero).
+        assert float(jnp.abs(updates["layer"]["beta"])) == 0.0
+        assert 0 < float(jnp.max(jnp.abs(updates["layer"]["w_in"]))) < 1.0
+        # Structure differs from the unclipped chain (extra stage).
+        tx0 = make_optimizer(labels)
+        assert (jax.tree_util.tree_structure(tx0.init(params))
+                != jax.tree_util.tree_structure(state))
+
+    def test_fit_with_clip_and_toggle(self, tmp_path):
+        import numpy as np
+
+        from snnimageclassification_tpu.data.datasets import (
+            ArrayDataLoader,
+            EncodeConfig,
+        )
+        from snnimageclassification_tpu.models.config import SNNConfig
+        from snnimageclassification_tpu.train.trainer import Trainer
+
+        rng = np.random.default_rng(0)
+        x = rng.random((40, 6)).astype(np.float32)
+        y = rng.integers(0, 3, 40).astype(np.int32)
+        enc = EncodeConfig(n_steps=4)
+        tr_l = ArrayDataLoader(x[:32], y[:32], 16, shuffle=True,
+                               encode_config=enc)
+        va_l = ArrayDataLoader(x[32:], y[32:], 16, encode_config=enc)
+        cfg = SNNConfig(input_size=6, output_size=3, n_hidden_neurons=8,
+                        int_time_steps=4)
+        t = Trainer(cfg, checkpoint_folder=str(tmp_path))
+        h = t.fit(tr_l, va_l, nb_epochs=2, max_grad_norm=0.5,
+                  force_overwrite=True)
+        assert np.isfinite(h["train"]).all()
+        # Toggling clipping off between fits resets the optimizer state
+        # (structure changed) but keeps training functional.
+        h2 = t.fit(tr_l, va_l, nb_epochs=4, force_overwrite=True)
+        assert np.isfinite(h2["train"]).all()
