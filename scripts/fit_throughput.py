@@ -23,18 +23,39 @@ import numpy as np
 
 
 def main() -> None:
-    from snnimageclassification_tpu.utils.compile_cache import (
-        enable_compilation_cache,
-    )
-
-    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--t", type=int, default=100)
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="run data-parallel over an N-virtual-device CPU "
+                         "mesh (dispatch-count validation for the mesh "
+                         "epoch-scan path; real throughput needs chips)")
     args = ap.parse_args()
+
+    mesh = None
+    if args.mesh:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.mesh}"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")  # sitecustomize override
+
+    from snnimageclassification_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    if args.mesh:
+        from snnimageclassification_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
 
     from snnimageclassification_tpu.data.datasets import (
         ArrayDataLoader,
@@ -63,7 +84,7 @@ def main() -> None:
         **({} if args.f32 else {"matmul_dtype": "bfloat16"}),
     )
     with tempfile.TemporaryDirectory() as folder:
-        tr = Trainer(cfg, checkpoint_folder=folder)
+        tr = Trainer(cfg, checkpoint_folder=folder, mesh=mesh)
         t0 = time.perf_counter()
         epoch_marks = []
         orig = tr._exec_phase
@@ -89,6 +110,7 @@ def main() -> None:
         "steady_state_img_per_sec": round(steady, 1),
         "epochs": args.epochs,
         "wall_sec": round(wall, 2),
+        **({"mesh_devices": args.mesh} if args.mesh else {}),
     }))
 
 

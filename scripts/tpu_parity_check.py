@@ -100,6 +100,12 @@ def main():
         "lif-ff": dict(
             hidden_layer_type="LIF", use_recurrent_connection=False,
         ),
+        # ALIF+Phi: the only head-kernel branch that stores the adaptation
+        # trace (n_trace=2) and uses the dynamic-threshold surrogate scale.
+        "alif-rec-phi": dict(
+            hidden_layer_type="ALIF", use_recurrent_connection=True,
+            spike_func="Phi",
+        ),
     }
     # n_steps=12 runs in ONE time block (K=12); n_steps=24 forces TWO
     # blocks through the K-step-blocked kernels -- this caught a real bug

@@ -20,6 +20,7 @@ pytree, states are NamedTuples, configs are static dataclasses.
 """
 from __future__ import annotations
 
+import logging
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -46,6 +47,32 @@ __all__ = [
 ]
 
 Params = Dict[str, Dict[str, jax.Array]]
+
+logger = logging.getLogger(__name__)
+_fallback_logged: set = set()
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _log_fused_fallback(kind: str, reason: str, **shape) -> None:
+    """Loudly (once per distinct config) report that a Pallas fast path
+    gated off and the model fell back to the XLA composition.
+
+    The fused kernels are a ~3x speedup; a silent fallback (e.g. an input
+    width pushing the W_in block past the VMEM budget) would otherwise be
+    invisible.  Mirrors the loud synthetic-dataset fallback policy."""
+    key = (kind, reason, tuple(sorted(shape.items())))
+    if key in _fallback_logged:
+        return
+    _fallback_logged.add(key)
+    detail = ", ".join(f"{k}={v}" for k, v in sorted(shape.items()))
+    logger.info(
+        "Pallas %s kernel unavailable (%s; %s): falling back to the XLA "
+        "scan path (identical numerics, lower throughput).",
+        kind, reason, detail,
+    )
 
 
 def init(cfg: SNNConfig, key: jax.Array, dtype=jnp.float32) -> Params:
@@ -329,24 +356,33 @@ def apply_pixels(
     # in one kernel (ops/pallas_fused.py) -- the (T, B, H0) currents
     # tensor never exists in HBM.  Hidden traces route through the XLA
     # path instead (the kernels don't emit full state traces).
+    supported_fn = (
+        fused_izh_supported
+        if type(first_cfg) is IzhikevichConfig
+        else fused_supported
+        if type(first_cfg) in (LIFConfig, ALIFConfig)
+        else None
+    )
     layer0_fused_ok = (
         encode_on_device_ok
         and not return_hidden
-        and (
-            (
-                type(first_cfg) in (LIFConfig, ALIFConfig)
-                and fused_supported(
-                    cfg.int_time_steps, cfg.input_size, first_cfg.output_size
-                )
-            )
-            or (
-                type(first_cfg) is IzhikevichConfig
-                and fused_izh_supported(
-                    cfg.int_time_steps, cfg.input_size, first_cfg.output_size
-                )
-            )
+        and supported_fn is not None
+        and supported_fn(
+            cfg.int_time_steps, cfg.input_size, first_cfg.output_size
         )
     )
+    if (
+        encode_on_device_ok
+        and not return_hidden
+        and supported_fn is not None
+        and not layer0_fused_ok
+        and _on_tpu()
+    ):
+        _log_fused_fallback(
+            "fused encode+layer-0", "shape exceeds the kernel's VMEM budget",
+            n_steps=cfg.int_time_steps, n_features=cfg.input_size,
+            hidden=first_cfg.output_size,
+        )
     if encode_on_device_ok and (
         layer0_fused_ok
         or encode_matmul_supported(cfg.int_time_steps, first_cfg.output_size)
@@ -449,10 +485,18 @@ def _head_fusible(cfg: SNNConfig, enc) -> bool:
         return False
     if type(last_cfg) is not ReadoutConfig:
         return False
-    return fused_head_supported(
+    ok = fused_head_supported(
         cfg.int_time_steps, cfg.input_size, first_cfg.output_size,
         last_cfg.output_size,
     )
+    if not ok and _on_tpu():
+        _log_fused_fallback(
+            "fused whole-network head",
+            "shape exceeds the kernel's VMEM budget",
+            n_steps=cfg.int_time_steps, n_features=cfg.input_size,
+            hidden=first_cfg.output_size, n_out=last_cfg.output_size,
+        )
+    return ok
 
 
 def forward_logits_pixels(

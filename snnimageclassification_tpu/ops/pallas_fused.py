@@ -382,7 +382,10 @@ def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
     if head:
         # Boundary row of the DELTA residual: z is never stored by the
         # head forward; z_{t-1} is recomputed as (delta_{t-1} >= 0),
-        # which is sign-exact even with bf16 trace storage.
+        # which is sign-exact even with bf16 trace storage.  (Caveat: an
+        # f32 delta in the denormal range (-9e-41, 0) rounds to bf16 -0.0
+        # and -0.0 >= 0 flips the recomputed spike; unreachable for real
+        # membrane dynamics, where |delta| is O(0.1).)
         resb_ref = refs[i]; i += 1
         z_ref = zb_ref = None
     else:

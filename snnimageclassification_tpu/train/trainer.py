@@ -248,6 +248,14 @@ class Trainer:
                     cfg, params, x, enc, return_hidden=True
                 )
                 logits = model_lib.prediction_logits(cfg, trace)
+                # Weight-0 padding rows (remainder-batch / mesh padding)
+                # must not contribute spikes to the regularizer: mask the
+                # hidden traces by the per-sample weights so the reg term
+                # and its gradient stay exact regardless of padding.
+                hidden = jax.tree.map(
+                    lambda t: t * w.reshape((-1,) + (1,) * (t.ndim - 1)),
+                    hidden,
+                )
                 return criterion(logits, y, w) + reg_fn(hidden), logits
             # Single-hidden-layer models fuse the whole network (encode ->
             # scan -> readout -> max) into one kernel pair on TPU.
@@ -287,19 +295,36 @@ class Trainer:
             train_step = jax.jit(train_step_fn, donate_argnums=(0, 1))
             eval_step = jax.jit(eval_step_fn)
 
-        # Whole-epoch variants (single-device, device-resident dataset):
-        # one dispatch per EPOCH instead of ~5 relay round trips per batch
-        # (index transfer, two gathers, weights, step).  On relay-attached
-        # TPUs each round trip costs ~30 ms, which dominates small-epoch
-        # fits; a lax.scan over the shuffled index matrix keeps the whole
-        # epoch on device.  Identical math and batch order.
+        # Whole-epoch variants (device-resident dataset): one dispatch per
+        # EPOCH instead of ~5 relay round trips per batch (index transfer,
+        # two gathers, weights, step).  On relay-attached TPUs each round
+        # trip costs ~30 ms, which dominates small-epoch fits; a lax.scan
+        # over the shuffled index matrix keeps the whole epoch on device.
+        # Identical math and batch order.
+        #
+        # Under a mesh the dataset lives replicated in HBM and each
+        # scanned batch is resharded onto the "data" axis with a sharding
+        # constraint -- a replicated->sharded transition is a local slice,
+        # so GSPMD runs the step data-parallel with only the gradient
+        # all-reduce crossing chips, exactly like the per-batch path.
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharded
+
+            _bsh_epoch = batch_sharded(self.mesh)
+
+            def shard_b(t):
+                return jax.lax.with_sharding_constraint(t, _bsh_epoch)
+        else:
+            def shard_b(t):
+                return t
+
         def train_epoch_fn(params, opt_state, x_all, y_all, idx_mat, w_mat):
             def body(carry, batch):
                 p, o = carry
                 idx, w = batch
                 p, o, loss = train_step_fn(
-                    p, o, jnp.take(x_all, idx, axis=0),
-                    jnp.take(y_all, idx, axis=0), w,
+                    p, o, shard_b(jnp.take(x_all, idx, axis=0)),
+                    shard_b(jnp.take(y_all, idx, axis=0)), shard_b(w),
                 )
                 return (p, o), loss
 
@@ -311,9 +336,10 @@ class Trainer:
         def eval_epoch_fn(params, x_all, y_all, idx_mat, w_mat):
             def body(_, batch):
                 idx, w = batch
-                y = jnp.take(y_all, idx, axis=0)
+                w = shard_b(w)
+                y = shard_b(jnp.take(y_all, idx, axis=0))
                 loss, preds = eval_step_fn(
-                    params, jnp.take(x_all, idx, axis=0), y, w
+                    params, shard_b(jnp.take(x_all, idx, axis=0)), y, w
                 )
                 return 0, (loss, jnp.sum((preds == y) * w), jnp.sum(w))
 
@@ -326,7 +352,18 @@ class Trainer:
             train_epoch = jax.jit(train_epoch_fn, donate_argnums=(0, 1))
             eval_epoch = jax.jit(eval_epoch_fn)
         else:
-            train_epoch = eval_epoch = None  # mesh path stays per-batch
+            repl = replicated(self.mesh)
+            train_epoch = jax.jit(
+                train_epoch_fn,
+                in_shardings=(repl,) * 6,
+                out_shardings=(repl, repl, repl),
+                donate_argnums=(0, 1),
+            )
+            eval_epoch = jax.jit(
+                eval_epoch_fn,
+                in_shardings=(repl,) * 5,
+                out_shardings=(repl, repl, repl),
+            )
         return train_step, eval_step, train_epoch, eval_epoch
 
     def _prep_batch(self, x: np.ndarray, y: np.ndarray, target: int = 0):
@@ -519,12 +556,17 @@ class Trainer:
 
     def _epoch_index_matrix(self, loader):
         """(n_batches, batch_size) index + weight matrices for one epoch
-        (shuffled when the loader shuffles; weight-0 padding rows)."""
+        (shuffled when the loader shuffles; weight-0 padding rows; batch
+        rows additionally padded to a multiple of the mesh size)."""
         from ..data.device_cache import pad_rows
 
+        target = loader.batch_size
+        if self.mesh is not None:
+            n_dev = self.mesh.size
+            target = -(-target // n_dev) * n_dev
         idxs, ws = [], []
         for idx in loader.iter_indices():
-            p, w = pad_rows(np.asarray(idx), loader.batch_size)
+            p, w = pad_rows(np.asarray(idx), target)
             idxs.append(p)
             ws.append(w)
         return (
@@ -533,7 +575,7 @@ class Trainer:
         )
 
     def _epoch_eligible(self, loader) -> bool:
-        return self.mesh is None and self.device_data.fits(loader)
+        return self.device_data.fits(loader)
 
     def _exec_phase(self, train_loader, val_loader):
         """One train epoch + one val epoch (snn.py:352-365).
@@ -552,13 +594,13 @@ class Trainer:
         if self._epoch_eligible(train_loader) and self._epoch_eligible(val_loader):
             train_epoch = self._steps_for(train_loader.encode_config)[2]
             eval_epoch = self._steps_for(val_loader.encode_config)[3]
-            x_tr, y_tr = self.device_data.arrays(train_loader)
+            x_tr, y_tr = self.device_data.arrays(train_loader, self.mesh)
             ti, tw = self._epoch_index_matrix(train_loader)
             self.params, self.opt_state, train_losses = train_epoch(
                 self.params, self.opt_state, x_tr, y_tr,
                 jnp.asarray(ti), jnp.asarray(tw),
             )
-            x_va, y_va = self.device_data.arrays(val_loader)
+            x_va, y_va = self.device_data.arrays(val_loader, self.mesh)
             vi, vw = self._epoch_index_matrix(val_loader)
             val_losses, v_corr, v_tot = eval_epoch(
                 self.params, x_va, y_va, jnp.asarray(vi), jnp.asarray(vw)
@@ -608,15 +650,18 @@ class Trainer:
         self._ensure_optimizer_any()
         if not verbose and self._epoch_eligible(dataloader):
             eval_epoch = self._steps_for(dataloader.encode_config)[3]
-            x_all, y_all = self.device_data.arrays(dataloader)
+            x_all, y_all = self.device_data.arrays(dataloader, self.mesh)
             mi, mw = self._epoch_index_matrix(dataloader)
             _, corr, tot = eval_epoch(
                 self.params, x_all, y_all, jnp.asarray(mi), jnp.asarray(mw)
             )
-            return int(corr) / max(int(tot), 1)
+            # corr/tot are f32 weight sums; round (not truncate) so the
+            # counts stay exact past f32's 2^24 integer range.
+            return round(float(corr)) / max(round(float(tot)), 1)
         eval_step = self._steps_for(dataloader.encode_config)[1]
-        n_correct = 0
-        n_total = 0
+        # Accumulate correct/total on device; ONE host sync at the end
+        # instead of two ~30 ms relay round trips per batch.
+        correct, total = [], []
         batches = self._prefetched(dataloader)
         if verbose:
             from tqdm.auto import tqdm
@@ -624,9 +669,13 @@ class Trainer:
             batches = tqdm(batches, total=len(dataloader), desc=desc)
         for xb, yb, wb in batches:
             _, preds = eval_step(self.params, xb, yb, wb)
-            n_correct += int(jnp.sum((preds == yb) * wb))
-            n_total += int(jnp.sum(wb))
-        return n_correct / max(n_total, 1)
+            correct.append(jnp.sum((preds == yb) * wb))
+            total.append(jnp.sum(wb))
+        if not correct:
+            return 0.0
+        stats = np.asarray(jnp.stack([jnp.sum(jnp.stack(correct)),
+                                      jnp.sum(jnp.stack(total))]))
+        return round(float(stats[0])) / max(round(float(stats[1])), 1)
 
     def compute_confusion_matrix(
         self,
@@ -652,17 +701,21 @@ class Trainer:
         self._ensure_optimizer_any()
         eval_step = self._steps_for(dataloader.encode_config)[1]
         cm = np.zeros((nb_classes, nb_classes))
+        # Scatter into the (C, C) matrix ON DEVICE per batch and fetch the
+        # finished matrix once -- per-batch pred fetches pay a ~30 ms
+        # relay round trip each.
+        cm_dev = jnp.zeros((nb_classes, nb_classes), jnp.float32)
+        scatter = jax.jit(
+            lambda cm_d, y, p, w: cm_d.at[y, p].add(w)
+        )
+        ran = False
         for xb, yb, wb in self._prefetched(dataloader):
             _, preds = eval_step(self.params, xb, yb, wb)
-            mask = np.asarray(wb) > 0  # exclude mesh padding rows
-            np.add.at(
-                cm,
-                (
-                    np.asarray(yb)[mask].astype(int),
-                    np.asarray(preds)[mask].astype(int),
-                ),
-                1,
-            )
+            # weight-0 padding rows scatter with weight 0: exact.
+            cm_dev = scatter(cm_dev, yb, preds, wb)
+            ran = True
+        if ran:
+            cm += np.asarray(cm_dev).round()
         return cm
 
     # -- checkpointing ------------------------------------------------------------

@@ -96,12 +96,25 @@ def test_accuracy_exact_with_remainder_batches():
     assert acc == pytest.approx(expect)
 
 
-def test_epoch_scan_matches_per_batch_path(tmp_path):
+@pytest.mark.parametrize("use_mesh", [False, True], ids=["single", "mesh8"])
+def test_epoch_scan_matches_per_batch_path(tmp_path, use_mesh):
     """The whole-epoch lax.scan fit path (one dispatch per epoch) produces
     the same loss history and val accuracy as the per-batch path -- the
-    same iter_indices() shuffle drives both."""
+    same iter_indices() shuffle drives both.  Parameterized over the
+    8-virtual-device data mesh: the epoch scan runs data-parallel there
+    too (replicated HBM dataset, per-batch reshard onto the data axis)."""
+    import jax
+
     from snnimageclassification_tpu.models.config import SNNConfig
     from snnimageclassification_tpu.train.trainer import Trainer
+
+    mesh = None
+    if use_mesh:
+        from snnimageclassification_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs the 8-virtual-device conftest")
+        mesh = make_mesh()
 
     rng = np.random.default_rng(0)
     x = rng.random((50, 6)).astype(np.float32)
@@ -110,11 +123,11 @@ def test_epoch_scan_matches_per_batch_path(tmp_path):
     cfg = SNNConfig(input_size=6, output_size=3, n_hidden_neurons=8,
                     int_time_steps=4)
 
-    def run(limit):
+    def run(limit, tag):
         tr_loader = ArrayDataLoader(x[:40], y[:40], 16, shuffle=True,
                                     seed=5, encode_config=enc)
         va_loader = ArrayDataLoader(x[40:], y[40:], 16, encode_config=enc)
-        t = Trainer(cfg, checkpoint_folder=str(tmp_path / f"l{limit}"))
+        t = Trainer(cfg, checkpoint_folder=str(tmp_path / tag), mesh=mesh)
         t.device_data.limit_bytes = limit
         t.async_checkpointing = False
         hist = t.fit(tr_loader, va_loader, nb_epochs=3, force_overwrite=True)
@@ -122,11 +135,23 @@ def test_epoch_scan_matches_per_batch_path(tmp_path):
                 [float(v) for v in hist["val"]],
                 t.compute_classification_accuracy(va_loader))
 
-    scan_path = run(512 * 1024 * 1024)  # device cache fits -> epoch scan
-    batch_path = run(1)                  # forced host streaming per batch
+    scan_path = run(512 * 1024 * 1024, "scan")  # cache fits -> epoch scan
+    batch_path = run(1, "batch")            # forced host streaming per batch
     np.testing.assert_allclose(scan_path[0], batch_path[0], rtol=1e-6)
     np.testing.assert_allclose(scan_path[1], batch_path[1], rtol=1e-6)
     assert scan_path[2] == pytest.approx(batch_path[2])
+    if use_mesh:
+        # Mesh epoch scan == single-device epoch scan, bitwise-comparable
+        # numerics (DP only changes the reduction layout).
+        t_single = Trainer(cfg, checkpoint_folder=str(tmp_path / "sd"))
+        t_single.async_checkpointing = False
+        tr_loader = ArrayDataLoader(x[:40], y[:40], 16, shuffle=True,
+                                    seed=5, encode_config=enc)
+        va_loader = ArrayDataLoader(x[40:], y[40:], 16, encode_config=enc)
+        hist = t_single.fit(tr_loader, va_loader, nb_epochs=3,
+                            force_overwrite=True)
+        np.testing.assert_allclose(
+            scan_path[0], [float(v) for v in hist["train"]], rtol=1e-5)
 
 
 def test_host_snapshot_roundtrip_dtypes():

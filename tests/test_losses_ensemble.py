@@ -62,6 +62,36 @@ class TestSpikeRegularizers:
                               force_overwrite=True, verbose=False)
         assert np.isfinite(history["train"]).all()
 
+    def test_regularizer_ignores_padding_rows(self, tmp_path):
+        """Weight-0 padding rows (remainder-batch / mesh padding) must not
+        inflate the regularization term: the trainer masks the hidden
+        traces by the sample weights before reg_fn."""
+        cfg = st.SNNConfig(
+            input_size=16, output_size=4, n_hidden_neurons=8,
+            hidden_layer_type=st.LayerType.ALIF,
+            use_recurrent_connection=False, int_time_steps=3,
+        )
+        trainer = Trainer(
+            cfg, checkpoint_folder=str(tmp_path / "ck"),
+            reg_fn=L.l1_total_spike_count,
+        )
+        trainer._ensure_optimizer_any()
+        enc = EncodeConfig(n_steps=3, use_periods=False)
+        eval_step = trainer._steps_for(enc)[1]
+        rng = np.random.default_rng(0)
+        x = rng.random((5, 16)).astype(np.float32)
+        y = (np.arange(5) % 4).astype(np.int32)
+        w = np.ones(5, np.float32)
+        loss_plain, _ = eval_step(trainer.params, x, y, w)
+        # Pad with duplicated rows at weight 0 (what _prep_batch does).
+        xp = np.concatenate([x, x[:3]])
+        yp = np.concatenate([y, y[:3]])
+        wp = np.concatenate([w, np.zeros(3, np.float32)])
+        loss_padded, _ = eval_step(trainer.params, xp, yp, wp)
+        np.testing.assert_allclose(
+            float(loss_padded), float(loss_plain), rtol=1e-6
+        )
+
 
 class TestEnsemble:
     def _loader(self, n=128, seed=0):
@@ -108,16 +138,36 @@ class TestEnsemble:
         assert accs.shape == (3,)
         assert (accs > 0.3).all()
 
+    def test_ensemble_early_stopping_underfull_window_stops_first_epoch(self):
+        """Same oracle as Trainer: the reference's plateau detector
+        (snn.py:272-278) evaluates True on an under-full window
+        (``np.all([]) is True``), so ``early_stopping=True`` stops the
+        ensemble after the first epoch too."""
+        cfg = self._cfg()
+        ens = EnsembleTrainer(cfg, seeds=[0, 1])
+        loader = self._loader()
+        histories = ens.fit(
+            loader, loader, nb_epochs=6, early_stopping=True, verbose=False
+        )
+        assert all(len(h["val"]) == 1 for h in histories)
+
     def test_ensemble_on_mesh(self):
+        """Mesh ensemble (now on the whole-epoch scan path) matches the
+        single-device ensemble on identical data order."""
         cfg = self._cfg()
         mesh = make_mesh()
         ens = EnsembleTrainer(cfg, seeds=[0, 1], mesh=mesh)
-        loader = self._loader()
-        losses = ens.train_epoch(loader)
+        losses = ens.train_epoch(self._loader())
         assert losses.shape == (2,)
         assert np.isfinite(losses).all()
-        accs = ens.accuracies(loader)
+        accs = ens.accuracies(self._loader())
         assert accs.shape == (2,)
+
+        ens_sd = EnsembleTrainer(cfg, seeds=[0, 1])
+        losses_sd = ens_sd.train_epoch(self._loader())
+        accs_sd = ens_sd.accuracies(self._loader())
+        np.testing.assert_allclose(losses, losses_sd, rtol=1e-5)
+        np.testing.assert_allclose(accs, accs_sd, rtol=1e-6)
 
     def test_ensemble_fit_matches_sequential_fits(self, tmp_path):
         """One vmapped N-seed fit == N sequential Trainer fits with the

@@ -284,3 +284,27 @@ def test_matmul_dtype_bf16_close_to_f32():
     g = jax.grad(lambda p: jnp.sum(M.forward_logits(cfg16, p, x) ** 2))(params)
     assert float(jnp.linalg.norm(g["input"]["w_in"])) > 0
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_fused_fallback_is_logged(monkeypatch, caplog):
+    """A shape past the fused kernels' VMEM budget must log the fallback
+    (no silent perf cliff) -- once per distinct config."""
+    import logging
+
+    monkeypatch.setattr(M, "_on_tpu", lambda: True)
+    M._fallback_logged.clear()
+    from snnimageclassification_tpu.data.datasets import EncodeConfig
+
+    # 8192-wide input: W_in block alone is ~64 MB >> the 4 MB VMEM gate.
+    cfg = SNNConfig(
+        input_size=8192, output_size=10, n_hidden_neurons=2048,
+        int_time_steps=4,
+    )
+    enc = EncodeConfig(n_steps=4, use_periods=False)
+    with caplog.at_level(logging.INFO,
+                         logger="snnimageclassification_tpu.models.snn"):
+        assert not M._head_fusible(cfg, enc)
+        assert not M._head_fusible(cfg, enc)  # second call: no re-log
+    msgs = [r.message for r in caplog.records if "falling back" in r.message]
+    assert len(msgs) == 1
+    assert "VMEM" in msgs[0]

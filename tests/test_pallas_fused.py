@@ -223,9 +223,13 @@ HEAD_CASES = [
     ("alif-rec-ttfs", True, True, False, SpikeFuncType.FastSigmoid, 12),
     ("alif-ff-periodic", True, False, True, SpikeFuncType.FastSigmoid, 12),
     ("lif-rec-phi", False, True, True, SpikeFuncType.Phi, 12),
+    # ALIF+Phi: the only head branch storing the adaptation trace
+    # (n_trace=2) AND using the dynamic-threshold surrogate scale.
+    ("alif-rec-phi", True, True, False, SpikeFuncType.Phi, 12),
     # 2 time blocks: the s-chain and tstar routing cross block boundaries.
     ("alif-rec-2blocks", True, True, False, SpikeFuncType.FastSigmoid, 24),
     ("lif-ff-2blocks", False, False, True, SpikeFuncType.FastSigmoid, 24),
+    ("alif-ff-phi-2blocks", True, False, True, SpikeFuncType.Phi, 24),
 ]
 
 
@@ -285,10 +289,16 @@ def test_fused_head_logits_and_grads(name, alif, rec, use_periods,
             w_in, w_out, b_out
         )
         names = ("w_in", "w_out", "b_out")
+    # ALIF+Phi divides the surrogate by the *dynamic* threshold (A + eps,
+    # A = theta + beta*a ~ 0.03): per-element denominators amplify f32
+    # reduction-order noise to ~1e-5 of each tensor's max (still well
+    # inside the <=1e-4 parity standard, PARITY.md).  Other branches hold
+    # 2e-6.
+    g_atol = 2e-5 if (alif and spike_func == SpikeFuncType.Phi) else 2e-6
     for pname, a, b in zip(names, g_got, g_ref):
         scale = max(float(jnp.max(jnp.abs(b))), 1e-12)
         np.testing.assert_allclose(
-            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-6,
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=g_atol,
             err_msg=f"{name} {pname}",
         )
 

@@ -114,6 +114,26 @@ class TestFit:
         trainer.loss_history.concat({"val": [0.5]})
         assert not trainer._check_early_stopping(patience=5)
 
+    def test_early_stopping_underfull_window_stops_first_epoch(self, tmp_path):
+        """Reference quirk: with fewer than 2 val losses the diff window
+        is empty and ``np.all([]) is True`` (snn.py:272-278), so
+        ``early_stopping=True`` stops after the FIRST epoch regardless of
+        the losses.  Pinned at the detector level and end to end."""
+        cfg = _mk_cfg(tmp_path)
+        trainer = Trainer(cfg, checkpoint_folder=str(tmp_path / "ck"), seed=0)
+        trainer.loss_history.concat({"val": [123.0]})  # steep, single entry
+        assert trainer._check_early_stopping(patience=5)
+
+        trainer2 = Trainer(
+            _mk_cfg(tmp_path), checkpoint_folder=str(tmp_path / "ck2"), seed=0
+        )
+        train, val = _toy_loaders()
+        history = trainer2.fit(
+            train, val, nb_epochs=8, force_overwrite=True,
+            early_stopping=True, verbose=False,
+        )
+        assert len(history["val"]) == 1
+
     def test_best_epoch_reload_gives_best_val(self, tmp_path):
         cfg = _mk_cfg(tmp_path)
         folder = str(tmp_path / "ck")
