@@ -245,3 +245,93 @@ class TestFetchDatasets:
         assert raw["x_train"].shape == (6, 784)
         assert raw["source"].endswith("mnist.npz")
         np.testing.assert_array_equal(raw["y_test"], labels[:2])
+
+
+class TestBaselineHarness:
+    """scripts/run_baseline_configs.py runs offline against fabricated
+    IDX files -- keeps the published-parity runs a zero-thought command
+    the moment real data appears."""
+
+    def _fabricate(self, tmp_path):
+        rng = np.random.default_rng(0)
+        for sub in ("mnist", "fashion-mnist"):
+            root = tmp_path / sub
+            root.mkdir()
+            imgs = rng.integers(0, 256, (40, 28, 28)).astype(np.uint8)
+            labels = (np.arange(40) % 10).astype(np.uint8)
+            _write_idx(root / "train-images-idx3-ubyte", imgs)
+            _write_idx(root / "train-labels-idx1-ubyte", labels)
+            _write_idx(root / "t10k-images-idx3-ubyte", imgs[:10])
+            _write_idx(root / "t10k-labels-idx1-ubyte", labels[:10])
+
+    def test_config_list_covers_baseline(self):
+        import sys
+        sys.path.insert(0, "scripts")
+        from run_baseline_configs import baseline_configs
+
+        cfgs = baseline_configs(epochs=None)
+        names = [n for n, _ in cfgs]
+        assert names[0].startswith("1-mnist-ff-lif128")
+        assert any(n.startswith("2-") for n in names)
+        assert any(n.startswith("3-fmnist") for n in names)
+        assert sum(n.startswith("4-grid") for n in names) == 8
+        assert names[-1] == "5-readme-example"
+        # README example keeps the reference's quirky fast config.
+        readme = dict(cfgs)[names[-1]]
+        assert readme["n_steps"] == 2
+        assert readme["train_val_split_ratio"] == 0.95
+        assert readme["nb_epochs"] == 30
+
+    def test_runs_on_fabricated_idx(self, tmp_path, monkeypatch):
+        import sys
+        sys.path.insert(0, "scripts")
+        import run_baseline_configs as rbc
+
+        self._fabricate(tmp_path)
+
+        class Args:
+            epochs = 1
+            seeds = ""
+            configs = "1,5"
+            batch_size = 16
+            data_dir = str(tmp_path)
+            data_folder = str(tmp_path / "runs")
+            digits = False
+            verbose = False
+
+        # Shrink the T=100 config for CI speed; the data plumbing --
+        # allow_synthetic=False against the fabricated folder -- is the
+        # thing under test.
+        orig = rbc.baseline_configs
+
+        def small(epochs, digits=False):
+            cfgs = orig(epochs, digits)
+            for _, p in cfgs:
+                p["n_steps"] = min(p["n_steps"], 3)
+            return cfgs
+
+        monkeypatch.setattr(rbc, "baseline_configs", small)
+        rows = rbc.run(Args())
+        assert len(rows) == 2
+        for row in rows:
+            assert 0.0 <= row["accuracies"]["test"] <= 1.0
+            assert row["published_test_acc"] is not None
+            assert row["delta_vs_published"] is not None
+
+    def test_fails_loudly_without_data(self, tmp_path):
+        import sys
+        sys.path.insert(0, "scripts")
+        import run_baseline_configs as rbc
+
+        class Args:
+            epochs = 1
+            seeds = ""
+            configs = "1"
+            batch_size = 16
+            data_dir = str(tmp_path / "empty")
+            data_folder = str(tmp_path / "runs")
+            digits = False
+            verbose = False
+
+        with pytest.raises(FileNotFoundError):
+            rbc.run(Args())
