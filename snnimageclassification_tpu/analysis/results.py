@@ -22,6 +22,8 @@ __all__ = [
     "bar_data",
     "box_plot_data",
     "pairwise_data",
+    "stat_data",
+    "ols_stats",
     "pairwise_comparison_stats",
     "plot_bar_result",
     "box_plot_accuracy",
@@ -137,6 +139,64 @@ def pairwise_data(results, dataset_name: str, param_name: str, ydata_name: str):
             ydata_name
         ].tolist()
     return columns
+
+
+def stat_data(results, dataset_name: str, ydata: str = "test_accuracy"):
+    """Design matrix + targets for statistical analysis -- the counterpart
+    of ``make_data_for_stat`` (result_methods.py:230-239).
+
+    Binary/ordinal-encodes the grid parameters: periods/recurrence map
+    True/False -> 1/0, dynamics LIF/ALIF -> 0/1, and hidden sizes map to
+    their rank among the sweep's sorted unique values (the reference
+    hardcodes {100: 0, 200: 1} -- its grid's two sizes; rank encoding is
+    the same numbers for that grid and stays defined for any other).
+    Returns ``(X: dict of column lists, y: list)``.
+    """
+    rows = _select_dataset(results, dataset_name)
+    sizes = sorted(rows["n_hidden_neurons"].unique())
+    X = {
+        "to_spikes_use_periods": [
+            1 if v else 0 for v in rows["to_spikes_use_periods"]
+        ],
+        "hidden_layer_type": [
+            1 if str(v).endswith("ALIF") else 0
+            for v in rows["hidden_layer_type"]
+        ],
+        "use_recurrent_connection": [
+            1 if v else 0 for v in rows["use_recurrent_connection"]
+        ],
+        "n_hidden_neurons": [
+            sizes.index(v) for v in rows["n_hidden_neurons"]
+        ],
+    }
+    return X, rows[ydata].tolist()
+
+
+def ols_stats(results, dataset_name: str, ydata: str = "test_accuracy"):
+    """Working version of the reference's commented-out OLS
+    (``statistical_analysis_model``, result_methods.py:242-245): ordinary
+    least squares of ``ydata`` on the :func:`stat_data` design matrix with
+    an intercept, via ``numpy.linalg.lstsq`` (no statsmodels dependency).
+
+    Returns ``{"params": {name: coef}, "r_squared": float, "n": int}`` --
+    the coefficient per grid parameter quantifies its accuracy effect
+    (the README ablation claims, README.md:13-16, in regression form).
+    """
+    X, y = stat_data(results, dataset_name, ydata)
+    names = ["const"] + list(X)
+    y_arr = np.asarray(y, np.float64)
+    mat = np.column_stack(
+        [np.ones(len(y_arr))] + [np.asarray(col, np.float64) for col in X.values()]
+    )
+    coef, *_ = np.linalg.lstsq(mat, y_arr, rcond=None)
+    resid = y_arr - mat @ coef
+    ss_tot = float(np.sum((y_arr - y_arr.mean()) ** 2))
+    r2 = 1.0 - float(np.sum(resid**2)) / ss_tot if ss_tot > 0 else float("nan")
+    return {
+        "params": dict(zip(names, coef.tolist())),
+        "r_squared": r2,
+        "n": len(y_arr),
+    }
 
 
 def pairwise_comparison_stats(results, dataset_name: str):

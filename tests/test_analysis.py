@@ -103,3 +103,24 @@ def test_figures_render(tmp_path, df):
     R.pairwise_comparison(df, "MNIST", save_path=str(tmp_path / "pair.png"))
     for name in ("bar.png", "box.png", "pair.png"):
         assert (tmp_path / name).stat().st_size > 0
+
+
+def test_stat_data_encoding(df):
+    X, y = R.stat_data(df, "MNIST")
+    assert len(y) == 8
+    assert set(X) == {"to_spikes_use_periods", "hidden_layer_type",
+                      "use_recurrent_connection", "n_hidden_neurons"}
+    assert set(X["to_spikes_use_periods"]) == {0, 1}
+    assert set(X["hidden_layer_type"]) == {1}  # all ALIF in the fixture
+    assert set(X["n_hidden_neurons"]) == {0, 1}  # rank of 64/128
+
+
+def test_ols_recovers_planted_effects(df):
+    """The fixture plants test_acc = 0.87 - 0.2*rec - 0.05*periods; the
+    OLS coefficients must recover exactly those effects (exact fit)."""
+    out = R.ols_stats(df, "MNIST")
+    assert out["n"] == 8
+    assert out["params"]["use_recurrent_connection"] == pytest.approx(-0.2)
+    assert out["params"]["to_spikes_use_periods"] == pytest.approx(-0.05)
+    assert out["params"]["n_hidden_neurons"] == pytest.approx(0.0, abs=1e-9)
+    assert out["r_squared"] == pytest.approx(1.0)
