@@ -184,17 +184,29 @@ def main():
                 logits = M.forward_logits(cfg, p, spikes)
                 return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(64), y])
 
+            def loss_head(p, cfg=cfg, enc=enc):
+                # Routes through the whole-network Izhikevich head kernel
+                # (ops/pallas_fused_izh.py head variants).
+                logits = M.forward_logits_pixels(cfg, p, x, enc)
+                return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(64), y])
+
             name = f"fused_izh rec={rec} periods={use_periods} T={n_steps}"
             ok &= check(f"{name} loss", jax.jit(loss_fused)(params),
                         jax.jit(loss_ref)(params), atol=1e-5)
+            ok &= check(f"{name} head loss", jax.jit(loss_head)(params),
+                        jax.jit(loss_ref)(params), atol=1e-5)
             gf = jax.jit(jax.grad(loss_fused))(params)
             gr = jax.jit(jax.grad(loss_ref))(params)
+            gh = jax.jit(jax.grad(loss_head))(params)
             for path, gp in jax.tree_util.tree_leaves_with_path(gf):
-                gx = gr
+                gx, ghh = gr, gh
                 for kk in path:
                     gx = gx[kk.key]
+                    ghh = ghh[kk.key]
                 ok &= check(f"{name} grad {jax.tree_util.keystr(path)}",
                             gp, gx, atol=1e-4)
+                ok &= check(f"{name} head grad {jax.tree_util.keystr(path)}",
+                            ghh, gx, atol=1e-4)
 
     print("PARITY", "PASS" if ok else "FAIL")
     return 0 if ok else 1

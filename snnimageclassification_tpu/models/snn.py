@@ -466,10 +466,16 @@ def apply_pixels(
 
 def _head_fusible(cfg: SNNConfig, enc) -> bool:
     """Whole-network fusion (encode -> hidden scan -> readout -> max) is
-    available for single-hidden-layer LIF/ALIF classifiers with the
-    default max-over-time readout on TPU float32 compute."""
-    from ..ops.cells import ALIFConfig, LIFConfig, ReadoutConfig
+    available for single-hidden-layer LIF/ALIF/Izhikevich classifiers with
+    the default max-over-time readout on TPU float32 compute."""
+    from ..ops.cells import (
+        ALIFConfig,
+        IzhikevichConfig,
+        LIFConfig,
+        ReadoutConfig,
+    )
     from ..ops.pallas_fused import fused_head_supported
+    from ..ops.pallas_fused_izh import fused_izh_head_supported
 
     if not (cfg.use_pallas and jnp.dtype(cfg.compute_dtype) == jnp.float32):
         return False
@@ -481,11 +487,16 @@ def _head_fusible(cfg: SNNConfig, enc) -> bool:
     if len(layer_cfgs) != 2:
         return False
     first_cfg, last_cfg = layer_cfgs[0][1], layer_cfgs[1][1]
-    if type(first_cfg) not in (LIFConfig, ALIFConfig):
+    if type(first_cfg) not in (LIFConfig, ALIFConfig, IzhikevichConfig):
         return False
     if type(last_cfg) is not ReadoutConfig:
         return False
-    ok = fused_head_supported(
+    supported_fn = (
+        fused_izh_head_supported
+        if type(first_cfg) is IzhikevichConfig
+        else fused_head_supported
+    )
+    ok = supported_fn(
         cfg.int_time_steps, cfg.input_size, first_cfg.output_size,
         last_cfg.output_size,
     )
@@ -505,14 +516,15 @@ def forward_logits_pixels(
     """Raw pixels ``(B, F)`` -> class logits, with the encoding inside the
     graph.
 
-    On TPU, single-hidden-layer LIF/ALIF models with the max-over-time
-    readout run as ONE Pallas kernel pair covering the entire network
-    (ops/pallas_fused.py head variants): neither the (T, B, H0) currents,
-    the (T, B, O) readout trace, nor the (T, B, H0) spike-trace cotangent
-    ever exist in HBM.  Everything else composes :func:`apply_pixels` with
+    On TPU, single-hidden-layer LIF/ALIF/Izhikevich models with the
+    max-over-time readout run as ONE Pallas kernel pair covering the
+    entire network (ops/pallas_fused.py / pallas_fused_izh.py head
+    variants): neither the (T, B, H0) currents, the (T, B, O) readout
+    trace, nor the (T, B, H0) spike-trace cotangent ever exist in HBM.
+    Everything else composes :func:`apply_pixels` with
     :func:`prediction_logits` -- identical semantics.
     """
-    from ..ops.cells import ALIFConfig
+    from ..ops.cells import ALIFConfig, IzhikevichConfig
     from ..ops.encoding import pixels_to_firing_periods
     from ..ops.pallas_fused import (
         fused_encode_ff_scan_head,
@@ -536,6 +548,19 @@ def forward_logits_pixels(
     w0 = lparams0["w_in"].astype(matmul_dtype)
     w_out = params[last_name]["w_in"].astype(matmul_dtype)
     b_out = params[last_name]["b"]
+    if type(first_cfg) is IzhikevichConfig:
+        from ..ops.pallas_fused_izh import fused_encode_izh_scan_head
+        from ..ops.pallas_izh import izh_kernel_params
+
+        w_rec_eff = masked_recurrent(first_cfg, lparams0)
+        if w_rec_eff is not None:
+            w_rec_eff = w_rec_eff.astype(matmul_dtype)
+        return fused_encode_izh_scan_head(
+            latencies, w0, w_rec_eff, w_out, b_out,
+            izh_kernel_params(first_cfg), cfg.int_time_steps,
+            enc.use_periods, first_cfg.gamma, last_cfg.kappa,
+            first_cfg.spike_func,
+        )
     alif = type(first_cfg) is ALIFConfig
     beta = (
         (lparams0["beta"] if first_cfg.learn_beta else first_cfg.beta)

@@ -36,7 +36,12 @@ from .pallas_fused import (
 from .pallas_scan import _surrogate_grad, _time_block, _zprev_k
 from .surrogate import SpikeFuncType
 
-__all__ = ["fused_encode_izh_scan", "fused_izh_supported"]
+__all__ = [
+    "fused_encode_izh_scan",
+    "fused_encode_izh_scan_head",
+    "fused_izh_supported",
+    "fused_izh_head_supported",
+]
 
 
 def fused_izh_supported(n_steps: int, n_features: int, hidden: int) -> bool:
@@ -44,13 +49,35 @@ def fused_izh_supported(n_steps: int, n_features: int, hidden: int) -> bool:
     return fused_supported(n_steps, n_features, hidden)
 
 
+def fused_izh_head_supported(
+    n_steps: int, n_features: int, hidden: int, n_out: int
+) -> bool:
+    """Head variant: W_out + (bb, o_pad) readout state resident like the
+    LIF/ALIF head (pallas_fused.fused_head_supported)."""
+    from .pallas_fused import _LANE
+
+    return (
+        fused_izh_supported(n_steps, n_features, hidden)
+        and -(-n_out // _LANE) * _LANE <= 512
+    )
+
+
 def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
-                    v_th, k, a, b, c, d, v_peak):
+                    v_th, k, a, b, c, d, v_peak, head=False, kappa=0.0):
     if has_w:
-        lat_ref, w_in_ref, w_rec_ref, z_ref, v_ref, v_scr, u_scr, z_scr = refs
+        lat_ref, w_in_ref, w_rec_ref, *rest = refs
     else:
-        lat_ref, w_in_ref, z_ref, v_ref, v_scr, u_scr, z_scr = refs
+        lat_ref, w_in_ref, *rest = refs
         w_rec_ref = None
+    if head:
+        # The head stores ONLY the f32 v trace: z is recomputed in the
+        # backward as (v >= v_peak) -- bit-exact, because the forward
+        # computes z from exactly the stored v.
+        (w_out_ref, b_out_ref, v_ref, logits_ref, tstar_ref,
+         v_scr, u_scr, z_scr, vr_scr, m_scr, ts_scr) = rest
+        z_ref = None
+    else:
+        z_ref, v_ref, v_scr, u_scr, z_scr = rest
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -58,11 +85,18 @@ def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
         v_scr[:] = jnp.full_like(v_scr, v_rest)  # spiking_layers.py:317-322
         u_scr[:] = jnp.zeros_like(u_scr)
         z_scr[:] = jnp.zeros_like(z_scr)
+        if head:
+            vr_scr[:] = jnp.zeros_like(vr_scr)
+            m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+            ts_scr[:] = jnp.zeros_like(ts_scr)
 
     lat = lat_ref[:]
     w_in = w_in_ref[:]
     w_rec = w_rec_ref[:] if has_w else None
-    trace_dtype = z_ref.dtype
+    if head:
+        w_out = w_out_ref[:]
+        b_out = b_out_ref[:]
+    trace_dtype = v_ref.dtype
     v_prev, u_prev, z_prev = v_scr[:], u_scr[:], z_scr[:]
     # Input currents off the serial chain (see pallas_fused.py): the K
     # spike-gen + W_in matmuls have no state dependence.
@@ -73,6 +107,7 @@ def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
         )
         for kk in range(K)
     ]
+    zs = []
     for kk in range(K):
         cur = curs[kk]
         if has_w:
@@ -83,23 +118,78 @@ def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
         dudt = a * (b * (v_prev - v_rest) - u_prev)
         u = (u_prev + dt * dudt) + d * z_prev
         z = (v >= v_peak).astype(v.dtype)
-        z_ref[kk] = z.astype(trace_dtype)
+        if head:
+            zs.append(z)
+        else:
+            z_ref[kk] = z.astype(trace_dtype)
         v_ref[kk] = v.astype(trace_dtype)
         v_prev, u_prev, z_prev = v, u, z
     v_scr[:] = v_prev
     u_scr[:] = u_prev
     z_scr[:] = z_prev
+    if head:
+        # Readout leaky integrator + running first-argmax max-over-time,
+        # identical to the LIF/ALIF head (pallas_fused._fused_fwd_kernel):
+        # the K readout matmuls batch into ONE MXU call off the serial
+        # chain; only the cheap kappa/max updates stay sequential.
+        bb_, h_ = zs[0].shape
+        z_blk = jnp.stack(zs).reshape(K * bb_, h_)
+        r_all = (
+            jnp.dot(z_blk.astype(w_out.dtype), w_out,
+                    preferred_element_type=jnp.float32) + b_out
+        ).reshape(K, bb_, -1)
+        v_r, m_run, ts_run = vr_scr[:], m_scr[:], ts_scr[:]
+        for kk in range(K):
+            v_r = kappa * v_r + r_all[kk]
+            better = v_r > m_run
+            m_run = jnp.where(better, v_r, m_run)
+            ts_run = jnp.where(better, t * K + kk, ts_run)
+        vr_scr[:] = v_r
+        m_scr[:] = m_run
+        ts_scr[:] = ts_run
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _():
+            logits_ref[:] = m_run
+            tstar_ref[:] = ts_run
 
 
 def _izh_bwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
-                    v_th, k, a, b, v_peak, gamma, spike_func):
-    if has_w:
-        (gz_ref, v_ref, z_ref, zb_ref, lat_ref, w_in_ref, w_rec_ref,
-         dwin_ref, dwr_ref, dv_scr, du_scr, gi_blk) = refs
+                    v_th, k, a, b, v_peak, gamma, spike_func, head=False,
+                    kappa=0.0):
+    i = 0
+    if head:
+        g_ref = refs[i]; i += 1
+        ts_ref = refs[i]; i += 1
+        gz_ref = None
     else:
-        (gz_ref, v_ref, z_ref, zb_ref, lat_ref, w_in_ref,
-         dwin_ref, dv_scr, du_scr, gi_blk) = refs
-        w_rec_ref = dwr_ref = None
+        gz_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    if head:
+        # z never stored: recomputed as (v >= v_peak), bit-exact against
+        # the f32 v trace; the boundary row comes from v too.
+        vb_ref = refs[i]; i += 1
+        z_ref = zb_ref = None
+    else:
+        z_ref = refs[i]; i += 1
+        zb_ref = refs[i]; i += 1
+    lat_ref = refs[i]; i += 1
+    w_in_ref = refs[i]; i += 1
+    w_rec_ref = refs[i] if has_w else None
+    i += 1 if has_w else 0
+    w_out_ref = refs[i] if head else None
+    i += 1 if head else 0
+    dwin_ref = refs[i]; i += 1
+    dwr_ref = refs[i] if has_w else None
+    i += 1 if has_w else 0
+    if head:
+        dwout_ref = refs[i]; i += 1
+        db_ref = refs[i]; i += 1
+    dv_scr = refs[i]; i += 1
+    du_scr = refs[i]; i += 1
+    gi_blk = refs[i]; i += 1
+    if head:
+        s_scr, s_blk = refs[i], refs[i + 1]
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -109,6 +199,10 @@ def _izh_bwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
         dwin_ref[0] = jnp.zeros_like(dwin_ref[0])
         if has_w:
             dwr_ref[0] = jnp.zeros_like(dwr_ref[0])
+        if head:
+            s_scr[:] = jnp.zeros_like(s_scr)
+            dwout_ref[0] = jnp.zeros_like(dwout_ref[0])
+            db_ref[0] = jnp.zeros_like(db_ref[0])
 
     is_first_block = t == pl.num_programs(1) - 1
     fwd_blk = pl.num_programs(1) - 1 - t  # forward block this grid step
@@ -117,13 +211,46 @@ def _izh_bwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
     w_rec = w_rec_ref[:] if has_w else None
     f32 = jnp.float32
     dv_next, du_next = dv_scr[:], du_scr[:]
+
+    if head:
+        # Readout cotangent chain + batched dz matmuls off the serial
+        # chain -- identical machinery to the LIF/ALIF head backward
+        # (pallas_fused._fused_bwd_kernel).
+        g = g_ref[:].astype(f32)
+        ts = ts_ref[:]
+        w_out = w_out_ref[:]
+        s_carry = s_scr[:]
+        for kk in reversed(range(K)):
+            step = fwd_blk * K + kk
+            s_carry = kappa * s_carry + g * (step == ts).astype(f32)
+            s_blk[kk] = s_carry
+        s_scr[:] = s_carry
+        K_, bb_, O_ = s_blk.shape
+        H_ = v_ref.shape[2]
+        s_flat = s_blk[:].reshape(K_ * bb_, O_)
+        dz_all = jax.lax.dot_general(
+            s_flat.astype(w_out.dtype), w_out,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ).reshape(K_, bb_, H_)
+        z_res = (v_ref[:].astype(f32) >= v_peak).astype(f32)
+        zb_row = jnp.where(
+            is_first_block, 0.0,
+            (vb_ref[0].astype(f32) >= v_peak).astype(f32),
+        )
+
+    def zres_prev(kk):
+        if head:
+            return z_res[kk - 1] if kk > 0 else zb_row
+        return _zprev_k(z_ref, zb_ref, kk, is_first_block).astype(f32)
+
     for kk in reversed(range(K)):  # reverse time inside the block
         v_t = v_ref[kk].astype(f32)
-        z_t = z_ref[kk].astype(f32)
-        z_prev = _zprev_k(z_ref, zb_ref, kk, is_first_block).astype(f32)
+        z_t = z_res[kk] if head else z_ref[kk].astype(f32)
+        z_prev = zres_prev(kk)
         not_reset_next = 1.0 - z_t  # the (1-r) factor inside step t+1
         dcur_next = dv_next * (dt / C) * not_reset_next
-        dz = gz_ref[kk].astype(f32)
+        dz = dz_all[kk] if head else gz_ref[kk].astype(f32)
         if has_w:
             dz = dz + jax.lax.dot_general(
                 dcur_next.astype(w_rec.dtype), w_rec,
@@ -143,6 +270,16 @@ def _izh_bwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
     dv_scr[:] = dv_next
     du_scr[:] = du_next
 
+    if head:
+        # Readout weight/bias partials, off the serial chain.
+        dwout_ref[0] += jax.lax.dot_general(
+            z_res.reshape(K_ * bb_, H_).astype(w_out.dtype),
+            s_flat.astype(w_out.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        db_ref[0] += jnp.sum(s_flat, axis=0, keepdims=True)
+
     # g_W_in partials against regenerated spike rows (forward step index
     # of the gi rows they pair with -- the grid walks blocks in reverse).
     for kk in range(K):
@@ -156,13 +293,21 @@ def _izh_bwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
     if has_w:
         K_, bb_, H_ = gi_blk.shape
         if K_ > 1:
+            zrows = (
+                z_res[: K_ - 1]
+                if head
+                else z_ref[: K_ - 1].astype(f32)
+            )
             dwr_ref[0] += jax.lax.dot_general(
-                z_ref[: K_ - 1].reshape((K_ - 1) * bb_, H_).astype(w_rec.dtype),
+                zrows.reshape((K_ - 1) * bb_, H_).astype(w_rec.dtype),
                 gi_blk[1:].reshape((K_ - 1) * bb_, H_).astype(w_rec.dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=f32,
             )
-        zb0 = _zprev_k(z_ref, zb_ref, 0, is_first_block)
+        zb0 = (
+            zb_row if head
+            else _zprev_k(z_ref, zb_ref, 0, is_first_block)
+        )
         dwr_ref[0] += jax.lax.dot_general(
             zb0.astype(w_rec.dtype), gi_blk[0].astype(w_rec.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -171,11 +316,12 @@ def _izh_bwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
 
 
 def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
-                  lat_prepadded=None):
+                  lat_prepadded=None, w_out=None, b_out=None, kappa=0.0):
     has_w = w_rec is not None
+    head = w_out is not None
     K = _time_block(T)
     B, F = latencies.shape
-    H, f_pad, h_pad, bb = _shapes(B, w_in, F, K)
+    H, f_pad, h_pad, bb = _shapes(B, w_in, F, K, head)
     lat = (
         lat_prepadded
         if lat_prepadded is not None
@@ -198,32 +344,73 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
     trace_dtype = jnp.float32
     kernel = functools.partial(
         _izh_fwd_kernel, K=K, n_steps=T, use_periods=use_periods,
-        has_w=has_w, **kp,
+        has_w=has_w, head=head, kappa=kappa, **kp,
     )
     in_specs = [lat_spec, w_in_spec] + ([w_rec_spec] if has_w else [])
     args = [lat, _pad2(w_in, f_pad, h_pad)] + (
         [_pad2(w_rec, h_pad, h_pad)] if has_w else []
     )
+    scratch = [pltpu.VMEM((bb, h_pad), jnp.float32)] * 3
+    if head:
+        from .pallas_fused import _LANE
+
+        o_pad = -(-w_out.shape[1] // _LANE) * _LANE
+        w_out_spec = pl.BlockSpec((h_pad, o_pad), lambda bi, t: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        b_out_spec = pl.BlockSpec((1, o_pad), lambda bi, t: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        head_spec = pl.BlockSpec((bb, o_pad), lambda bi, t: (bi, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [w_out_spec, b_out_spec]
+        args += [
+            _pad2(w_out, h_pad, o_pad),
+            _pad2(jnp.asarray(b_out, jnp.float32).reshape(1, -1), 1, o_pad),
+        ]
+        out_specs = [tr_spec, head_spec, head_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((T, Bp, h_pad), trace_dtype),
+            jax.ShapeDtypeStruct((Bp, o_pad), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, o_pad), jnp.int32),
+        ]
+        scratch += [
+            pltpu.VMEM((bb, o_pad), jnp.float32),
+            pltpu.VMEM((bb, o_pad), jnp.float32),
+            pltpu.VMEM((bb, o_pad), jnp.int32),
+        ]
+        v, logits, tstar = pl.pallas_call(
+            lambda *refs: kernel(refs),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*args)
+        O = w_out.shape[1]
+        return v[:, :B, :H], lat, logits[:B, :O], tstar[:B, :O]
     z, v = pl.pallas_call(
         lambda *refs: kernel(refs),
         grid=grid,
         in_specs=in_specs,
         out_specs=[tr_spec, tr_spec],
         out_shape=[jax.ShapeDtypeStruct((T, Bp, h_pad), trace_dtype)] * 2,
-        scratch_shapes=[pltpu.VMEM((bb, h_pad), jnp.float32)] * 3,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
     return z[:, :B, :H], v[:, :B, :H], lat
 
 
 def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
-                  gamma, spike_func, interpret):
+                  gamma, spike_func, interpret,
+                  g_logits=None, tstar=None, w_out=None, kappa=0.0):
     has_w = w_rec is not None
+    head = w_out is not None
     K = _time_block(T)
-    B, H = z.shape[1], z.shape[2]
+    B, H = v.shape[1], v.shape[2]
     F = w_in.shape[0]
     f_pad = lat.shape[1]
-    _, _, h_pad, bb = _shapes(B, w_in, F, K)  # same tile as the forward
+    # Same batch tile as the forward (lat is padded to a multiple of it).
+    _, _, h_pad, bb = _shapes(B, w_in, F, K, head)
     Bp = lat.shape[0]
 
     def padbh(x):
@@ -233,7 +420,11 @@ def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
             x = jnp.pad(x, ((0, 0), (0, pb), (0, ph)))
         return x
 
-    operands = [padbh(x) for x in (g_z, v, z)]
+    # head: only the v trace is materialized; z and the boundary row are
+    # recomputed from it inside the kernel.
+    operands = (
+        [padbh(v)] if head else [padbh(x) for x in (g_z, v, z)]
+    )
     nb = T // K
     grid = (Bp // bb, nb)
     rev = pl.BlockSpec((K, bb, h_pad), lambda bi, t, n=nb: (n - 1 - t, bi, 0),
@@ -257,14 +448,15 @@ def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
                                  "v_peak")}
     kernel = functools.partial(
         _izh_bwd_kernel, K=K, n_steps=T, use_periods=use_periods,
-        has_w=has_w, gamma=gamma, spike_func=spike_func, **bwd_kp,
+        has_w=has_w, gamma=gamma, spike_func=spike_func, head=head,
+        kappa=kappa, **bwd_kp,
     )
     in_specs = (
-        [rev] * 3 + [zb, lat_spec, w_in_spec]
+        [rev] * len(operands) + [zb, lat_spec, w_in_spec]
         + ([w_rec_spec] if has_w else [])
     )
     args = (
-        operands + [operands[2], lat, _pad2(w_in, f_pad, h_pad)]
+        operands + [operands[-1], lat, _pad2(w_in, f_pad, h_pad)]
         + ([_pad2(w_rec, h_pad, h_pad)] if has_w else [])
     )
     out_specs = [dwin_spec] + ([dwr_spec] if has_w else [])
@@ -278,6 +470,39 @@ def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
         pltpu.VMEM((bb, h_pad), jnp.float32),
         pltpu.VMEM((K, bb, h_pad), jnp.float32),
     ]
+    if head:
+        from .pallas_fused import _LANE
+
+        o_pad = -(-w_out.shape[1] // _LANE) * _LANE
+        O = w_out.shape[1]
+        head_spec = pl.BlockSpec((bb, o_pad), lambda bi, t: (bi, 0),
+                                 memory_space=pltpu.VMEM)
+        gl = jnp.pad(
+            g_logits.astype(jnp.float32),
+            ((0, Bp - g_logits.shape[0]), (0, o_pad - g_logits.shape[1])),
+        )
+        ts_p = jnp.pad(
+            tstar, ((0, Bp - tstar.shape[0]), (0, o_pad - tstar.shape[1]))
+        )
+        in_specs = [head_spec, head_spec] + in_specs
+        args = [gl, ts_p] + args
+        w_out_spec = pl.BlockSpec((h_pad, o_pad), lambda bi, t: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        in_specs.append(w_out_spec)
+        args.append(_pad2(w_out, h_pad, o_pad))
+        dwout_spec = pl.BlockSpec((1, h_pad, o_pad), lambda bi, t: (bi, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        db_spec = pl.BlockSpec((1, 1, o_pad), lambda bi, t: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)
+        out_specs += [dwout_spec, db_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((Bp // bb, h_pad, o_pad), jnp.float32),
+            jax.ShapeDtypeStruct((Bp // bb, 1, o_pad), jnp.float32),
+        ]
+        scratch += [
+            pltpu.VMEM((bb, o_pad), jnp.float32),
+            pltpu.VMEM((K, bb, o_pad), jnp.float32),
+        ]
     outs = pl.pallas_call(
         lambda *refs: kernel(refs),
         grid=grid,
@@ -291,6 +516,11 @@ def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
     g_w_rec = (
         jnp.sum(outs[1], axis=0)[:H, :H].astype(w_rec.dtype) if has_w else None
     )
+    if head:
+        j = 2 if has_w else 1
+        g_w_out = jnp.sum(outs[j], axis=0)[:H, :O].astype(w_out.dtype)
+        g_b = jnp.sum(outs[j + 1], axis=0)[0, :O]
+        return g_w_in, g_w_rec, g_w_out, g_b
     return g_w_in, g_w_rec
 
 
@@ -345,3 +575,66 @@ def _fused_izh_bwd(kernel_params, n_steps, use_periods, gamma, spike_func,
 
 
 fused_encode_izh_scan.defvjp(_fused_izh_fwd, _fused_izh_bwd)
+
+
+IZH_HEAD_STATICS = (5, 6, 7, 8, 9, 10, 11)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=IZH_HEAD_STATICS)
+def fused_encode_izh_scan_head(
+    latencies: jax.Array,
+    w_in: jax.Array,
+    w_rec,
+    w_out: jax.Array,
+    b_out: jax.Array,
+    kernel_params: tuple,
+    n_steps: int,
+    use_periods: bool,
+    gamma: float,
+    kappa: float,
+    spike_func: SpikeFuncType = SpikeFuncType.FastSigmoid,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole single-hidden-layer Izhikevich network as ONE kernel pair:
+    encode -> input matmul -> Izhikevich scan -> readout leaky integrator
+    -> first-argmax max-over-time logits (spiking_layers.py:337-353,
+    402-408; snn.py:228 torch.max tie routing).
+
+    Izhikevich counterpart of ``fused_encode_rec_scan_head``: the (T,B,H)
+    z trace, its cotangent, and the (T,B,O) readout trace never exist in
+    HBM; only the f32 v trace is stored (z recomputed as ``v >= v_peak``,
+    bit-exact).  Returns logits ``(B, n_out)``.
+    """
+    _, _, logits, _ = _izh_fwd_call(
+        latencies, w_in, w_rec, dict(kernel_params), T=n_steps,
+        use_periods=use_periods, interpret=interpret,
+        w_out=w_out, b_out=b_out, kappa=kappa,
+    )
+    return logits
+
+
+def _fused_izh_head_fwd(latencies, w_in, w_rec, w_out, b_out, kernel_params,
+                        n_steps, use_periods, gamma, kappa, spike_func,
+                        interpret):
+    v, lat, logits, tstar = _izh_fwd_call(
+        latencies, w_in, w_rec, dict(kernel_params), T=n_steps,
+        use_periods=use_periods, interpret=interpret,
+        w_out=w_out, b_out=b_out, kappa=kappa,
+    )
+    return logits, (v, lat, tstar, latencies.shape, w_in, w_rec, w_out)
+
+
+def _fused_izh_head_bwd(kernel_params, n_steps, use_periods, gamma, kappa,
+                        spike_func, interpret, res, g_logits):
+    v, lat, tstar, lat_shape, w_in, w_rec, w_out = res
+    g_w_in, g_w_rec, g_w_out, g_b = _izh_bwd_call(
+        None, v, None, lat, w_in, w_rec, dict(kernel_params), T=n_steps,
+        use_periods=use_periods, gamma=gamma, spike_func=spike_func,
+        interpret=interpret, g_logits=g_logits, tstar=tstar, w_out=w_out,
+        kappa=kappa,
+    )
+    g_lat = np.zeros(lat_shape, dtype=jax.dtypes.float0)
+    return g_lat, g_w_in, g_w_rec, g_w_out, g_b
+
+
+fused_encode_izh_scan_head.defvjp(_fused_izh_head_fwd, _fused_izh_head_bwd)

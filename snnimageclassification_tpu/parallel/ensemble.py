@@ -57,10 +57,20 @@ class EnsembleTrainer:
         mesh=None,
         checkpoint_folder: Optional[str] = None,
         model_name: str = "snn_ensemble",
+        fused_replicas: Optional[bool] = None,
     ):
+        """``fused_replicas``: route each replica through the fused
+        whole-network Pallas kernels as S unrolled calls inside ONE jitted
+        step, instead of vmapping the XLA path over a replica axis.  Each
+        call runs at full single-model kernel efficiency and the (T, B, F)
+        spike tensor never exists in HBM (vmapping pallas_call itself
+        serializes ~15x slower than XLA -- measured, so unrolling is the
+        fast shape).  Default ``None`` auto-picks: fused kernels on TPU
+        when the config head-fuses, vmapped XLA otherwise."""
         self.cfg = cfg
         self.seeds = tuple(seeds)
         self.mesh = mesh
+        self.fused_replicas = fused_replicas
         self.params = init_ensemble(cfg, seeds)
         self.ckpt = (
             CheckpointManager(checkpoint_folder, model_name)
@@ -89,26 +99,75 @@ class EnsembleTrainer:
 
         self.device_data = DeviceDataCache()
 
+    def _use_fused_replicas(self, enc: EncodeConfig) -> bool:
+        if self.fused_replicas is not None:
+            return bool(self.fused_replicas)
+        return (
+            jax.default_backend() == "tpu"
+            and model_lib._head_fusible(self.cfg, enc)
+        )
+
     def _build(self, enc: EncodeConfig):
         cfg, tx = self.cfg, self.tx
+        n_seeds = len(self.seeds)
+        fused = self._use_fused_replicas(enc)
 
-        def one_replica_grads(params, inputs, y, w):
-            def loss_fn(p):
-                logits = model_lib.forward_logits(cfg, p, inputs)
+        if fused:
+            # S unrolled fused-kernel calls per step: each replica runs the
+            # whole-network Pallas head kernel pair (encode -> scan ->
+            # readout -> max in one kernel); the seed-invariant latency
+            # computation is CSE'd across replicas by XLA.  Identical math
+            # to the vmapped path (tested in interpret mode).
+            def replica_loss(p, x, y, w):
+                logits = model_lib.forward_logits_pixels(cfg, p, x, enc)
                 return nll_loss(logits, y, w)
 
-            return jax.value_and_grad(loss_fn)(params)
+            def stacked_grads(params, x, y, w):
+                outs = [
+                    jax.value_and_grad(replica_loss)(
+                        jax.tree.map(lambda a, i=i: a[i], params), x, y, w
+                    )
+                    for i in range(n_seeds)
+                ]
+                losses = jnp.stack([o[0] for o in outs])
+                grads = jax.tree.map(
+                    lambda *gs: jnp.stack(gs), *[o[1] for o in outs]
+                )
+                return losses, grads
+
+            def stacked_eval(params, x, y, w):
+                outs = [
+                    model_lib.forward_logits_pixels(
+                        cfg, jax.tree.map(lambda a, i=i: a[i], params), x, enc
+                    )
+                    for i in range(n_seeds)
+                ]
+                losses = jnp.stack([nll_loss(lg, y, w) for lg in outs])
+                preds = jnp.stack([jnp.argmax(lg, axis=-1) for lg in outs])
+                return losses, preds
+        else:
+            def one_replica_grads(params, inputs, y, w):
+                def loss_fn(p):
+                    logits = model_lib.forward_logits(cfg, p, inputs)
+                    return nll_loss(logits, y, w)
+
+                return jax.value_and_grad(loss_fn)(params)
 
         def train_step(params, opt_state, x, y, w):
-            inputs = _encode_on_device(x, enc)  # encoded once, shared
-            losses, grads = jax.vmap(
-                one_replica_grads, in_axes=(0, None, None, None)
-            )(params, inputs, y, w)
+            if fused:
+                losses, grads = stacked_grads(params, x, y, w)
+            else:
+                inputs = _encode_on_device(x, enc)  # encoded once, shared
+                losses, grads = jax.vmap(
+                    one_replica_grads, in_axes=(0, None, None, None)
+                )(params, inputs, y, w)
             updates, opt_state = jax.vmap(tx.update)(grads, opt_state, params)
             params = jax.vmap(optax.apply_updates)(params, updates)
             return params, opt_state, losses
 
         def eval_step(params, x, y, w):
+            if fused:
+                return stacked_eval(params, x, y, w)
             inputs = _encode_on_device(x, enc)
 
             def one_replica(p):

@@ -138,6 +138,29 @@ class TestEnsemble:
         assert accs.shape == (3,)
         assert (accs > 0.3).all()
 
+    def test_ensemble_fused_replica_path_matches_vmapped(self):
+        """The unrolled per-replica path (fused_replicas=True -- on TPU it
+        runs the whole-network Pallas kernels; here it exercises the same
+        unrolled plumbing over the XLA fallback) produces the same losses
+        and trained params as the vmapped path."""
+        cfg = self._cfg()
+        loader_a, loader_b = self._loader(), self._loader()
+        ens_u = EnsembleTrainer(cfg, seeds=[0, 1], fused_replicas=True)
+        ens_v = EnsembleTrainer(cfg, seeds=[0, 1], fused_replicas=False)
+        for _ in range(2):
+            lu = ens_u.train_epoch(loader_a)
+            lv = ens_v.train_epoch(loader_b)
+        np.testing.assert_allclose(lu, lv, rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            ),
+            ens_u.params, ens_v.params,
+        )
+        au = ens_u.accuracies(self._loader())
+        av = ens_v.accuracies(self._loader())
+        np.testing.assert_allclose(au, av)
+
     def test_ensemble_early_stopping_underfull_window_stops_first_epoch(self):
         """Same oracle as Trainer: the reference's plateau detector
         (snn.py:272-278) evaluates True on an under-full window

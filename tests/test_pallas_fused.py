@@ -449,3 +449,89 @@ def test_fused_izh_forward_and_grads(rec, use_periods, n_steps):
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
             err_msg=name_,
         )
+
+
+@pytest.mark.parametrize("n_steps", [T, 24], ids=["T12-1block", "T24-2blocks"])
+@pytest.mark.parametrize("rec", [True, False], ids=["rec", "ff"])
+def test_fused_izh_head_logits_and_grads(rec, n_steps):
+    """Whole-network Izhikevich head kernel (encode -> izh scan -> readout
+    integrator -> first-argmax max) vs the composed XLA path, logits and
+    every gradient."""
+    from snnimageclassification_tpu.ops.cells import IzhikevichConfig
+    from snnimageclassification_tpu.ops.pallas_fused_izh import (
+        fused_encode_izh_scan_head,
+    )
+    from snnimageclassification_tpu.ops.pallas_izh import izh_kernel_params
+
+    pixels, _, _, _ = _data(3)
+    rng = np.random.default_rng(7)
+    w_in = jnp.asarray(
+        (3e6 * rng.standard_normal((F, H))).astype(np.float32)
+    )
+    w_rec = (
+        jnp.asarray(
+            (5e5 * rng.standard_normal((H, H))).astype(np.float32)
+            * (1 - np.eye(H, dtype=np.float32))
+        )
+        if rec
+        else None
+    )
+    w_out = jnp.asarray(rng.standard_normal((H, O)).astype(np.float32))
+    b_out = jnp.asarray(0.1 * rng.standard_normal((O,)).astype(np.float32))
+    lat = pixels_to_firing_periods(jnp.asarray(pixels), t_max=float(n_steps))
+    cfg = IzhikevichConfig(input_size=F, output_size=H,
+                           use_recurrent_connection=rec)
+    kp = izh_kernel_params(cfg)
+    use_periods = False
+
+    def composed(w_in, w_rec, w_out, b_out):
+        z = _xla_izh_reference(pixels, w_in, w_rec, cfg, use_periods, n_steps)
+        rcur = z @ w_out + b_out  # (T, B, O)
+
+        def rbody(v, c):
+            v = _KAPPA * v + c
+            return v, v
+
+        _, vr = jax.lax.scan(rbody, jnp.zeros((B, O)), rcur)
+        return temporal_max(jnp.swapaxes(vr, 0, 1), time_axis=1)
+
+    def fused(w_in, w_rec, w_out, b_out):
+        return fused_encode_izh_scan_head(
+            lat, w_in, w_rec, w_out, b_out, kp, n_steps, use_periods,
+            cfg.gamma, _KAPPA, cfg.spike_func, True,
+        )
+
+    ref = composed(w_in, w_rec, w_out, b_out)
+    got = fused(w_in, w_rec, w_out, b_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    y = jnp.asarray(np.random.default_rng(3).integers(0, O, B), jnp.int32)
+
+    def nll(logits):
+        return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(B), y])
+
+    if rec:
+        g_ref = jax.grad(lambda *a: nll(composed(*a)), (0, 1, 2, 3))(
+            w_in, w_rec, w_out, b_out)
+        g_got = jax.grad(lambda *a: nll(fused(*a)), (0, 1, 2, 3))(
+            w_in, w_rec, w_out, b_out)
+        names = ("w_in", "w_rec", "w_out", "b_out")
+    else:
+        g_ref = jax.grad(
+            lambda a, c, d: nll(composed(a, None, c, d)), (0, 1, 2)
+        )(w_in, w_out, b_out)
+        g_got = jax.grad(
+            lambda a, c, d: nll(fused(a, None, c, d)), (0, 1, 2)
+        )(w_in, w_out, b_out)
+        names = ("w_in", "w_out", "b_out")
+    # Tolerance calibrated against the f32 noise floor: the composed XLA
+    # path's own w_in gradient differs from its float64 run by up to
+    # 7.7e-5 of max at T=24 rec (Izhikevich's ~1e6-scale currents amplify
+    # reduction-order noise); the kernel sits within that floor.
+    for pname, a, b in zip(names, g_got, g_ref):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-12)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-4,
+            err_msg=f"izh-head {pname}",
+        )
