@@ -269,6 +269,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--seeds", type=str, default="0,1,2,3,4,5")
     ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--split-ratio", type=float, default=0.85,
+                    help="train/val split (the default sweep rows used "
+                         "0.95 -- training.py:98)")
     ap.add_argument("--out", type=str, default="tr_results/head_to_head.jsonl")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -281,13 +284,14 @@ def main():
 
     seeds = [int(s) for s in args.seeds.split(",") if s]
     use_periods = args.encoding == "periodic"
-    data = make_splits(args.dataset)
+    data = make_splits(args.dataset, ratio=args.split_ratio)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
 
     base = dict(
         stack=args.stack, dataset=args.dataset, encoding=args.encoding,
         n_steps=args.n_steps, epochs=args.epochs,
         batch_size=args.batch_size, source=data["source"],
+        split_ratio=args.split_ratio,
         config="ALIF128-rec-FastSigmoid-learnbeta",
     )
     if args.stack == "torch":

@@ -57,11 +57,23 @@ def main():
         "rec_izh": dict(
             hidden_layer_type="Izhikevich", use_recurrent_connection=True,
         ),
+        # Multi-hidden: layer 1 routes through the fused mid-layer kernel
+        # (z@W + scan in one kernel, ops/pallas_fused_mid.py).
+        "rec_alif_2layer": dict(
+            hidden_layer_type="ALIF", use_recurrent_connection=True,
+            n_hidden_neurons=[128, 128],
+        ),
+        "ff_lif_2layer": dict(
+            hidden_layer_type="LIF", use_recurrent_connection=False,
+            n_hidden_neurons=[128, 96],
+        ),
     }.items():
         base = dict(
-            input_size=784, output_size=10, n_hidden_neurons=128,
+            input_size=784, output_size=10,
             int_time_steps=12,
         )
+        if "n_hidden_neurons" not in kw:
+            base["n_hidden_neurons"] = 128
         cfg_pal = SNNConfig(**base, **kw, use_pallas=True)
         cfg_xla = SNNConfig(**base, **kw, use_pallas=False)
         params = M.init(cfg_pal, jax.random.PRNGKey(0))

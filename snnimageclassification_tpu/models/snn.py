@@ -213,6 +213,19 @@ def apply(
         )
         if w_rec_eff is not None and matmul_dtype != w_rec_eff.dtype:
             w_rec_eff = w_rec_eff.astype(matmul_dtype)
+        # Mid-layer fusion: a spiking layer consuming the previous
+        # layer's z trace runs its input matmul INSIDE the scan kernel
+        # (ops/pallas_fused_mid.py) -- the (T, B, H) currents tensor and
+        # its cotangent never exist in HBM.
+        if (
+            x_tm is not None
+            and initial_state is None
+            and _mid_layer_fusible(cfg, lcfg, return_hidden)
+        ):
+            x_tm = _fused_mid_layer(
+                cfg, lcfg, lparams, x_tm, w_rec_eff, matmul_dtype
+            )
+            continue
         # Input currents for ALL time steps in one MXU matmul.  The
         # readout bias is added per-step inside the cell (snn.py:407).
         if x_tm is None and first_layer_currents is not None:
@@ -252,6 +265,40 @@ def apply(
 
     outputs_trace = jnp.swapaxes(x_tm, 0, 1).astype(jnp.float32)  # (B, T, out)
     return outputs_trace, hidden_states
+
+
+def _mid_layer_fusible(cfg: SNNConfig, lcfg, return_hidden) -> bool:
+    """Run this mid layer's input matmul inside the scan kernel?"""
+    from ..ops.cells import ALIFConfig, LIFConfig
+    from ..ops.pallas_fused_mid import fused_mid_supported
+
+    if not _pallas_layer_eligible(cfg, lcfg, return_hidden):
+        return False
+    if type(lcfg) not in (LIFConfig, ALIFConfig):
+        return False
+    return fused_mid_supported(
+        cfg.int_time_steps, lcfg.input_size, lcfg.output_size
+    )
+
+
+def _fused_mid_layer(cfg: SNNConfig, lcfg, lparams, z_in, w_rec_eff,
+                     matmul_dtype) -> jax.Array:
+    from ..ops.cells import ALIFConfig
+    from ..ops.pallas_fused_mid import fused_mid_ff_scan, fused_mid_rec_scan
+
+    w_in = lparams["w_in"].astype(matmul_dtype)
+    alif = type(lcfg) is ALIFConfig
+    beta = (
+        (lparams["beta"] if lcfg.learn_beta else lcfg.beta) if alif else 0.0
+    )
+    rho = lcfg.rho if alif else 0.0
+    common = (
+        cfg.int_time_steps, alif, lcfg.alpha, rho, lcfg.threshold,
+        lcfg.gamma, lcfg.spike_func,
+    )
+    if w_rec_eff is not None:
+        return fused_mid_rec_scan(z_in, w_in, w_rec_eff, beta, *common)
+    return fused_mid_ff_scan(z_in, w_in, beta, *common)
 
 
 def _pallas_layer_eligible(cfg: SNNConfig, lcfg, return_hidden) -> bool:

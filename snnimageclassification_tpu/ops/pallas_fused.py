@@ -32,6 +32,7 @@ backward.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +64,15 @@ __all__ = [
 _LANE = 128
 _SUBLANE = 8
 _MAX_BLOCK_B = 512
+# Batch-half interleave factor for the serial dynamics chains (see
+# _fused_fwd_kernel).  Numerics are bitwise identical at any value; >1
+# lets Mosaic overlap one row-group's VPU dynamics with another's MXU
+# recurrent matmul.  Env-overridable for A/B benchmarking.
+_ILV = int(os.environ.get("SNN_TPU_ILV", "1"))
+
+
+def _ilv_for(bb: int) -> int:
+    return _ILV if _ILV > 1 and bb % (_SUBLANE * _ILV) == 0 else 1
 
 
 def fused_supported(n_steps: int, n_features: int, hidden: int) -> bool:
@@ -112,7 +122,7 @@ def _spike_row(lat, step, n_steps: int, use_periods: bool):
 # ---------------------------------------------------------------------------
 def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
                       alpha, rho, threshold, store_delta, head=False,
-                      kappa=0.0):
+                      kappa=0.0, ilv=1):
     if has_w:
         lat_ref, w_in_ref, w_rec_ref, beta_ref, *rest = refs
     else:
@@ -182,32 +192,75 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
         for k in range(K)
     ]
     zs = []
-    for k in range(K):
-        cur = curs[k]
-        if has_w:
-            cur = cur + jnp.dot(z_prev.astype(w_rec.dtype), w_rec,
-                                preferred_element_type=jnp.float32)
-        v_c = (alpha * v_c + cur) * (1.0 - z_prev)
-        if alif:
-            a_c = rho * a_c + z_prev
-            dyn_threshold = threshold + beta_ref[0, 0] * a_c
-        else:
-            dyn_threshold = threshold
-        delta = v_c - dyn_threshold
-        z_prev = (delta >= 0).astype(v_c.dtype)
-        if head:
-            zs.append(z_prev)
-            d_ref[k] = delta.astype(trace_dtype)
-            if a_ref is not None:
-                a_ref[k] = a_c.astype(trace_dtype)
-        else:
-            z_ref[k] = z_prev.astype(trace_dtype)
-            if d_ref is not None:
-                d_ref[k] = delta.astype(trace_dtype)
-            else:
-                v_ref[k] = v_c.astype(trace_dtype)
+    if ilv > 1:
+        # Batch-half interleaving: split the tile into ``ilv`` independent
+        # row groups and interleave their serial chains at each step, so
+        # one group's VPU dynamics can overlap another group's MXU
+        # recurrent matmul (batch rows are independent -- the arithmetic
+        # per row is identical, so numerics are bitwise unchanged).
+        hb = v_c.shape[0] // ilv
+        sls = [slice(i * hb, (i + 1) * hb) for i in range(ilv)]
+        vh = [v_c[s] for s in sls]
+        ah = [a_c[s] for s in sls]
+        zh = [z_prev[s] for s in sls]
+        for k in range(K):
+            for i, s in enumerate(sls):
+                cur = curs[k][s]
+                if has_w:
+                    cur = cur + jnp.dot(zh[i].astype(w_rec.dtype), w_rec,
+                                        preferred_element_type=jnp.float32)
+                vh[i] = (alpha * vh[i] + cur) * (1.0 - zh[i])
                 if alif:
+                    ah[i] = rho * ah[i] + zh[i]
+                    dyn_threshold = threshold + beta_ref[0, 0] * ah[i]
+                else:
+                    dyn_threshold = threshold
+                delta = vh[i] - dyn_threshold
+                zh[i] = (delta >= 0).astype(vh[i].dtype)
+                if head:
+                    d_ref[k, s] = delta.astype(trace_dtype)
+                    if a_ref is not None:
+                        a_ref[k, s] = ah[i].astype(trace_dtype)
+                else:
+                    z_ref[k, s] = zh[i].astype(trace_dtype)
+                    if d_ref is not None:
+                        d_ref[k, s] = delta.astype(trace_dtype)
+                    else:
+                        v_ref[k, s] = vh[i].astype(trace_dtype)
+                        if alif:
+                            a_ref[k, s] = ah[i].astype(trace_dtype)
+            if head:
+                zs.append(jnp.concatenate(zh, axis=0))
+        v_c = jnp.concatenate(vh, axis=0)
+        a_c = jnp.concatenate(ah, axis=0)
+        z_prev = jnp.concatenate(zh, axis=0)
+    else:
+        for k in range(K):
+            cur = curs[k]
+            if has_w:
+                cur = cur + jnp.dot(z_prev.astype(w_rec.dtype), w_rec,
+                                    preferred_element_type=jnp.float32)
+            v_c = (alpha * v_c + cur) * (1.0 - z_prev)
+            if alif:
+                a_c = rho * a_c + z_prev
+                dyn_threshold = threshold + beta_ref[0, 0] * a_c
+            else:
+                dyn_threshold = threshold
+            delta = v_c - dyn_threshold
+            z_prev = (delta >= 0).astype(v_c.dtype)
+            if head:
+                zs.append(z_prev)
+                d_ref[k] = delta.astype(trace_dtype)
+                if a_ref is not None:
                     a_ref[k] = a_c.astype(trace_dtype)
+            else:
+                z_ref[k] = z_prev.astype(trace_dtype)
+                if d_ref is not None:
+                    d_ref[k] = delta.astype(trace_dtype)
+                else:
+                    v_ref[k] = v_c.astype(trace_dtype)
+                    if alif:
+                        a_ref[k] = a_c.astype(trace_dtype)
     v_scr[:] = v_c
     a_scr[:] = a_c
     z_scr[:] = z_prev
@@ -316,7 +369,7 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
     kernel = functools.partial(
         _fused_fwd_kernel, K=K, n_steps=T, use_periods=use_periods,
         alif=alif, has_w=has_w, alpha=alpha, rho=rho, threshold=threshold,
-        store_delta=store_delta, head=head, kappa=kappa,
+        store_delta=store_delta, head=head, kappa=kappa, ilv=_ilv_for(bb),
     )
     in_specs = [lat_spec, w_in_spec] + ([w_rec_spec] if has_w else []) + [beta_spec]
     args = [lat, w_in_p] + ([_pad2(w_rec, h_pad, h_pad)] if has_w else []) + [beta_s]
@@ -369,7 +422,7 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
 # ---------------------------------------------------------------------------
 def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
                       alpha, rho, threshold, gamma, spike_func,
-                      store_delta, head=False, kappa=0.0):
+                      store_delta, head=False, kappa=0.0, ilv=1):
     n_res = 1 if (store_delta or not alif) else 2
     i = 0
     if head:
@@ -467,19 +520,43 @@ def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
         surr_all = _surrogate_grad_from_delta(
             spike_func, res_refs[0][:].astype(f32), thr_dyn, gamma
         )
-        for k in reversed(range(K)):  # the serial chain: VPU only
-            dz = dz_all[k]
-            if has_w:
-                dz = dz + jax.lax.dot_general(
-                    dcur_carry.astype(w_rec.dtype), w_rec,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=f32,
-                )
-            dv = dz * surr_all[k] + alpha * dcur_carry
-            z_prev_k = z_res[k - 1] if k > 0 else zb_row
-            dcur = dv * (1.0 - z_prev_k)
-            dcur_blk[k] = dcur
-            dcur_carry = dcur
+        if ilv > 1:
+            # Batch-half interleaving (see _fused_fwd_kernel): independent
+            # row groups' serial chains interleave so one group's VPU work
+            # overlaps another's recurrent matmul.  Bitwise identical.
+            hb = dcur_carry.shape[0] // ilv
+            sls = [slice(i * hb, (i + 1) * hb) for i in range(ilv)]
+            dch = [dcur_carry[s] for s in sls]
+            zb_h = [zb_row[s] for s in sls]  # always (bb, h) via jnp.where
+            for k in reversed(range(K)):
+                for i, s in enumerate(sls):
+                    dz = dz_all[k][s]
+                    if has_w:
+                        dz = dz + jax.lax.dot_general(
+                            dch[i].astype(w_rec.dtype), w_rec,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=f32,
+                        )
+                    dv = dz * surr_all[k][s] + alpha * dch[i]
+                    z_prev_k = z_res[k - 1][s] if k > 0 else zb_h[i]
+                    dcur = dv * (1.0 - z_prev_k)
+                    dcur_blk[k, s] = dcur
+                    dch[i] = dcur
+            dcur_carry = jnp.concatenate(dch, axis=0)
+        else:
+            for k in reversed(range(K)):  # the serial chain: VPU only
+                dz = dz_all[k]
+                if has_w:
+                    dz = dz + jax.lax.dot_general(
+                        dcur_carry.astype(w_rec.dtype), w_rec,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+                dv = dz * surr_all[k] + alpha * dcur_carry
+                z_prev_k = z_res[k - 1] if k > 0 else zb_row
+                dcur = dv * (1.0 - z_prev_k)
+                dcur_blk[k] = dcur
+                dcur_carry = dcur
         dcur_scr[:] = dcur_carry
         # Readout weight/bias partials, off the serial chain:
         # g_W_out += sum_t z(t)^T s(t); g_b += sum_{t,batch} s(t).
@@ -612,7 +689,7 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
         _fused_bwd_kernel, K=K, n_steps=T, use_periods=use_periods,
         alif=alif, has_w=has_w, alpha=alpha, rho=rho, threshold=threshold,
         gamma=gamma, spike_func=spike_func, store_delta=store_delta,
-        head=head, kappa=kappa,
+        head=head, kappa=kappa, ilv=_ilv_for(bb),
     )
     in_specs = (
         [rev] * len(operands) + [zb, lat_spec, w_in_spec]

@@ -535,3 +535,66 @@ def test_fused_izh_head_logits_and_grads(rec, n_steps):
             np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-4,
             err_msg=f"izh-head {pname}",
         )
+
+
+@pytest.mark.parametrize("rec", [True, False], ids=["rec", "ff"])
+def test_fused_interleaved_bitwise_identical(rec, monkeypatch):
+    """ilv=2 batch-half interleaving must be BITWISE identical to ilv=1:
+    batch rows are independent, the per-row arithmetic is unchanged.
+    (Needs a batch tile divisible by 16 -- the default test B=5 pads to an
+    8-row tile where interleaving gates off.)"""
+    import snnimageclassification_tpu.ops.pallas_fused as pf
+
+    B32 = 32
+    rng = np.random.default_rng(5)
+    pixels = rng.random((B32, F)).astype(np.float32)
+    lat = pixels_to_firing_periods(jnp.asarray(pixels), t_max=float(T))
+    w_in = jnp.asarray(0.5 * rng.standard_normal((F, H)).astype(np.float32))
+    w_rec = (
+        jnp.asarray(
+            (0.3 * rng.standard_normal((H, H))).astype(np.float32)
+            * (1 - np.eye(H, dtype=np.float32))
+        )
+        if rec
+        else None
+    )
+    w_out = jnp.asarray(rng.standard_normal((H, O)).astype(np.float32))
+    b_out = jnp.asarray(0.1 * rng.standard_normal((O,)).astype(np.float32))
+    cfg = ALIFConfig(input_size=F, output_size=H,
+                     use_recurrent_connection=rec)
+    y = jnp.asarray(rng.integers(0, O, B32), jnp.int32)
+
+    def run():
+        common = (T, False, True, cfg.alpha, cfg.rho, cfg.threshold,
+                  cfg.gamma, _KAPPA, SpikeFuncType.FastSigmoid, True)
+
+        def loss(w_in, w_rec, w_out, b_out):
+            if rec:
+                logits = fused_encode_rec_scan_head(
+                    lat, w_in, w_rec, cfg.beta, w_out, b_out, *common)
+            else:
+                logits = fused_encode_ff_scan_head(
+                    lat, w_in, cfg.beta, w_out, b_out, *common)
+            return -jnp.mean(
+                jax.nn.log_softmax(logits)[jnp.arange(B32), y]
+            ), logits
+
+        args = (w_in, w_rec, w_out, b_out) if rec else (w_in, w_out, b_out)
+        if rec:
+            (l, logits), g = jax.value_and_grad(
+                loss, (0, 1, 2, 3), has_aux=True)(w_in, w_rec, w_out, b_out)
+        else:
+            (l, logits), g = jax.value_and_grad(
+                lambda a, c, d: loss(a, None, c, d), (0, 1, 2),
+                has_aux=True)(w_in, w_out, b_out)
+        return logits, l, g
+
+    monkeypatch.setattr(pf, "_ILV", 1)
+    logits1, l1, g1 = run()
+    monkeypatch.setattr(pf, "_ILV", 2)
+    assert pf._ilv_for(32) == 2  # the tile really interleaves
+    logits2, l2, g2 = run()
+    np.testing.assert_array_equal(np.asarray(logits1), np.asarray(logits2))
+    assert float(l1) == float(l2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
