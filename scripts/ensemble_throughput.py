@@ -1,0 +1,87 @@
+"""Multi-seed ensemble training throughput (seed-img/s).
+
+Measures EnsembleTrainer.fit end to end -- the round-2 baseline was 56k
+seed-img/s (vmapped XLA path, T=10 ff, batch 1024).  Round 3 routes
+head-fusible configs through S unrolled whole-network Pallas kernel
+calls per step (``fused_replicas``); this script measures both paths for
+the comparison.
+
+Usage: python scripts/ensemble_throughput.py [--t 10] [--batch 1024]
+       [--epochs 14] [--seeds 6] [--rec] [--fused {auto,on,off}]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+import numpy as np
+
+
+def main() -> None:
+    from snnimageclassification_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--epochs", type=int, default=14)
+    ap.add_argument("--seeds", type=int, default=6)
+    ap.add_argument("--n", type=int, default=16384)
+    ap.add_argument("--rec", action="store_true")
+    ap.add_argument("--fused", choices=["auto", "on", "off"], default="auto")
+    args = ap.parse_args()
+
+    import snnimageclassification_tpu as st
+    from snnimageclassification_tpu.data.datasets import (
+        ArrayDataLoader,
+        EncodeConfig,
+    )
+    from snnimageclassification_tpu.parallel.ensemble import EnsembleTrainer
+
+    rng = np.random.default_rng(0)
+    protos = rng.random((10, 784)).astype(np.float32)
+    y = rng.integers(0, 10, args.n).astype(np.int32)
+    x = np.clip(
+        protos[y] + 0.25 * rng.standard_normal((args.n, 784)).astype(np.float32),
+        0, 1,
+    )
+    n_val = args.n // 16
+    enc = EncodeConfig(n_steps=args.t)
+    train = ArrayDataLoader(x[n_val:], y[n_val:], args.batch, shuffle=True,
+                            encode_config=enc)
+    val = ArrayDataLoader(x[:n_val], y[:n_val], args.batch, encode_config=enc)
+    cfg = st.SNNConfig(
+        input_size=784, output_size=10, n_hidden_neurons=128,
+        hidden_layer_type="ALIF", use_recurrent_connection=args.rec,
+        int_time_steps=args.t,
+    )
+    fused = {"auto": None, "on": True, "off": False}[args.fused]
+    seeds = list(range(args.seeds))
+    ens = EnsembleTrainer(cfg, seeds=seeds, fused_replicas=fused)
+    # Warm epoch (compile), then timed epochs.
+    ens.train_epoch(train)
+    ens.eval_epoch(val)
+    t0 = time.perf_counter()
+    for _ in range(args.epochs):
+        losses = ens.train_epoch(train)
+        ens.eval_epoch(val)
+    wall = time.perf_counter() - t0
+    n_train = train.n_samples
+    seed_img_s = n_train * args.epochs * len(seeds) / wall
+    print(json.dumps({
+        "metric": "ensemble seed-img/s (train+val epochs, steady state)",
+        "seed_img_per_sec": round(seed_img_s, 1),
+        "seeds": len(seeds), "t": args.t, "batch": args.batch,
+        "rec": args.rec, "fused": args.fused,
+        "epochs": args.epochs, "wall_sec": round(wall, 2),
+        "final_loss_finite": bool(np.isfinite(losses).all()),
+    }))
+
+
+if __name__ == "__main__":
+    main()
