@@ -33,7 +33,8 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=6)
     ap.add_argument("--n", type=int, default=16384)
     ap.add_argument("--rec", action="store_true")
-    ap.add_argument("--fused", choices=["auto", "on", "off"], default="auto")
+    ap.add_argument("--fused", choices=["auto", "on", "off", "stacked",
+                                        "unrolled"], default="auto")
     args = ap.parse_args()
 
     import snnimageclassification_tpu as st
@@ -60,7 +61,8 @@ def main() -> None:
         hidden_layer_type="ALIF", use_recurrent_connection=args.rec,
         int_time_steps=args.t,
     )
-    fused = {"auto": None, "on": True, "off": False}[args.fused]
+    fused = {"auto": None, "on": True, "off": False,
+             "stacked": "stacked", "unrolled": "unrolled"}[args.fused]
     seeds = list(range(args.seeds))
     ens = EnsembleTrainer(cfg, seeds=seeds, fused_replicas=fused)
     # Warm epoch (compile), then timed epochs.

@@ -220,6 +220,55 @@ def main():
                 ok &= check(f"{name} head grad {jax.tree_util.keystr(path)}",
                             ghh, gx, atol=1e-4)
 
+    # Stacked-replica ensemble grid (ops/pallas_fused.py _stack_spec):
+    # all replicas as ONE kernel pair must match per-replica unrolled
+    # head calls bitwise -- this is the EnsembleTrainer fused path.
+    S = 4
+    for vname, vkw, n_steps, use_periods in (
+        ("alif-rec-learnbeta", dict(hidden_layer_type="ALIF",
+                                    use_recurrent_connection=True,
+                                    learn_beta=True), 24, True),
+        ("lif-ff", dict(hidden_layer_type="LIF",
+                        use_recurrent_connection=False), 12, False),
+    ):
+        cfg = SNNConfig(
+            input_size=784, output_size=10, n_hidden_neurons=128,
+            int_time_steps=n_steps, **vkw,
+        )
+        enc = EncodeConfig(n_steps=n_steps, use_periods=use_periods)
+        plist = [M.init(cfg, jax.random.PRNGKey(10 + i)) for i in range(S)]
+        stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *plist)
+
+        def loss_stacked(p, cfg=cfg, enc=enc):
+            logits = M.forward_logits_pixels_stacked(cfg, p, x, enc)
+            return jnp.sum(jax.vmap(
+                lambda lg: -jnp.mean(
+                    jax.nn.log_softmax(lg)[jnp.arange(64), y]
+                )
+            )(logits))
+
+        def loss_unrolled(p, cfg=cfg, enc=enc):
+            tot = 0.0
+            for i in range(S):
+                p_i = jax.tree.map(lambda a, i=i: a[i], p)
+                lg = M.forward_logits_pixels(cfg, p_i, x, enc)
+                tot = tot - jnp.mean(
+                    jax.nn.log_softmax(lg)[jnp.arange(64), y]
+                )
+            return tot
+
+        name = f"stacked_ensemble {vname} periods={use_periods} T={n_steps}"
+        ok &= check(f"{name} loss", jax.jit(loss_stacked)(stacked),
+                    jax.jit(loss_unrolled)(stacked), atol=1e-5)
+        gs = jax.jit(jax.grad(loss_stacked))(stacked)
+        gu = jax.jit(jax.grad(loss_unrolled))(stacked)
+        for path, gp in jax.tree_util.tree_leaves_with_path(gs):
+            gx = gu
+            for k in path:
+                gx = gx[k.key]
+            ok &= check(f"{name} grad {jax.tree_util.keystr(path)}", gp, gx,
+                        atol=1e-5)
+
     print("PARITY", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -629,6 +629,75 @@ def forward_logits_pixels(
     return fused_encode_ff_scan_head(latencies, w0, beta, w_out, b_out, *common)
 
 
+def stacked_head_fusible(cfg: SNNConfig, enc) -> bool:
+    """Whether :func:`forward_logits_pixels_stacked` covers this config:
+    head-fusible (see :func:`_head_fusible`) LIF/ALIF — the Izhikevich
+    head kernel has no stacked grid variant yet."""
+    from ..ops.cells import IzhikevichConfig
+
+    if not _head_fusible(cfg, enc):
+        return False
+    return type(cfg.layer_configs[0][1]) is not IzhikevichConfig
+
+
+def forward_logits_pixels_stacked(
+    cfg: SNNConfig, stacked_params: Params, pixels: jax.Array, enc
+) -> jax.Array:
+    """All-replica fused forward for multi-seed ensembles.
+
+    ``stacked_params`` carries a leading replica axis on every leaf (the
+    :class:`~..parallel.ensemble.EnsembleTrainer` layout); ``pixels``
+    ``(B, F)`` are shared by all replicas.  Returns logits ``(S, B, O)``.
+
+    The whole ensemble runs as ONE Pallas kernel pair with a leading
+    replica grid axis (ops/pallas_fused.py "stacked-replica grid
+    lifting") — numerically identical to S unrolled
+    :func:`forward_logits_pixels` calls, but a single pallas_call per
+    direction: the XLA graph stays S× smaller (compile time) and there
+    are no inter-call dispatch gaps.  Callers gate on
+    :func:`stacked_head_fusible` and fall back to the unrolled path.
+    """
+    from ..ops.cells import ALIFConfig
+    from ..ops.encoding import pixels_to_firing_periods
+    from ..ops.pallas_fused import (
+        fused_encode_ff_scan_head,
+        fused_encode_rec_scan_head,
+    )
+
+    (first_name, first_cfg), (last_name, last_cfg) = cfg.layer_configs
+    latencies = pixels_to_firing_periods(
+        jnp.asarray(pixels, jnp.float32),
+        t_max=float(cfg.int_time_steps),
+        tau=enc.tau,
+        thr=enc.thr,
+        epsilon=enc.epsilon,
+    )
+    matmul_dtype = jnp.dtype(cfg.matmul_dtype_eff)
+    lparams0 = stacked_params[first_name]
+    w0 = lparams0["w_in"].astype(matmul_dtype)           # (S, F, H)
+    w_out = stacked_params[last_name]["w_in"].astype(matmul_dtype)
+    b_out = stacked_params[last_name]["b"]               # (S, O)
+    alif = type(first_cfg) is ALIFConfig
+    beta = (
+        (lparams0["beta"] if first_cfg.learn_beta else first_cfg.beta)
+        if alif
+        else 0.0
+    )
+    rho = first_cfg.rho if alif else 0.0
+    common = (
+        cfg.int_time_steps, enc.use_periods, alif, first_cfg.alpha, rho,
+        first_cfg.threshold, first_cfg.gamma, last_cfg.kappa,
+        first_cfg.spike_func,
+    )
+    w_rec_eff = masked_recurrent(first_cfg, lparams0)    # (S, H, H) | None
+    if w_rec_eff is not None:
+        w_rec_eff = w_rec_eff.astype(matmul_dtype)
+        return fused_encode_rec_scan_head(
+            latencies, w0, w_rec_eff, beta, w_out, b_out, *common
+        )
+    return fused_encode_ff_scan_head(latencies, w0, beta, w_out, b_out, *common)
+
+
 def prediction_logits(cfg: SNNConfig, outputs_trace: jax.Array) -> jax.Array:
     """Reduce the readout trace over time to class logits.
 

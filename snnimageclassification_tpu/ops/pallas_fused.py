@@ -122,7 +122,7 @@ def _spike_row(lat, step, n_steps: int, use_periods: bool):
 # ---------------------------------------------------------------------------
 def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
                       alpha, rho, threshold, store_delta, head=False,
-                      kappa=0.0, ilv=1):
+                      kappa=0.0, ilv=1, t_axis=1):
     if has_w:
         lat_ref, w_in_ref, w_rec_ref, beta_ref, *rest = refs
     else:
@@ -159,7 +159,7 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
         else:
             z_ref, v_ref = out_refs  # LIF stores v (surrogate needs it)
             d_ref = a_ref = None
-    t = pl.program_id(1)
+    t = pl.program_id(t_axis)
 
     @pl.when(t == 0)
     def _():
@@ -289,7 +289,7 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
         m_scr[:] = m_run
         ts_scr[:] = ts_run
 
-        @pl.when(t == pl.num_programs(1) - 1)
+        @pl.when(t == pl.num_programs(t_axis) - 1)
         def _():
             logits_ref[:] = m_run
             tstar_ref[:] = ts_run
@@ -308,10 +308,40 @@ def _pad_lat(lat, bb, f_pad):
 
 
 def _pad2(w, r_pad, c_pad):
-    r, c = w.shape
+    r, c = w.shape[-2], w.shape[-1]
     if r_pad != r or c_pad != c:
-        w = jnp.pad(w, ((0, r_pad - r), (0, c_pad - c)))
+        pad = [(0, 0)] * (w.ndim - 2) + [(0, r_pad - r), (0, c_pad - c)]
+        w = jnp.pad(w, pad)
     return w
+
+
+# --- stacked-replica (ensemble) grid lifting -------------------------------
+# The head kernels also run with a leading replica grid axis: grid
+# (S, tiles, time blocks), per-replica weights/traces/grads selected by a
+# size-None leading block dim (the kernel refs keep their 2-D/3-D shapes,
+# so the kernel bodies are byte-for-byte the single-model ones with
+# t_axis=2).  Shared operands (the latency tile -- every replica sees the
+# same batch) keep their blocks and ignore the replica index.  This is
+# how the multi-seed EnsembleTrainer runs all replicas as ONE kernel pair
+# per direction instead of S unrolled pallas_calls (compiles ~S× faster,
+# no per-call dispatch gaps).
+
+
+def _stack_spec(spec):
+    # Grid order is (tiles, S, time): the replica axis sits INSIDE the
+    # batch-tile axis so the (bb, f_pad) latency tile keeps its block
+    # index across all S replicas and is DMA'd once per tile, not once
+    # per (replica, tile).
+    im = spec.index_map
+    return spec.replace(
+        block_shape=(None, *spec.block_shape),
+        index_map=lambda b, s, t: (s, *im(b, t)),
+    )
+
+
+def _share_spec(spec):
+    im = spec.index_map
+    return spec.replace(index_map=lambda b, s, t: im(b, t))
 
 
 # VMEM accounting uses the same (conservative) revolving-block count for
@@ -321,7 +351,7 @@ _N_BLOCKS = 6
 
 
 def _shapes(B, w_in, F, K, head=False):
-    H = w_in.shape[1]
+    H = w_in.shape[-1]
     f_pad = -(-F // _LANE) * _LANE
     h_pad = -(-H // _LANE) * _LANE
     bb = min(_MAX_BLOCK_B, -(-B // _SUBLANE) * _SUBLANE)
@@ -338,6 +368,8 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
                     lat_prepadded=None, w_out=None, b_out=None, kappa=0.0):
     has_w = w_rec is not None
     head = w_out is not None
+    stacked = w_in.ndim == 3  # leading replica axis (see _stack_spec)
+    S = w_in.shape[0] if stacked else None
     K = _time_block(T)
     if head:  # delta (+ a for Phi) only -- no z trace leaves the kernel
         n_trace = 1 if (store_delta or not alif) else 2
@@ -364,12 +396,18 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
     tr_spec = pl.BlockSpec((K, bb, h_pad), lambda b, t: (t, b, 0),
                            memory_space=pltpu.VMEM)
     trace_dtype = w_in.dtype if jnp.issubdtype(w_in.dtype, jnp.floating) else jnp.float32
-    beta_s = jnp.asarray(beta, jnp.float32).reshape(1, 1)
+    if stacked:
+        beta_s = jnp.broadcast_to(
+            jnp.asarray(beta, jnp.float32).reshape(-1, 1, 1), (S, 1, 1)
+        )
+    else:
+        beta_s = jnp.asarray(beta, jnp.float32).reshape(1, 1)
 
     kernel = functools.partial(
         _fused_fwd_kernel, K=K, n_steps=T, use_periods=use_periods,
         alif=alif, has_w=has_w, alpha=alpha, rho=rho, threshold=threshold,
         store_delta=store_delta, head=head, kappa=kappa, ilv=_ilv_for(bb),
+        t_axis=2 if stacked else 1,
     )
     in_specs = [lat_spec, w_in_spec] + ([w_rec_spec] if has_w else []) + [beta_spec]
     args = [lat, w_in_p] + ([_pad2(w_rec, h_pad, h_pad)] if has_w else []) + [beta_s]
@@ -377,7 +415,7 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
     out_shape = [jax.ShapeDtypeStruct((T, Bp, h_pad), trace_dtype)] * n_trace
     scratch = [pltpu.VMEM((bb, h_pad), jnp.float32)] * 3
     if head:
-        o_pad = -(-w_out.shape[1] // _LANE) * _LANE
+        o_pad = -(-w_out.shape[-1] // _LANE) * _LANE
         w_out_spec = pl.BlockSpec((h_pad, o_pad), lambda b, t: (0, 0),
                                   memory_space=pltpu.VMEM)
         b_out_spec = pl.BlockSpec((1, o_pad), lambda b, t: (0, 0),
@@ -385,10 +423,10 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
         head_spec = pl.BlockSpec((bb, o_pad), lambda b, t: (b, 0),
                                  memory_space=pltpu.VMEM)
         in_specs += [w_out_spec, b_out_spec]
-        args += [
-            _pad2(w_out, h_pad, o_pad),
-            _pad2(jnp.asarray(b_out, jnp.float32).reshape(1, -1), 1, o_pad),
-        ]
+        b_out_2d = jnp.asarray(b_out, jnp.float32).reshape(
+            (S, 1, -1) if stacked else (1, -1)
+        )
+        args += [_pad2(w_out, h_pad, o_pad), _pad2(b_out_2d, 1, o_pad)]
         out_specs += [head_spec, head_spec]
         out_shape += [
             jax.ShapeDtypeStruct((Bp, o_pad), jnp.float32),
@@ -399,6 +437,19 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
             pltpu.VMEM((bb, o_pad), jnp.float32),
             pltpu.VMEM((bb, o_pad), jnp.int32),
         ]
+    if stacked:
+        # Replica grid axis outermost; per-replica operands/outputs pick
+        # their slab via a size-None leading block dim; the shared latency
+        # tile ignores the replica index.
+        grid = (grid[0], S, grid[1])
+        in_specs = [
+            _share_spec(sp) if sp is lat_spec else _stack_spec(sp)
+            for sp in in_specs
+        ]
+        out_specs = [_stack_spec(sp) for sp in out_specs]
+        out_shape = [
+            jax.ShapeDtypeStruct((S, *os.shape), os.dtype) for os in out_shape
+        ]
     outs = pl.pallas_call(
         lambda *refs: kernel(refs),
         grid=grid,
@@ -408,11 +459,11 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
-    traces = tuple(o[:, :B, :H] for o in outs[:n_trace])
+    traces = tuple(o[..., :B, :H] for o in outs[:n_trace])
     if head:
-        O = w_out.shape[1]
-        logits = outs[n_trace][:B, :O]
-        tstar = outs[n_trace + 1][:B, :O]
+        O = w_out.shape[-1]
+        logits = outs[n_trace][..., :B, :O]
+        tstar = outs[n_trace + 1][..., :B, :O]
         return traces, lat, logits, tstar
     return traces, lat
 
@@ -422,7 +473,7 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
 # ---------------------------------------------------------------------------
 def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
                       alpha, rho, threshold, gamma, spike_func,
-                      store_delta, head=False, kappa=0.0, ilv=1):
+                      store_delta, head=False, kappa=0.0, ilv=1, t_axis=1):
     n_res = 1 if (store_delta or not alif) else 2
     i = 0
     if head:
@@ -461,7 +512,7 @@ def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
     i += 2
     if head:
         s_scr, s_blk = refs[i], refs[i + 1]
-    t = pl.program_id(1)
+    t = pl.program_id(t_axis)
 
     @pl.when(t == 0)
     def _():
@@ -474,8 +525,8 @@ def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
             dwout_ref[0] = jnp.zeros_like(dwout_ref[0])
             db_ref[0] = jnp.zeros_like(db_ref[0])
 
-    is_first_block = t == pl.num_programs(1) - 1
-    fwd_blk = pl.num_programs(1) - 1 - t  # forward block this grid step
+    is_first_block = t == pl.num_programs(t_axis) - 1
+    fwd_blk = pl.num_programs(t_axis) - 1 - t  # forward block this grid step
     w_in = w_in_ref[:]
     w_rec = w_rec_ref[:] if has_w else None
     lat = lat_ref[:]
@@ -640,20 +691,23 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
                     g_logits=None, tstar=None, w_out=None, kappa=0.0):
     has_w = w_rec is not None
     head = w_out is not None
+    stacked = w_in.ndim == 3  # leading replica axis (see _stack_spec)
+    S = w_in.shape[0] if stacked else None
     K = _time_block(T)
     ref3d = residuals[0] if head else z
-    B, H = ref3d.shape[1], ref3d.shape[2]
-    F = w_in.shape[0]
+    B, H = ref3d.shape[-2], ref3d.shape[-1]
+    F = w_in.shape[-2]
     f_pad = lat.shape[1]
     # Same batch tile as the forward (lat is padded to a multiple of it).
     _, _, h_pad, bb = _shapes(B, w_in, F, K, head)
     Bp = lat.shape[0]
 
     def padbh(x):
-        pb = Bp - x.shape[1]
-        ph = h_pad - x.shape[2]
+        pb = Bp - x.shape[-2]
+        ph = h_pad - x.shape[-1]
         if pb or ph:
-            x = jnp.pad(x, ((0, 0), (0, pb), (0, ph)))
+            pad = [(0, 0)] * (x.ndim - 2) + [(0, pb), (0, ph)]
+            x = jnp.pad(x, pad)
         return x
 
     # head: the z trace is never materialized -- operands are the
@@ -683,13 +737,19 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
                              memory_space=pltpu.VMEM)
     dwr_spec = pl.BlockSpec((1, h_pad, h_pad), lambda b, t: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    beta_s = jnp.asarray(beta, jnp.float32).reshape(1, 1)
+    if stacked:
+        beta_s = jnp.broadcast_to(
+            jnp.asarray(beta, jnp.float32).reshape(-1, 1, 1), (S, 1, 1)
+        )
+    else:
+        beta_s = jnp.asarray(beta, jnp.float32).reshape(1, 1)
 
     kernel = functools.partial(
         _fused_bwd_kernel, K=K, n_steps=T, use_periods=use_periods,
         alif=alif, has_w=has_w, alpha=alpha, rho=rho, threshold=threshold,
         gamma=gamma, spike_func=spike_func, store_delta=store_delta,
         head=head, kappa=kappa, ilv=_ilv_for(bb),
+        t_axis=2 if stacked else 1,
     )
     in_specs = (
         [rev] * len(operands) + [zb, lat_spec, w_in_spec]
@@ -710,19 +770,17 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
         pltpu.VMEM((K, bb, h_pad), jnp.float32),
     ]
     if head:
-        o_pad = -(-w_out.shape[1] // _LANE) * _LANE
-        O = w_out.shape[1]
+        o_pad = -(-w_out.shape[-1] // _LANE) * _LANE
+        O = w_out.shape[-1]
         head_spec = pl.BlockSpec((bb, o_pad), lambda b, t: (b, 0),
                                  memory_space=pltpu.VMEM)
         # g_logits/tstar arrive padded to (Bp, o_pad) from the forward;
         # padded rows/cols carry zero cotangent so they contribute nothing.
-        gl = jnp.pad(
-            g_logits.astype(jnp.float32),
-            ((0, Bp - g_logits.shape[0]), (0, o_pad - g_logits.shape[1])),
-        )
-        ts_p = jnp.pad(
-            tstar, ((0, Bp - tstar.shape[0]), (0, o_pad - tstar.shape[1]))
-        )
+        pad_bo = [(0, 0)] * (g_logits.ndim - 2) + [
+            (0, Bp - g_logits.shape[-2]), (0, o_pad - g_logits.shape[-1])
+        ]
+        gl = jnp.pad(g_logits.astype(jnp.float32), pad_bo)
+        ts_p = jnp.pad(tstar, pad_bo)
         in_specs = [head_spec, head_spec] + in_specs
         args = [gl, ts_p] + args
         w_out_spec = pl.BlockSpec((h_pad, o_pad), lambda b, t: (0, 0),
@@ -742,6 +800,16 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
             pltpu.VMEM((bb, o_pad), jnp.float32),
             pltpu.VMEM((K, bb, o_pad), jnp.float32),
         ]
+    if stacked:
+        grid = (grid[0], S, grid[1])
+        in_specs = [
+            _share_spec(sp) if sp is lat_spec else _stack_spec(sp)
+            for sp in in_specs
+        ]
+        out_specs = [_stack_spec(sp) for sp in out_specs]
+        out_shape = [
+            jax.ShapeDtypeStruct((S, *os.shape), os.dtype) for os in out_shape
+        ]
     outs = pl.pallas_call(
         lambda *refs: kernel(refs),
         grid=grid,
@@ -751,15 +819,17 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
-    F = w_in.shape[0]
-    g_w_in = jnp.sum(outs[0], axis=0)[:F, :H].astype(w_in.dtype)
+    tile_ax = 1 if stacked else 0  # reduce the batch-tile partials only
+    g_w_in = jnp.sum(outs[0], axis=tile_ax)[..., :F, :H].astype(w_in.dtype)
     g_w_rec = (
-        jnp.sum(outs[1], axis=0)[:H, :H].astype(w_rec.dtype) if has_w else None
+        jnp.sum(outs[1], axis=tile_ax)[..., :H, :H].astype(w_rec.dtype)
+        if has_w
+        else None
     )
     if head:
         j = 2 if has_w else 1
-        g_w_out = jnp.sum(outs[j], axis=0)[:H, :O].astype(w_out.dtype)
-        g_b = jnp.sum(outs[j + 1], axis=0)[0, :O]
+        g_w_out = jnp.sum(outs[j], axis=tile_ax)[..., :H, :O].astype(w_out.dtype)
+        g_b = jnp.sum(outs[j + 1], axis=tile_ax)[..., 0, :O]
         return g_w_in, g_w_rec, g_w_out, g_b
     return g_w_in, g_w_rec
 

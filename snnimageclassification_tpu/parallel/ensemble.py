@@ -57,16 +57,24 @@ class EnsembleTrainer:
         mesh=None,
         checkpoint_folder: Optional[str] = None,
         model_name: str = "snn_ensemble",
-        fused_replicas: Optional[bool] = None,
+        fused_replicas=None,
     ):
-        """``fused_replicas``: route each replica through the fused
-        whole-network Pallas kernels as S unrolled calls inside ONE jitted
-        step, instead of vmapping the XLA path over a replica axis.  Each
-        call runs at full single-model kernel efficiency and the (T, B, F)
-        spike tensor never exists in HBM (vmapping pallas_call itself
-        serializes ~15x slower than XLA -- measured, so unrolling is the
-        fast shape).  Default ``None`` auto-picks: fused kernels on TPU
-        when the config head-fuses, vmapped XLA otherwise."""
+        """``fused_replicas``: route the replicas through the fused
+        whole-network Pallas kernels instead of vmapping the XLA path
+        over a replica axis (vmapping pallas_call itself serializes ~15x
+        slower than XLA -- measured, so it is never used).  Values:
+
+        * ``None`` (default): auto -- fused kernels on TPU when the
+          config head-fuses, vmapped XLA otherwise.
+        * ``True`` / ``"unrolled"``: S unrolled fused-kernel calls inside
+          ONE jitted step; each call runs at full single-model kernel
+          efficiency and the (T, B, F) spike tensor never exists in HBM.
+        * ``"stacked"``: ONE kernel pair for all replicas via the
+          stacked-replica grid (ops/pallas_fused.py) -- smallest XLA
+          graph; measured ~15-20%% slower steady-state than unrolled at
+          T=10 (extra weight-block DMA turnover), so unrolled stays the
+          default; LIF/ALIF only.
+        * ``False``: force the vmapped XLA path."""
         self.cfg = cfg
         self.seeds = tuple(seeds)
         self.mesh = mesh
@@ -111,39 +119,56 @@ class EnsembleTrainer:
         cfg, tx = self.cfg, self.tx
         n_seeds = len(self.seeds)
         fused = self._use_fused_replicas(enc)
+        want_stacked = (
+            self.fused_replicas == "stacked"
+            and model_lib.stacked_head_fusible(cfg, enc)
+        )
 
         if fused:
-            # S unrolled fused-kernel calls per step: each replica runs the
-            # whole-network Pallas head kernel pair (encode -> scan ->
-            # readout -> max in one kernel); the seed-invariant latency
-            # computation is CSE'd across replicas by XLA.  Identical math
-            # to the vmapped path (tested in interpret mode).
-            def replica_loss(p, x, y, w):
-                logits = model_lib.forward_logits_pixels(cfg, p, x, enc)
-                return nll_loss(logits, y, w)
+            if want_stacked:
+                # All replicas as ONE whole-network Pallas kernel pair
+                # with a leading replica grid axis (the stacked-replica
+                # lifting in ops/pallas_fused.py): numerically identical
+                # to S unrolled calls, S× smaller XLA graph, no per-call
+                # dispatch gaps.  Replica losses are independent, so
+                # grad(sum of losses) yields the per-replica gradients.
+                def all_logits(params, x):
+                    return model_lib.forward_logits_pixels_stacked(
+                        cfg, params, x, enc
+                    )
+            else:
+                # Default fused shape: S unrolled fused-kernel calls (the
+                # fastest measured -- see fused_replicas docstring); the
+                # seed-invariant latency computation is CSE'd across
+                # replicas by XLA.
+                def all_logits(params, x):
+                    return jnp.stack([
+                        model_lib.forward_logits_pixels(
+                            cfg, jax.tree.map(lambda a, i=i: a[i], params),
+                            x, enc,
+                        )
+                        for i in range(n_seeds)
+                    ])
+
+            def _sum_loss(params, x, y, w):
+                logits = all_logits(params, x)  # (S, B, O)
+                losses = jax.vmap(nll_loss, in_axes=(0, None, None))(
+                    logits, y, w
+                )
+                return jnp.sum(losses), losses
 
             def stacked_grads(params, x, y, w):
-                outs = [
-                    jax.value_and_grad(replica_loss)(
-                        jax.tree.map(lambda a, i=i: a[i], params), x, y, w
-                    )
-                    for i in range(n_seeds)
-                ]
-                losses = jnp.stack([o[0] for o in outs])
-                grads = jax.tree.map(
-                    lambda *gs: jnp.stack(gs), *[o[1] for o in outs]
-                )
+                (_, losses), grads = jax.value_and_grad(
+                    _sum_loss, has_aux=True
+                )(params, x, y, w)
                 return losses, grads
 
             def stacked_eval(params, x, y, w):
-                outs = [
-                    model_lib.forward_logits_pixels(
-                        cfg, jax.tree.map(lambda a, i=i: a[i], params), x, enc
-                    )
-                    for i in range(n_seeds)
-                ]
-                losses = jnp.stack([nll_loss(lg, y, w) for lg in outs])
-                preds = jnp.stack([jnp.argmax(lg, axis=-1) for lg in outs])
+                logits = all_logits(params, x)
+                losses = jax.vmap(nll_loss, in_axes=(0, None, None))(
+                    logits, y, w
+                )
+                preds = jnp.argmax(logits, axis=-1)
                 return losses, preds
         else:
             def one_replica_grads(params, inputs, y, w):

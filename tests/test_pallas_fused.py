@@ -598,3 +598,87 @@ def test_fused_interleaved_bitwise_identical(rec, monkeypatch):
     assert float(l1) == float(l2)
     for a, b in zip(g1, g2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Stacked-replica (ensemble) grid: one kernel pair for all replicas
+# ---------------------------------------------------------------------------
+STACKED_CASES = [
+    ("alif-rec-ttfs", True, True, False, SpikeFuncType.FastSigmoid, 12),
+    ("lif-ff-periodic", False, False, True, SpikeFuncType.FastSigmoid, 12),
+    ("alif-rec-phi-2blocks", True, True, False, SpikeFuncType.Phi, 24),
+    ("alif-ff-2blocks", True, False, True, SpikeFuncType.FastSigmoid, 24),
+]
+
+
+@pytest.mark.parametrize(
+    "name,alif,rec,use_periods,spike_func,n_steps", STACKED_CASES,
+    ids=[c[0] for c in STACKED_CASES],
+)
+def test_fused_head_stacked_matches_unrolled(name, alif, rec, use_periods,
+                                             spike_func, n_steps):
+    """The stacked-replica grid (leading S axis, one pallas_call for the
+    whole ensemble) must be BITWISE identical to S unrolled head calls --
+    logits and every weight gradient, per replica.  Per-replica beta
+    exercises the (S, 1, 1) SMEM block."""
+    S = 3
+    rng = np.random.default_rng(23)
+    pixels = rng.random((B, F)).astype(np.float32)
+    lat = pixels_to_firing_periods(jnp.asarray(pixels), t_max=float(n_steps))
+    w_in = jnp.asarray(0.5 * rng.standard_normal((S, F, H)).astype(np.float32))
+    w_rec = (
+        jnp.asarray(
+            (0.3 * rng.standard_normal((S, H, H))).astype(np.float32)
+            * (1 - np.eye(H, dtype=np.float32))
+        )
+        if rec
+        else None
+    )
+    w_out = jnp.asarray(rng.standard_normal((S, H, O)).astype(np.float32))
+    b_out = jnp.asarray(0.1 * rng.standard_normal((S, O)).astype(np.float32))
+    beta = (
+        jnp.asarray(0.1 * rng.standard_normal(S).astype(np.float32))
+        if alif
+        else 0.0
+    )
+    cfg_cls = ALIFConfig if alif else LIFConfig
+    cfg = cfg_cls(input_size=F, output_size=H, spike_func=spike_func,
+                  use_recurrent_connection=rec)
+    rho = cfg.rho if alif else 0.0
+    common = (n_steps, use_periods, alif, cfg.alpha, rho, cfg.threshold,
+              cfg.gamma, _KAPPA, spike_func, True)
+    y = jnp.asarray(rng.integers(0, O, B), jnp.int32)
+
+    def nll(logits):  # (B, O) -> scalar
+        return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(B), y])
+
+    def run_one(i, wi, wr, wo, bo):
+        be = beta[i] if alif else 0.0
+        if rec:
+            return fused_encode_rec_scan_head(lat, wi, wr, be, wo, bo, *common)
+        return fused_encode_ff_scan_head(lat, wi, be, wo, bo, *common)
+
+    def run_stacked(wi, wr, wo, bo):
+        if rec:
+            return fused_encode_rec_scan_head(
+                lat, wi, wr, beta, wo, bo, *common
+            )
+        return fused_encode_ff_scan_head(lat, wi, beta, wo, bo, *common)
+
+    argn = (0, 1, 2, 3) if rec else (0, 2, 3)
+    loss_s = lambda wi, wr, wo, bo: jnp.sum(
+        jax.vmap(nll)(run_stacked(wi, wr, wo, bo))
+    )
+    lg_s = run_stacked(w_in, w_rec, w_out, b_out)
+    g_s = jax.grad(loss_s, argn)(w_in, w_rec, w_out, b_out)
+    assert lg_s.shape == (S, B, O)
+    for i in range(S):
+        wr_i = w_rec[i] if rec else None
+        lg_i = run_one(i, w_in[i], wr_i, w_out[i], b_out[i])
+        loss_i = lambda wi, wr, wo, bo: nll(run_one(i, wi, wr, wo, bo))
+        g_i = jax.grad(loss_i, argn)(w_in[i], wr_i, w_out[i], b_out[i])
+        np.testing.assert_array_equal(np.asarray(lg_s[i]), np.asarray(lg_i))
+        for g_stacked, g_ref in zip(g_s, g_i):
+            np.testing.assert_array_equal(
+                np.asarray(g_stacked[i]), np.asarray(g_ref)
+            )
