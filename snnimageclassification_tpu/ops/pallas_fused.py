@@ -75,16 +75,30 @@ def _ilv_for(bb: int) -> int:
     return _ILV if _ILV > 1 and bb % (_SUBLANE * _ILV) == 0 else 1
 
 
+# Budget for the VMEM-resident W_in block + double-buffered latency
+# tiles (separate from the revolving trace-block budget, _fit_block_b).
+_WLAT_BUDGET = 4 * 1024 * 1024
+
+
+def _wlat_fit_bb(bb: int, f_pad: int, h_pad: int) -> int:
+    """Shrink the batch tile until W_in + 2 latency tiles fit their
+    budget -- wide hidden layers (h_pad > 128) trade tile size for
+    fusion instead of falling back to XLA."""
+    w_bytes = f_pad * h_pad * 4
+    while bb > _SUBLANE and w_bytes + 2 * bb * f_pad * 4 > _WLAT_BUDGET:
+        bb = (bb // 2) // _SUBLANE * _SUBLANE
+    return max(_SUBLANE, bb)
+
+
 def fused_supported(n_steps: int, n_features: int, hidden: int) -> bool:
-    """The W_in block plus one latency tile must fit VMEM comfortably."""
+    """The W_in block plus one (shrinkable) latency tile must fit VMEM."""
     f_pad = -(-n_features // _LANE) * _LANE
     h_pad = -(-hidden // _LANE) * _LANE
-    w_bytes = f_pad * h_pad * 4
-    lat_bytes = _MAX_BLOCK_B * f_pad * 4
+    bb = _wlat_fit_bb(_MAX_BLOCK_B, f_pad, h_pad)
     return (
         jax.default_backend() == "tpu"
         and n_steps >= 1
-        and w_bytes + 2 * lat_bytes <= 4 * 1024 * 1024
+        and f_pad * h_pad * 4 + 2 * bb * f_pad * 4 <= _WLAT_BUDGET
     )
 
 
@@ -358,6 +372,7 @@ def _shapes(B, w_in, F, K, head=False):
     # The head keeps an extra (K, bb, o_pad) s-block plus (bb, o_pad)
     # readout state resident; budget it like two more revolving blocks.
     bb = _fit_block_b(bb, K, h_pad, _N_BLOCKS + (2 if head else 0))
+    bb = _wlat_fit_bb(bb, f_pad, h_pad)  # wide layers: shrink, don't gate
     if w_in.dtype == jnp.bfloat16:
         bb = max(16, -(-bb // 16) * 16)
     return H, f_pad, h_pad, bb

@@ -682,3 +682,46 @@ def test_fused_head_stacked_matches_unrolled(name, alif, rec, use_periods,
             np.testing.assert_array_equal(
                 np.asarray(g_stacked[i]), np.asarray(g_ref)
             )
+
+
+def test_wide_hidden_tile_shrinks_not_gates():
+    """Hidden sizes past 128 lanes (e.g. the reference sweep's
+    n_hidden_neurons=200) must shrink the batch tile instead of losing
+    the fused path: _wlat_fit_bb keeps W_in + 2 latency tiles inside
+    their VMEM budget, and the kernel stays correct at the shrunk tile."""
+    from snnimageclassification_tpu.ops.pallas_fused import (
+        _LANE,
+        _MAX_BLOCK_B,
+        _WLAT_BUDGET,
+        _wlat_fit_bb,
+    )
+
+    f_pad = 896  # F=784 padded
+    for hidden, expect_fits in ((128, True), (200, True), (512, True),
+                                (1024, True), (2048, False)):
+        h_pad = -(-hidden // _LANE) * _LANE
+        bb = _wlat_fit_bb(_MAX_BLOCK_B, f_pad, h_pad)
+        fits = f_pad * h_pad * 4 + 2 * bb * f_pad * 4 <= _WLAT_BUDGET
+        assert fits == expect_fits, (hidden, bb)
+        if hidden > 128 and expect_fits:
+            assert bb < _MAX_BLOCK_B  # really traded tile size
+
+    # Correctness at the shrunk tile: H=200 head kernel vs composed XLA.
+    F2, H2, n_steps = 784, 200, 12
+    rng = np.random.default_rng(31)
+    pixels = rng.random((B, F2)).astype(np.float32)
+    lat = pixels_to_firing_periods(jnp.asarray(pixels), t_max=float(n_steps))
+    w_in = jnp.asarray(0.2 * rng.standard_normal((F2, H2)).astype(np.float32))
+    w_out = jnp.asarray(rng.standard_normal((H2, O)).astype(np.float32))
+    b_out = jnp.asarray(0.1 * rng.standard_normal((O,)).astype(np.float32))
+    cfg = ALIFConfig(input_size=F2, output_size=H2,
+                     spike_func=SpikeFuncType.FastSigmoid,
+                     use_recurrent_connection=False)
+    common = (n_steps, False, True, cfg.alpha, cfg.rho, cfg.threshold,
+              cfg.gamma, _KAPPA, SpikeFuncType.FastSigmoid, True)
+    got = fused_encode_ff_scan_head(lat, w_in, cfg.beta, w_out, b_out,
+                                    *common)
+    ref = _composed_head(pixels, w_in, None, w_out, b_out, cfg, False,
+                         n_steps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
