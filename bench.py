@@ -132,6 +132,17 @@ def main():
         result["bf16_value"] = round(
             measure(SNNConfig(**variants, compute_dtype="bfloat16"))[0], 1
         )
+        # Two hidden layers: layer 0 runs the fused encode head-less
+        # kernel, layer 1 the fused mid-layer kernel (z@W + scan in one
+        # pair, ops/pallas_fused_mid.py), readout composes on top.
+        twolayer = dict(variants)
+        twolayer["n_hidden_neurons"] = [128, 128]
+        result["twolayer_value"] = round(measure(SNNConfig(**twolayer))[0], 1)
+        # Izhikevich whole-network head kernel (ops/pallas_fused_izh.py).
+        izh = dict(variants)
+        izh["hidden_layer_type"] = "Izhikevich"
+        del izh["learn_beta"]
+        result["izh_value"] = round(measure(SNNConfig(**izh))[0], 1)
     print(json.dumps(result))
 
 
