@@ -41,8 +41,6 @@ def main() -> None:
 
     enable_compilation_cache()
     rng = np.random.default_rng(0)
-    xs = jnp.asarray(rng.random((64, 784)), jnp.float32)
-    ys = jnp.asarray(rng.integers(0, 10, 64), jnp.int32)
     xb = jnp.asarray(rng.random((args.batch, 784)), jnp.float32)
     yb = jnp.asarray(rng.integers(0, 10, args.batch), jnp.int32)
     ok = True
@@ -61,7 +59,8 @@ def main() -> None:
         enc = EncodeConfig(n_steps=args.t)
         params = M.init(cfg, jax.random.PRNGKey(0))
         _, _, _, bb = _shapes(args.batch, params["input"]["w_in"], 784,
-                              _time_block(args.t), head=True)
+                              _time_block(args.t), head=True,
+                              recurrent=True, n_out=10)
 
         def loss(c, p, x, y):
             lg = (M.forward_logits_pixels(c, p, x, enc)
@@ -70,35 +69,47 @@ def main() -> None:
             n = x.shape[0]
             return -jnp.mean(jax.nn.log_softmax(lg)[jnp.arange(n), y])
 
-        # Parity at small batch (fast), against the XLA scan path.
-        lp = jax.jit(lambda p: loss(cfg, p, xs, ys))(params)
-        lx = jax.jit(lambda p: loss(cfg_x, p, xs, ys))(params)
-        gp = jax.jit(jax.grad(lambda p: loss(cfg, p, xs, ys)))(params)
-        gx = jax.jit(jax.grad(lambda p: loss(cfg_x, p, xs, ys)))(params)
-        dl = abs(float(lp) - float(lx))
-        dg = max(
-            float(jnp.max(jnp.abs(a - b)))
-            for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gx))
-        )
-        good = dl < 1e-5 and dg < 1e-4
-        ok &= good
-
-        # Throughput at batch > tile: the shrunk tile cycles for real.
-        res = {}
+        # Parity AT THE FULL BATCH (> shrunk tile, so tile cycling is
+        # exercised), fused vs the XLA scan path, scale-normalized per
+        # leaf (raw gradients reach O(1e3+) at these widths).
+        grads, res = {}, {}
         for c, label in ((cfg, "fused"), (cfg_x, "xla")):
-            step = jax.jit(jax.value_and_grad(lambda p: loss(c, p, xb, yb)))
-            v, _ = step(params)
+            # Chain iterations: fold the previous loss back into the
+            # input (x * (1 + 0*v) is bitwise x) so the relay cannot
+            # overlap same-args calls and under-report (CLAUDE.md).
+            step = jax.jit(
+                lambda p, x, c=c: jax.value_and_grad(
+                    lambda q: loss(c, q, x, yb)
+                )(p)
+            )
+            v, g = step(params, xb)
             float(v)
+            grads[label] = (float(v), g)
             best = float("inf")
             for _ in range(3):
+                x_c = xb
                 t0 = time.perf_counter()
                 for _ in range(10):
-                    v, _ = step(params)
+                    v, _ = step(params, x_c)
+                    x_c = xb * (1.0 + 0.0 * v)
                 float(v)
                 best = min(best, time.perf_counter() - t0)
             res[label] = round(args.batch * 10 / best)
+        dl = abs(grads["fused"][0] - grads["xla"][0]) / max(
+            abs(grads["xla"][0]), 1e-12
+        )
+        dg = max(
+            float(jnp.max(jnp.abs(a - b)))
+            / max(float(jnp.max(jnp.abs(b))), 1e-12)
+            for a, b in zip(
+                jax.tree.leaves(grads["fused"][1]),
+                jax.tree.leaves(grads["xla"][1]),
+            )
+        )
+        good = dl < 1e-5 and dg < 1e-4
+        ok &= good
         print(json.dumps(dict(
-            width=width, tile=int(bb), loss_diff=dl, grad_diff=dg,
+            width=width, tile=int(bb), rel_loss_diff=dl, rel_grad_diff=dg,
             parity="OK" if good else "FAIL",
             fused_img_s=res["fused"], xla_img_s=res["xla"],
             speedup=round(res["fused"] / res["xla"], 2),

@@ -415,7 +415,8 @@ def apply_pixels(
         and not return_hidden
         and supported_fn is not None
         and supported_fn(
-            cfg.int_time_steps, cfg.input_size, first_cfg.output_size
+            cfg.int_time_steps, cfg.input_size, first_cfg.output_size,
+            recurrent=first_cfg.use_recurrent_connection,
         )
     )
     if (
@@ -546,6 +547,7 @@ def _head_fusible(cfg: SNNConfig, enc) -> bool:
     ok = supported_fn(
         cfg.int_time_steps, cfg.input_size, first_cfg.output_size,
         last_cfg.output_size,
+        recurrent=first_cfg.use_recurrent_connection,
     )
     if not ok and _on_tpu():
         _log_fused_fallback(

@@ -75,41 +75,68 @@ def _ilv_for(bb: int) -> int:
     return _ILV if _ILV > 1 and bb % (_SUBLANE * _ILV) == 0 else 1
 
 
-# Budget for the VMEM-resident W_in block + double-buffered latency
-# tiles (separate from the revolving trace-block budget, _fit_block_b).
-_WLAT_BUDGET = 4 * 1024 * 1024
+# Budget for the VMEM-resident weight blocks (W_in + W_rec + W_out) plus
+# double-buffered latency tiles (separate from the revolving trace-block
+# budget, _fit_block_b).  Calibrated so the flagship f32 shape keeps its
+# optimal 512-row tile (4.26 MB fully accounted, proven on-chip) and the
+# natively-validated H=512 recurrent shape stays admitted at bb=256
+# (4.9 MB, scripts/wide_hidden_check.py), while H=1024 recurrent (8.2 MB
+# of weights alone) gates off to XLA instead of failing Mosaic compile.
+_WLAT_BUDGET = 5 * 1024 * 1024
 
 
-def _wlat_fit_bb(bb: int, f_pad: int, h_pad: int) -> int:
-    """Shrink the batch tile until W_in + 2 latency tiles fit their
-    budget -- wide hidden layers (h_pad > 128) trade tile size for
-    fusion instead of falling back to XLA."""
-    w_bytes = f_pad * h_pad * 4
+def _weight_bytes(f_pad: int, h_pad: int, recurrent: bool, o_pad: int,
+                  itemsize: int = 4) -> int:
+    w = f_pad * h_pad * itemsize
+    if recurrent:
+        w += h_pad * h_pad * itemsize
+    if o_pad:
+        w += h_pad * o_pad * itemsize
+    return w
+
+
+def _wlat_fit_bb(bb: int, f_pad: int, w_bytes: int) -> int:
+    """Shrink the batch tile until the resident weights + 2 latency tiles
+    fit their budget -- wide hidden layers (h_pad > 128) trade tile size
+    for fusion instead of falling back to XLA."""
     while bb > _SUBLANE and w_bytes + 2 * bb * f_pad * 4 > _WLAT_BUDGET:
         bb = (bb // 2) // _SUBLANE * _SUBLANE
     return max(_SUBLANE, bb)
 
 
-def fused_supported(n_steps: int, n_features: int, hidden: int) -> bool:
-    """The W_in block plus one (shrinkable) latency tile must fit VMEM."""
+def fused_supported(
+    n_steps: int, n_features: int, hidden: int, recurrent: bool = True,
+) -> bool:
+    """The weight blocks plus one (shrinkable) latency tile must fit
+    VMEM.  ``recurrent`` defaults True (the conservative direction: a
+    feedforward caller passing the default only over-budgets)."""
     f_pad = -(-n_features // _LANE) * _LANE
     h_pad = -(-hidden // _LANE) * _LANE
-    bb = _wlat_fit_bb(_MAX_BLOCK_B, f_pad, h_pad)
+    w_bytes = _weight_bytes(f_pad, h_pad, recurrent, 0)
+    bb = _wlat_fit_bb(_MAX_BLOCK_B, f_pad, w_bytes)
     return (
         jax.default_backend() == "tpu"
         and n_steps >= 1
-        and f_pad * h_pad * 4 + 2 * bb * f_pad * 4 <= _WLAT_BUDGET
+        and w_bytes + 2 * bb * f_pad * 4 <= _WLAT_BUDGET
     )
 
 
 def fused_head_supported(
-    n_steps: int, n_features: int, hidden: int, n_out: int
+    n_steps: int, n_features: int, hidden: int, n_out: int,
+    recurrent: bool = True,
 ) -> bool:
     """Head variant additionally keeps W_out and (bb, o_pad) readout
     state resident; cheap for classification-sized outputs."""
+    f_pad = -(-n_features // _LANE) * _LANE
+    h_pad = -(-hidden // _LANE) * _LANE
+    o_pad = -(-n_out // _LANE) * _LANE
+    w_bytes = _weight_bytes(f_pad, h_pad, recurrent, o_pad)
+    bb = _wlat_fit_bb(_MAX_BLOCK_B, f_pad, w_bytes)
     return (
-        fused_supported(n_steps, n_features, hidden)
-        and -(-n_out // _LANE) * _LANE <= 512
+        jax.default_backend() == "tpu"
+        and n_steps >= 1
+        and o_pad <= 512
+        and w_bytes + 2 * bb * f_pad * 4 <= _WLAT_BUDGET
     )
 
 
@@ -364,17 +391,24 @@ def _share_spec(spec):
 _N_BLOCKS = 6
 
 
-def _shapes(B, w_in, F, K, head=False):
+def _shapes(B, w_in, F, K, head=False, recurrent=True, n_out=0):
     H = w_in.shape[-1]
     f_pad = -(-F // _LANE) * _LANE
     h_pad = -(-H // _LANE) * _LANE
+    o_pad = -(-n_out // _LANE) * _LANE if n_out else 0
     bb = min(_MAX_BLOCK_B, -(-B // _SUBLANE) * _SUBLANE)
     # The head keeps an extra (K, bb, o_pad) s-block plus (bb, o_pad)
     # readout state resident; budget it like two more revolving blocks.
     bb = _fit_block_b(bb, K, h_pad, _N_BLOCKS + (2 if head else 0))
-    bb = _wlat_fit_bb(bb, f_pad, h_pad)  # wide layers: shrink, don't gate
+    # Wide layers: shrink the tile, don't gate off fusion.  Weight bytes
+    # use the real itemsize (bf16 W halves the resident cost).
+    w_bytes = _weight_bytes(f_pad, h_pad, recurrent, o_pad,
+                            itemsize=jnp.dtype(w_in.dtype).itemsize)
+    bb = _wlat_fit_bb(bb, f_pad, w_bytes)
     if w_in.dtype == jnp.bfloat16:
-        bb = max(16, -(-bb // 16) * 16)
+        # Sublane tiling for bf16 needs 16-row multiples; round DOWN so
+        # the budget just enforced still holds (16 is the hard floor).
+        bb = max(16, bb // 16 * 16)
     return H, f_pad, h_pad, bb
 
 
@@ -391,7 +425,8 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
     else:
         n_trace = 2 if (store_delta or not alif) else 3
     B, F = latencies.shape
-    H, f_pad, h_pad, bb = _shapes(B, w_in, F, K, head)
+    H, f_pad, h_pad, bb = _shapes(B, w_in, F, K, head, recurrent=has_w,
+        n_out=w_out.shape[-1] if head else 0)
     lat = (
         lat_prepadded
         if lat_prepadded is not None
@@ -714,7 +749,8 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
     F = w_in.shape[-2]
     f_pad = lat.shape[1]
     # Same batch tile as the forward (lat is padded to a multiple of it).
-    _, _, h_pad, bb = _shapes(B, w_in, F, K, head)
+    _, _, h_pad, bb = _shapes(B, w_in, F, K, head, recurrent=has_w,
+        n_out=w_out.shape[-1] if head else 0)
     Bp = lat.shape[0]
 
     def padbh(x):

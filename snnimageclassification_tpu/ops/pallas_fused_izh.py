@@ -44,21 +44,23 @@ __all__ = [
 ]
 
 
-def fused_izh_supported(n_steps: int, n_features: int, hidden: int) -> bool:
+def fused_izh_supported(
+    n_steps: int, n_features: int, hidden: int, recurrent: bool = True,
+) -> bool:
     """Same VMEM footprint as the LIF/ALIF fused kernels."""
-    return fused_supported(n_steps, n_features, hidden)
+    return fused_supported(n_steps, n_features, hidden, recurrent=recurrent)
 
 
 def fused_izh_head_supported(
-    n_steps: int, n_features: int, hidden: int, n_out: int
+    n_steps: int, n_features: int, hidden: int, n_out: int,
+    recurrent: bool = True,
 ) -> bool:
     """Head variant: W_out + (bb, o_pad) readout state resident like the
     LIF/ALIF head (pallas_fused.fused_head_supported)."""
-    from .pallas_fused import _LANE
+    from .pallas_fused import fused_head_supported
 
-    return (
-        fused_izh_supported(n_steps, n_features, hidden)
-        and -(-n_out // _LANE) * _LANE <= 512
+    return fused_head_supported(
+        n_steps, n_features, hidden, n_out, recurrent=recurrent
     )
 
 
@@ -321,7 +323,8 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
     head = w_out is not None
     K = _time_block(T)
     B, F = latencies.shape
-    H, f_pad, h_pad, bb = _shapes(B, w_in, F, K, head)
+    H, f_pad, h_pad, bb = _shapes(B, w_in, F, K, head, recurrent=has_w,
+        n_out=w_out.shape[-1] if head else 0)
     lat = (
         lat_prepadded
         if lat_prepadded is not None
@@ -410,7 +413,8 @@ def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
     F = w_in.shape[0]
     f_pad = lat.shape[1]
     # Same batch tile as the forward (lat is padded to a multiple of it).
-    _, _, h_pad, bb = _shapes(B, w_in, F, K, head)
+    _, _, h_pad, bb = _shapes(B, w_in, F, K, head, recurrent=has_w,
+        n_out=w_out.shape[-1] if head else 0)
     Bp = lat.shape[0]
 
     def padbh(x):

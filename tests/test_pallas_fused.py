@@ -697,14 +697,27 @@ def test_wide_hidden_tile_shrinks_not_gates():
     )
 
     f_pad = 896  # F=784 padded
-    for hidden, expect_fits in ((128, True), (200, True), (512, True),
-                                (1024, True), (2048, False)):
+    from snnimageclassification_tpu.ops.pallas_fused import _weight_bytes
+
+    # (hidden, recurrent) -> fits?  The budget counts W_in + W_rec +
+    # W_out; recurrent H=1024 (8.2 MB of weights alone) must gate OFF so
+    # it falls back to XLA instead of failing Mosaic compile, while the
+    # natively-validated H<=512 recurrent shapes and wide feedforward
+    # shapes stay admitted.
+    for hidden, recurrent, expect_fits in (
+        (128, True, True), (200, True, True), (512, True, True),
+        (1024, True, False), (1024, False, True), (2048, False, False),
+    ):
         h_pad = -(-hidden // _LANE) * _LANE
-        bb = _wlat_fit_bb(_MAX_BLOCK_B, f_pad, h_pad)
-        fits = f_pad * h_pad * 4 + 2 * bb * f_pad * 4 <= _WLAT_BUDGET
-        assert fits == expect_fits, (hidden, bb)
-        if hidden > 128 and expect_fits:
-            assert bb < _MAX_BLOCK_B  # really traded tile size
+        w_bytes = _weight_bytes(f_pad, h_pad, recurrent, 0)
+        bb = _wlat_fit_bb(_MAX_BLOCK_B, f_pad, w_bytes)
+        fits = w_bytes + 2 * bb * f_pad * 4 <= _WLAT_BUDGET
+        assert fits == expect_fits, (hidden, recurrent, bb)
+    # H=512 recurrent really trades tile size (bb=256 on-chip validated).
+    bb512 = _wlat_fit_bb(
+        _MAX_BLOCK_B, f_pad, _weight_bytes(f_pad, 512, True, 128)
+    )
+    assert bb512 < _MAX_BLOCK_B
 
     # Correctness at the shrunk tile: H=200 head kernel vs composed XLA.
     F2, H2, n_steps = 784, 200, 12
@@ -725,3 +738,62 @@ def test_wide_hidden_tile_shrinks_not_gates():
                          n_steps)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_shrunk_tile_multi_tile_grads(monkeypatch):
+    """Force the _wlat_fit_bb shrink with a tiny budget so the batch
+    really cycles multiple SHRUNK tiles (B=24, bb=8 -> 3 tiles) through
+    a multi-block (T=24) recurrent head, forward AND backward -- the
+    round-3 wide-hidden fix's new code path at gradient level."""
+    import snnimageclassification_tpu.ops.pallas_fused as pf
+
+    n_steps = 24
+    rng = np.random.default_rng(41)
+    pixels = rng.random((24, F)).astype(np.float32)
+    lat = pixels_to_firing_periods(jnp.asarray(pixels), t_max=float(n_steps))
+    w_in = jnp.asarray(0.5 * rng.standard_normal((F, H)).astype(np.float32))
+    w_rec = jnp.asarray(
+        (0.3 * rng.standard_normal((H, H))).astype(np.float32)
+        * (1 - np.eye(H, dtype=np.float32))
+    )
+    w_out = jnp.asarray(rng.standard_normal((H, O)).astype(np.float32))
+    b_out = jnp.asarray(0.1 * rng.standard_normal((O,)).astype(np.float32))
+    cfg = ALIFConfig(input_size=F, output_size=H,
+                     spike_func=SpikeFuncType.FastSigmoid,
+                     use_recurrent_connection=True)
+    common = (n_steps, False, True, cfg.alpha, cfg.rho, cfg.threshold,
+              cfg.gamma, _KAPPA, SpikeFuncType.FastSigmoid, True)
+    y = jnp.asarray(rng.integers(0, O, 24), jnp.int32)
+
+    def nll(lg):
+        return -jnp.mean(jax.nn.log_softmax(lg)[jnp.arange(24), y])
+
+    def run():
+        def loss(wi, wr, wo, bo):
+            return nll(fused_encode_rec_scan_head(
+                lat, wi, wr, cfg.beta, wo, bo, *common))
+        return jax.value_and_grad(loss, (0, 1, 2, 3))(
+            w_in, w_rec, w_out, b_out)
+
+    # Reference run at the default budget (single 24-row tile).
+    v_ref, g_ref = run()
+    K = pf._time_block(n_steps)
+    _, _, _, bb_full = pf._shapes(24, w_in, F, K, head=True,
+                                  recurrent=True, n_out=O)
+    assert bb_full == 24
+
+    # Shrunk: budget forces bb=8 -> 3 tiles x 2 time blocks.
+    wb = pf._weight_bytes(128, 128, True, 128)
+    monkeypatch.setattr(pf, "_WLAT_BUDGET", wb + 2 * 8 * 128 * 4)
+    _, _, _, bb_small = pf._shapes(24, w_in, F, K, head=True,
+                                   recurrent=True, n_out=O)
+    assert bb_small == 8
+    v_small, g_small = run()
+
+    # Tile partition must not change the math (tile sums are f32; the
+    # per-tile g_W partials add in a different order -> tiny noise).
+    np.testing.assert_allclose(float(v_small), float(v_ref), rtol=1e-6)
+    for a, b in zip(g_small, g_ref):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-12)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-6)
