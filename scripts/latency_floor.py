@@ -17,7 +17,7 @@ contributor of the chain:
 Timing matches bench.py: chained same-buffer steps, float() host read to
 close each window, best of 3 windows.  Run on the real TPU:
 
-    python scripts/latency_floor.py [--steps 25] [--out PARITY fragment]
+    python scripts/latency_floor.py [--steps 25] [--windows 3]
 """
 import argparse
 import json

@@ -610,6 +610,25 @@ def forward_logits_pixels(
             enc.use_periods, first_cfg.gamma, last_cfg.kappa,
             first_cfg.spike_func,
         )
+    return _lif_alif_head_call(
+        cfg, first_cfg, last_cfg, lparams0, latencies, w0, w_out, b_out, enc
+    )
+
+
+def _lif_alif_head_call(cfg, first_cfg, last_cfg, lparams0, latencies, w0,
+                        w_out, b_out, enc):
+    """Dispatch to the LIF/ALIF whole-network head kernel pair.  Every
+    array op broadcasts over an optional leading replica axis, so this
+    single tail serves both :func:`forward_logits_pixels` (2-D weights)
+    and :func:`forward_logits_pixels_stacked` ((S, ...) weights) -- the
+    static ``common`` tuple cannot drift between the two paths."""
+    from ..ops.cells import ALIFConfig
+    from ..ops.pallas_fused import (
+        fused_encode_ff_scan_head,
+        fused_encode_rec_scan_head,
+    )
+
+    matmul_dtype = jnp.dtype(cfg.matmul_dtype_eff)
     alif = type(first_cfg) is ALIFConfig
     beta = (
         (lparams0["beta"] if first_cfg.learn_beta else first_cfg.beta)
@@ -659,13 +678,15 @@ def forward_logits_pixels_stacked(
     are no inter-call dispatch gaps.  Callers gate on
     :func:`stacked_head_fusible` and fall back to the unrolled path.
     """
-    from ..ops.cells import ALIFConfig
     from ..ops.encoding import pixels_to_firing_periods
-    from ..ops.pallas_fused import (
-        fused_encode_ff_scan_head,
-        fused_encode_rec_scan_head,
-    )
 
+    if not stacked_head_fusible(cfg, enc):
+        raise ValueError(
+            "forward_logits_pixels_stacked: config is not stacked-head-"
+            "fusible (Izhikevich first layer, unsupported shape/dtype, or "
+            "non-TPU backend) -- gate on stacked_head_fusible(cfg, enc) "
+            "and use per-replica forward_logits_pixels instead."
+        )
     (first_name, first_cfg), (last_name, last_cfg) = cfg.layer_configs
     latencies = pixels_to_firing_periods(
         jnp.asarray(pixels, jnp.float32),
@@ -679,25 +700,9 @@ def forward_logits_pixels_stacked(
     w0 = lparams0["w_in"].astype(matmul_dtype)           # (S, F, H)
     w_out = stacked_params[last_name]["w_in"].astype(matmul_dtype)
     b_out = stacked_params[last_name]["b"]               # (S, O)
-    alif = type(first_cfg) is ALIFConfig
-    beta = (
-        (lparams0["beta"] if first_cfg.learn_beta else first_cfg.beta)
-        if alif
-        else 0.0
+    return _lif_alif_head_call(
+        cfg, first_cfg, last_cfg, lparams0, latencies, w0, w_out, b_out, enc
     )
-    rho = first_cfg.rho if alif else 0.0
-    common = (
-        cfg.int_time_steps, enc.use_periods, alif, first_cfg.alpha, rho,
-        first_cfg.threshold, first_cfg.gamma, last_cfg.kappa,
-        first_cfg.spike_func,
-    )
-    w_rec_eff = masked_recurrent(first_cfg, lparams0)    # (S, H, H) | None
-    if w_rec_eff is not None:
-        w_rec_eff = w_rec_eff.astype(matmul_dtype)
-        return fused_encode_rec_scan_head(
-            latencies, w0, w_rec_eff, beta, w_out, b_out, *common
-        )
-    return fused_encode_ff_scan_head(latencies, w0, beta, w_out, b_out, *common)
 
 
 def prediction_logits(cfg: SNNConfig, outputs_trace: jax.Array) -> jax.Array:

@@ -357,15 +357,17 @@ def _pad2(w, r_pad, c_pad):
 
 
 # --- stacked-replica (ensemble) grid lifting -------------------------------
-# The head kernels also run with a leading replica grid axis: grid
-# (S, tiles, time blocks), per-replica weights/traces/grads selected by a
-# size-None leading block dim (the kernel refs keep their 2-D/3-D shapes,
-# so the kernel bodies are byte-for-byte the single-model ones with
-# t_axis=2).  Shared operands (the latency tile -- every replica sees the
-# same batch) keep their blocks and ignore the replica index.  This is
-# how the multi-seed EnsembleTrainer runs all replicas as ONE kernel pair
-# per direction instead of S unrolled pallas_calls (compiles ~S× faster,
-# no per-call dispatch gaps).
+# The head kernels also run with a replica grid axis: grid
+# (tiles, S, time blocks) -- batch tiles OUTERMOST, replicas in the
+# middle, time innermost.  Per-replica weights/traces/grads are selected
+# by a size-None leading block dim (the kernel refs keep their 2-D/3-D
+# shapes, so the kernel bodies are byte-for-byte the single-model ones
+# with t_axis=2).  Shared operands (the latency tile -- every replica
+# sees the same batch) keep their blocks and ignore the replica index;
+# putting the replica axis INSIDE the tile axis is what lets the shared
+# tile keep its block index across replicas (DMA'd once per tile).  This
+# is how the multi-seed EnsembleTrainer can run all replicas as ONE
+# kernel pair per direction instead of S unrolled pallas_calls.
 
 
 def _stack_spec(spec):
@@ -488,9 +490,10 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
             pltpu.VMEM((bb, o_pad), jnp.int32),
         ]
     if stacked:
-        # Replica grid axis outermost; per-replica operands/outputs pick
-        # their slab via a size-None leading block dim; the shared latency
-        # tile ignores the replica index.
+        # Grid (tiles, S, time): replica axis INSIDE the tile axis (see
+        # the _stack_spec comment); per-replica operands/outputs pick
+        # their slab via a size-None leading block dim; the shared
+        # latency tile ignores the replica index.
         grid = (grid[0], S, grid[1])
         in_specs = [
             _share_spec(sp) if sp is lat_spec else _stack_spec(sp)

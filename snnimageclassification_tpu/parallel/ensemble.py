@@ -71,9 +71,9 @@ class EnsembleTrainer:
           efficiency and the (T, B, F) spike tensor never exists in HBM.
         * ``"stacked"``: ONE kernel pair for all replicas via the
           stacked-replica grid (ops/pallas_fused.py) -- smallest XLA
-          graph; measured ~15-20%% slower steady-state than unrolled at
-          T=10 (extra weight-block DMA turnover), so unrolled stays the
-          default; LIF/ALIF only.
+          graph; measured a few percent slower steady-state than
+          unrolled (extra weight-block DMA turnover), so unrolled stays
+          the default; LIF/ALIF only.
         * ``False``: force the vmapped XLA path."""
         self.cfg = cfg
         self.seeds = tuple(seeds)
@@ -119,10 +119,16 @@ class EnsembleTrainer:
         cfg, tx = self.cfg, self.tx
         n_seeds = len(self.seeds)
         fused = self._use_fused_replicas(enc)
-        want_stacked = (
-            self.fused_replicas == "stacked"
-            and model_lib.stacked_head_fusible(cfg, enc)
-        )
+        want_stacked = self.fused_replicas == "stacked"
+        if want_stacked and not model_lib.stacked_head_fusible(cfg, enc):
+            # No silent substitution: the flag exists for A/B measurement.
+            logger.warning(
+                "fused_replicas='stacked' requested but the config is not "
+                "stacked-head-fusible (Izhikevich / non-fusible shape / "
+                "non-TPU backend); falling back to the UNROLLED fused "
+                "path -- measurements are NOT the stacked variant."
+            )
+            want_stacked = False
 
         if fused:
             if want_stacked:

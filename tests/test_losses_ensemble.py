@@ -383,3 +383,60 @@ class TestEnsemble:
         assert sorted(df["seed"].astype(int)) == [0, 1, 2]
         assert df["checkpoints"].nunique() == 1  # shared run folder
         assert ((0 <= df["test_accuracy"]) & (df["test_accuracy"] <= 1)).all()
+
+    def test_ensemble_stacked_wiring_matches_unrolled(self, monkeypatch):
+        """The fused_replicas=\"stacked\" trainer wiring (all_logits ->
+        stacked_grads/stacked_eval/optimizer) must train identically to
+        the unrolled path.  stacked_head_fusible is TPU-only, so the
+        stacked forward is stubbed with an XLA equivalent over the same
+        stacked params -- this exercises exactly the trainer plumbing the
+        kernels' own tests cannot reach."""
+        from snnimageclassification_tpu.models import snn as model_lib
+        from snnimageclassification_tpu.data.datasets import EncodeConfig
+        from snnimageclassification_tpu.ops.encoding import encode_spikes
+
+        cfg = self._cfg()
+
+        def fake_stacked(c, stacked_params, x, enc):
+            spikes = encode_spikes(
+                x, n_steps=enc.n_steps, use_periods=enc.use_periods
+            )
+            return jax.vmap(
+                lambda p: model_lib.forward_logits(c, p, spikes)
+            )(stacked_params)
+
+        monkeypatch.setattr(model_lib, "stacked_head_fusible",
+                            lambda c, e: True)
+        monkeypatch.setattr(model_lib, "forward_logits_pixels_stacked",
+                            fake_stacked)
+        loader_a, loader_b = self._loader(), self._loader()
+        ens_s = EnsembleTrainer(cfg, seeds=[0, 1], fused_replicas="stacked")
+        ens_u = EnsembleTrainer(cfg, seeds=[0, 1], fused_replicas=False)
+        for _ in range(2):
+            ls = ens_s.train_epoch(loader_a)
+            lu = ens_u.train_epoch(loader_b)
+        np.testing.assert_allclose(ls, lu, rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            ),
+            ens_s.params, ens_u.params,
+        )
+        np.testing.assert_allclose(
+            ens_s.accuracies(self._loader()),
+            ens_u.accuracies(self._loader()),
+        )
+
+    def test_ensemble_stacked_fallback_warns(self, caplog):
+        """fused_replicas=\"stacked\" on a non-stacked-fusible config
+        (here: CPU backend) must warn loudly, not silently substitute the
+        unrolled path (the flag exists for A/B measurement)."""
+        import logging
+
+        cfg = self._cfg()
+        ens = EnsembleTrainer(cfg, seeds=[0, 1], fused_replicas="stacked")
+        with caplog.at_level(logging.WARNING,
+                             logger="snnimageclassification_tpu.parallel.ensemble"):
+            ens.train_epoch(self._loader())
+        assert any("NOT the stacked variant" in r.message
+                   for r in caplog.records)
