@@ -1,4 +1,4 @@
-"""Parallelism: device meshes, shardings, data-parallel training."""
+"""Parallelism: device meshes, shardings, data- and tensor-parallel training."""
 from .mesh import (
     DATA_AXIS,
     batch_sharded,
@@ -6,4 +6,13 @@ from .mesh import (
     pad_to_multiple,
     replicated,
     shard_batch,
+)
+from .tp import (
+    MODEL_AXIS,
+    make_2d_mesh,
+    make_tp_forward,
+    make_tp_loss_fn,
+    make_tp_train_step,
+    shard_params_2d,
+    tp_param_specs,
 )
