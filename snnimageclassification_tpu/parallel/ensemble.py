@@ -58,8 +58,19 @@ class EnsembleTrainer:
         checkpoint_folder: Optional[str] = None,
         model_name: str = "snn_ensemble",
         fused_replicas=None,
+        shard_seeds: bool = False,
     ):
-        """``fused_replicas``: route the replicas through the fused
+        """``shard_seeds``: ensemble parallelism -- partition the *seed*
+        axis over the mesh devices instead of the batch axis.  Replicas
+        are independent, so each device trains ``n_seeds / n_devices``
+        replicas on the full batch with ZERO collectives (no gradient
+        all-reduce, unlike the batch-sharded mode); the step is a
+        ``shard_map`` whose body is the same fused/vmapped replica code,
+        so on a real slice each chip runs its local replicas through the
+        fused Pallas kernels at full single-model efficiency.  Requires
+        ``mesh`` and ``len(seeds) %% mesh.size == 0``.
+
+        ``fused_replicas``: route the replicas through the fused
         whole-network Pallas kernels instead of vmapping the XLA path
         over a replica axis (vmapping pallas_call itself serializes ~15x
         slower than XLA -- measured, so it is never used).  Values:
@@ -79,6 +90,16 @@ class EnsembleTrainer:
         self.seeds = tuple(seeds)
         self.mesh = mesh
         self.fused_replicas = fused_replicas
+        self.shard_seeds = bool(shard_seeds)
+        if self.shard_seeds:
+            if mesh is None:
+                raise ValueError("shard_seeds=True requires a mesh")
+            if len(self.seeds) % mesh.size:
+                raise ValueError(
+                    f"shard_seeds needs len(seeds) divisible by the mesh "
+                    f"size; got {len(self.seeds)} seeds over {mesh.size} "
+                    f"devices"
+                )
         self.params = init_ensemble(cfg, seeds)
         self.ckpt = (
             CheckpointManager(checkpoint_folder, model_name)
@@ -97,15 +118,23 @@ class EnsembleTrainer:
         if mesh is not None:
             from .mesh import replicated
 
-            repl = replicated(mesh)
-            self.params = jax.device_put(self.params, repl)
-            self.opt_state = jax.device_put(self.opt_state, repl)
+            place = self._seed_sharding() if self.shard_seeds else replicated(mesh)
+            self.params = jax.device_put(self.params, place)
+            self.opt_state = jax.device_put(self.opt_state, place)
         self._steps = {}
         # Same host->device economics as Trainer: keep small datasets in
         # HBM and gather batches on device by index (single-device only).
         from ..data.device_cache import DeviceDataCache
 
         self.device_data = DeviceDataCache()
+
+    def _seed_sharding(self):
+        """NamedSharding partitioning the leading (seed) axis over the mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .mesh import DATA_AXIS
+
+        return NamedSharding(self.mesh, P(DATA_AXIS))
 
     def _use_fused_replicas(self, enc: EncodeConfig) -> bool:
         if self.fused_replicas is not None:
@@ -118,6 +147,10 @@ class EnsembleTrainer:
     def _build(self, enc: EncodeConfig):
         cfg, tx = self.cfg, self.tx
         n_seeds = len(self.seeds)
+        # Under shard_seeds the step body below runs INSIDE shard_map on a
+        # per-device shard of the seed axis; all replica-count-dependent
+        # code (the unrolled fused loop) sees the local count.
+        n_rep = n_seeds // self.mesh.size if self.shard_seeds else n_seeds
         fused = self._use_fused_replicas(enc)
         want_stacked = self.fused_replicas == "stacked"
         if want_stacked and not model_lib.stacked_head_fusible(cfg, enc):
@@ -153,7 +186,7 @@ class EnsembleTrainer:
                             cfg, jax.tree.map(lambda a, i=i: a[i], params),
                             x, enc,
                         )
-                        for i in range(n_seeds)
+                        for i in range(n_rep)
                     ])
 
             def _sum_loss(params, x, y, w):
@@ -208,7 +241,33 @@ class EnsembleTrainer:
             losses, preds = jax.vmap(one_replica)(params)
             return losses, preds  # (n_seeds,), (n_seeds, B)
 
-        if self.mesh is not None:
+        if self.shard_seeds:
+            from jax.sharding import PartitionSpec as P
+
+            from .mesh import DATA_AXIS
+
+            S = P(DATA_AXIS)
+            # Seed axis sharded, data replicated, ZERO collectives: the
+            # body is pure per-replica compute, so shard_map introduces no
+            # communication at all (asserted by tests on the lowered HLO).
+            train = jax.jit(
+                jax.shard_map(
+                    train_step, mesh=self.mesh,
+                    in_specs=(S, S, P(), P(), P()),
+                    out_specs=(S, S, S),
+                    check_vma=False,
+                ),
+                donate_argnums=(0, 1),
+            )
+            evals = jax.jit(
+                jax.shard_map(
+                    eval_step, mesh=self.mesh,
+                    in_specs=(S, P(), P(), P()),
+                    out_specs=(S, S),
+                    check_vma=False,
+                )
+            )
+        elif self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from .mesh import DATA_AXIS, batch_sharded, replicated
@@ -237,7 +296,7 @@ class EnsembleTrainer:
         # mesh the dataset is replicated in HBM and each scanned batch is
         # resharded onto the "data" axis (a local slice), so the step runs
         # data-parallel exactly like the per-batch path.
-        if self.mesh is not None:
+        if self.mesh is not None and not self.shard_seeds:
             from .mesh import batch_sharded as _bsh_fn
 
             _bsh_epoch = _bsh_fn(self.mesh)
@@ -245,6 +304,9 @@ class EnsembleTrainer:
             def shard_b(t):
                 return jax.lax.with_sharding_constraint(t, _bsh_epoch)
         else:
+            # Single device, or shard_seeds (the epoch fn body then runs
+            # inside shard_map where data is already the replicated local
+            # copy -- no sharding constraints apply in that scope).
             def shard_b(t):
                 return t
 
@@ -280,7 +342,34 @@ class EnsembleTrainer:
             # (n_batches, n_seeds) losses; per-seed correct counts; total.
             return losses, jnp.sum(correct, axis=0), jnp.sum(total)
 
-        if self.mesh is None:
+        if self.shard_seeds:
+            from jax.sharding import PartitionSpec as P
+
+            from .mesh import DATA_AXIS
+
+            S = P(DATA_AXIS)
+            train_epoch = jax.jit(
+                jax.shard_map(
+                    train_epoch_fn, mesh=self.mesh,
+                    in_specs=(S, S, P(), P(), P(), P()),
+                    # per-batch losses are (n_batches, n_seeds): the seed
+                    # axis is dim 1 inside the scan stack.
+                    out_specs=(S, S, P(None, DATA_AXIS)),
+                    check_vma=False,
+                ),
+                donate_argnums=(0, 1),
+            )
+            eval_epoch = jax.jit(
+                jax.shard_map(
+                    eval_epoch_fn, mesh=self.mesh,
+                    in_specs=(S, P(), P(), P(), P()),
+                    # (losses (n_batches, S), correct (S,), total scalar --
+                    # identical on every shard, so P() is exact).
+                    out_specs=(P(None, DATA_AXIS), S, P()),
+                    check_vma=False,
+                )
+            )
+        elif self.mesh is None:
             train_epoch = jax.jit(train_epoch_fn, donate_argnums=(0, 1))
             eval_epoch = jax.jit(eval_epoch_fn)
         else:
@@ -307,7 +396,9 @@ class EnsembleTrainer:
         """Shard (and mesh-pad) one batch; rows past ``n_real`` get weight 0."""
         x, y = np.asarray(x), np.asarray(y)
         n_real = x.shape[0] if n_real is None else n_real
-        if self.mesh is None:
+        if self.mesh is None or self.shard_seeds:
+            # shard_seeds: the batch is replicated (shard_map in_specs
+            # P()); uncommitted host arrays land there directly.
             w = (np.arange(x.shape[0]) < n_real).astype(np.float32)
             return x, y, w
         from .mesh import pad_to_multiple, shard_batch
@@ -319,7 +410,10 @@ class EnsembleTrainer:
 
     def _batches(self, loader: ArrayDataLoader):
         if self.device_data.fits(loader):
-            yield from self.device_data.batches(loader, self.mesh)
+            # shard_seeds keeps batches whole (replicated), so the
+            # device cache must not batch-shard them.
+            mesh = None if self.shard_seeds else self.mesh
+            yield from self.device_data.batches(loader, mesh)
             return
         for x, y in loader:
             x, y = np.asarray(x), np.asarray(y)
@@ -361,7 +455,7 @@ class EnsembleTrainer:
         from ..data.device_cache import pad_rows
 
         target = loader.batch_size
-        if self.mesh is not None:
+        if self.mesh is not None and not self.shard_seeds:
             n_dev = self.mesh.size
             target = -(-target // n_dev) * n_dev
         idxs, ws = [], []
@@ -494,9 +588,12 @@ class EnsembleTrainer:
         return self.histories
 
     def _replicate(self, tree):
-        """device_put with the mesh's replicated sharding (no-op off-mesh)."""
+        """device_put with the trainer's param placement (no-op off-mesh):
+        seed-sharded under ``shard_seeds``, replicated otherwise."""
         if self.mesh is None:
             return tree
+        if self.shard_seeds:
+            return jax.device_put(tree, self._seed_sharding())
         from .mesh import replicated
 
         return jax.device_put(tree, replicated(self.mesh))
