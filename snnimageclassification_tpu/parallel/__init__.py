@@ -16,3 +16,14 @@ from .tp import (
     shard_params_2d,
     tp_param_specs,
 )
+from .pp import (
+    PIPE_AXIS,
+    make_pp_forward,
+    make_pp_loss_fn,
+    make_pp_mesh,
+    make_pp_train_step,
+    pp_param_labels,
+    pp_stack_params,
+    pp_unstack_params,
+    shard_params_pp,
+)
