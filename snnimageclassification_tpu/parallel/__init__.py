@@ -27,3 +27,13 @@ from .pp import (
     pp_unstack_params,
     shard_params_pp,
 )
+from .pp3 import (
+    make_3d_mesh,
+    make_pp3_forward,
+    make_pp3_loss_fn,
+    make_pp3_train_step,
+    pp3_param_labels,
+    pp3_stack_params,
+    pp3_unstack_params,
+    shard_params_pp3,
+)
