@@ -8,6 +8,12 @@ the comparison.
 
 Usage: python scripts/ensemble_throughput.py [--t 10] [--batch 1024]
        [--epochs 14] [--seeds 6] [--rec] [--fused {auto,on,off}]
+       [--epoch-block K]
+
+``--epoch-block K`` times the full ``EnsembleTrainer.fit`` with K
+train+val epochs per device dispatch (vs the per-epoch train_epoch /
+eval_epoch loop the default mode times); pick ``--epochs`` a multiple of
+K so no remainder block compiles inside the timed window.
 """
 import argparse
 import json
@@ -35,6 +41,9 @@ def main() -> None:
     ap.add_argument("--rec", action="store_true")
     ap.add_argument("--fused", choices=["auto", "on", "off", "stacked",
                                         "unrolled"], default="auto")
+    ap.add_argument("--epoch-block", type=int, default=0,
+                    help="time fit(epoch_block=K) instead of the "
+                         "per-epoch train_epoch/eval_epoch loop")
     args = ap.parse_args()
 
     import snnimageclassification_tpu as st
@@ -65,14 +74,28 @@ def main() -> None:
              "stacked": "stacked", "unrolled": "unrolled"}[args.fused]
     seeds = list(range(args.seeds))
     ens = EnsembleTrainer(cfg, seeds=seeds, fused_replicas=fused)
-    # Warm epoch (compile), then timed epochs.
-    ens.train_epoch(train)
-    ens.eval_epoch(val)
-    t0 = time.perf_counter()
-    for _ in range(args.epochs):
-        losses = ens.train_epoch(train)
+    if args.epoch_block:
+        k = args.epoch_block
+        # Warm fit compiles the K-epoch block program (and trains a bit;
+        # only throughput matters here), then the timed fit runs with
+        # every program cache-warm.
+        ens.fit(train, val, nb_epochs=k, epoch_block=k, verbose=False)
+        t0 = time.perf_counter()
+        hists = ens.fit(train, val, nb_epochs=args.epochs, epoch_block=k,
+                        verbose=False)
+        wall = time.perf_counter() - t0
+        # fit() resumes nothing here (no checkpoint folder): all
+        # args.epochs epochs run inside the timed window.
+        losses = np.asarray([h["train"][-1] for h in hists])
+    else:
+        # Warm epoch (compile), then timed epochs.
+        ens.train_epoch(train)
         ens.eval_epoch(val)
-    wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(args.epochs):
+            losses = ens.train_epoch(train)
+            ens.eval_epoch(val)
+        wall = time.perf_counter() - t0
     n_train = train.n_samples
     seed_img_s = n_train * args.epochs * len(seeds) / wall
     print(json.dumps({
@@ -81,6 +104,7 @@ def main() -> None:
         "seeds": len(seeds), "t": args.t, "batch": args.batch,
         "rec": args.rec, "fused": args.fused,
         "epochs": args.epochs, "wall_sec": round(wall, 2),
+        **({"epoch_block": args.epoch_block} if args.epoch_block else {}),
         "final_loss_finite": bool(np.isfinite(losses).all()),
     }))
 

@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--t", type=int, default=100)
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--epoch-block", type=int, default=1,
+                    help="epochs per device dispatch (fit(epoch_block=K)); "
+                         "1 = the per-epoch scan path")
     ap.add_argument("--mesh", type=int, default=0,
                     help="run data-parallel over an N-virtual-device CPU "
                          "mesh (dispatch-count validation for the mesh "
@@ -86,22 +89,35 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as folder:
         tr = Trainer(cfg, checkpoint_folder=folder, mesh=mesh)
         t0 = time.perf_counter()
-        epoch_marks = []
-        orig = tr._exec_phase
+        # Per-epoch path marks each _exec_phase; the blocked path bypasses
+        # it, so mark block boundaries (the post-dispatch stats fetch) via
+        # _save_checkpoint_block and weight by epochs per mark.
+        marks = []  # (time, epochs_completed_at_mark)
+        done = [0]
+        orig_phase = tr._exec_phase
+        orig_block = tr._save_checkpoint_block
 
-        def timed(*a, **kw):
-            r = orig(*a, **kw)
-            epoch_marks.append(time.perf_counter())
+        def timed_phase(*a, **kw):
+            r = orig_phase(*a, **kw)
+            done[0] += 1  # _exec_phase = one full train+val epoch
+            marks.append((time.perf_counter(), done[0]))
             return r
 
-        tr._exec_phase = timed
-        tr.fit(train, val, nb_epochs=args.epochs, force_overwrite=True)
+        def timed_block(epochs, *a, **kw):
+            done[0] += len(epochs)
+            marks.append((time.perf_counter(), done[0]))
+            return orig_block(epochs, *a, **kw)
+
+        tr._exec_phase = timed_phase
+        tr._save_checkpoint_block = timed_block
+        tr.fit(train, val, nb_epochs=args.epochs, force_overwrite=True,
+               epoch_block=args.epoch_block)
         wall = time.perf_counter() - t0
     n_train = train.n_samples
     e2e = n_train * args.epochs / wall
     steady = (
-        n_train * (len(epoch_marks) - 1) / (epoch_marks[-1] - epoch_marks[0])
-        if len(epoch_marks) > 1
+        n_train * (marks[-1][1] - marks[0][1]) / (marks[-1][0] - marks[0][0])
+        if len(marks) > 1
         else e2e
     )
     print(json.dumps({
@@ -109,6 +125,7 @@ def main() -> None:
         "e2e_img_per_sec": round(e2e, 1),
         "steady_state_img_per_sec": round(steady, 1),
         "epochs": args.epochs,
+        "epoch_block": args.epoch_block,
         "wall_sec": round(wall, 2),
         **({"mesh_devices": args.mesh} if args.mesh else {}),
     }))

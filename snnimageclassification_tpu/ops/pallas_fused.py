@@ -172,7 +172,10 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
     if head:
         w_out_ref, b_out_ref, *rest = rest
         # The head writes NO z trace (no next layer consumes it; the
-        # backward recomputes z = (delta >= 0), sign-exact even in bf16)
+        # backward recomputes z = (delta >= 0), sign-exact even in bf16 —
+        # caveat: an f32 delta in (-9e-41, 0) rounds to bf16 -0.0 whose
+        # >= 0 is True, but membrane deltas are O(0.1), 38 orders of
+        # magnitude above that denormal range, so unreachable in practice)
         # and stores the delta residual for every cell/surrogate combo
         # (+ the adaptation trace for Phi's dynamic-threshold scale).
         n_trace = 1 if (store_delta or not alif) else 2

@@ -342,6 +342,44 @@ class EnsembleTrainer:
             # (n_batches, n_seeds) losses; per-seed correct counts; total.
             return losses, jnp.sum(correct, axis=0), jnp.sum(total)
 
+        # Multi-epoch block: K train+val ensemble epochs in ONE dispatch
+        # (the exact counterpart of train/trainer.py's train_block_fn).
+        # Per epoch the scan also merges the per-seed best-val snapshot on
+        # device (the jnp.where merge _update_best does on the host path)
+        # so the whole K-epoch trajectory needs zero host decisions.  With
+        # a checkpoint folder the per-epoch (params, opt_state) stacks are
+        # emitted as scan outputs and written to the K per-epoch files
+        # from one packed host fetch.
+        with_snaps = self.ckpt is not None
+
+        def block_fn(params, opt_state, best_params, best_val,
+                     x_tr, y_tr, ti, tw, x_va, y_va, vi, vw):
+            def epoch_body(carry, xs):
+                p, o, bp, bv = carry
+                eti, etw, evi, evw = xs
+                p, o, tr_losses = train_epoch_fn(p, o, x_tr, y_tr, eti, etw)
+                va_losses, corr, tot = eval_epoch_fn(p, x_va, y_va, evi, evw)
+                tr_mean = jnp.mean(tr_losses, axis=0)  # (S,)
+                va_mean = jnp.mean(va_losses, axis=0)  # (S,)
+                improved = va_mean < bv
+
+                def merge(b, c):
+                    m = improved.reshape((-1,) + (1,) * (c.ndim - 1))
+                    return jnp.where(m, c, b)
+
+                bp = jax.tree.map(merge, bp, p)
+                bv = jnp.where(improved, va_mean, bv)
+                out = (tr_mean, va_mean, corr, tot, improved)
+                if with_snaps:
+                    out = out + ((p, o),)
+                return (p, o, bp, bv), out
+
+            (params, opt_state, best_params, best_val), outs = jax.lax.scan(
+                epoch_body, (params, opt_state, best_params, best_val),
+                (ti, tw, vi, vw),
+            )
+            return params, opt_state, best_params, best_val, outs
+
         if self.shard_seeds:
             from jax.sharding import PartitionSpec as P
 
@@ -369,9 +407,25 @@ class EnsembleTrainer:
                     check_vma=False,
                 )
             )
+            # Block outputs put the seed axis at dim 1 (the scan stacks a
+            # K-epoch axis in front); snapshot leaves are (K, S, ...).
+            SB = P(None, DATA_AXIS)
+            outs_spec = (SB, SB, SB, P(), SB)
+            if with_snaps:
+                outs_spec = outs_spec + ((SB, SB),)
+            train_block = jax.jit(
+                jax.shard_map(
+                    block_fn, mesh=self.mesh,
+                    in_specs=(S, S, S, S) + (P(),) * 8,
+                    out_specs=(S, S, S, S, outs_spec),
+                    check_vma=False,
+                ),
+                donate_argnums=(0, 1, 2, 3),
+            )
         elif self.mesh is None:
             train_epoch = jax.jit(train_epoch_fn, donate_argnums=(0, 1))
             eval_epoch = jax.jit(eval_epoch_fn)
+            train_block = jax.jit(block_fn, donate_argnums=(0, 1, 2, 3))
         else:
             repl_e = replicated(self.mesh)
             train_epoch = jax.jit(
@@ -385,7 +439,13 @@ class EnsembleTrainer:
                 in_shardings=(repl_e,) * 5,
                 out_shardings=(repl_e, repl_e, repl_e),
             )
-        return train, evals, train_epoch, eval_epoch
+            train_block = jax.jit(
+                block_fn,
+                in_shardings=(repl_e,) * 12,
+                out_shardings=repl_e,
+                donate_argnums=(0, 1, 2, 3),
+            )
+        return train, evals, train_epoch, eval_epoch, train_block
 
     def _steps_for(self, enc: EncodeConfig):
         if enc not in self._steps:
@@ -512,6 +572,7 @@ class EnsembleTrainer:
         early_stopping: bool = False,
         early_stopping_patience: int = 5,
         verbose: bool = True,
+        epoch_block: Optional[int] = None,
     ) -> List[LossHistory]:
         """Train all replicas simultaneously with per-epoch train+val
         phases, per-seed best-val snapshots, and optional plateau early
@@ -533,12 +594,34 @@ class EnsembleTrainer:
         ``LAST_EPOCH``/``BEST_EPOCH`` the stacked params/opt_state, the
         per-seed loss histories, and the per-seed best-val snapshots are
         all restored, and a missing checkpoint downgrades to a warning.
+
+        ``epoch_block``: run K train+val epochs per device dispatch (the
+        counterpart of ``Trainer.fit(epoch_block=...)``; the per-seed
+        best-val merge happens on device inside the block scan).  ``None``
+        auto-picks 8 when the dataset is device-resident and early
+        stopping is off; pass 1 to force the per-epoch path.  Identical
+        math, batch order, histories, best snapshots, and per-epoch
+        checkpoint files; early stopping needs a per-epoch host decision,
+        so it always uses the per-epoch path.
         """
         start_epoch = self._prepare_resume(
             load_checkpoint_mode, force_overwrite, verbose
         )
         if start_epoch >= nb_epochs:
             return self.histories
+        block = 8 if epoch_block is None else int(epoch_block)
+        if (
+            block > 1
+            and not early_stopping
+            and self._epoch_eligible(train_dataloader)
+            and self._epoch_eligible(val_dataloader)
+            # The block program bakes ONE encode config for both phases.
+            and train_dataloader.encode_config == val_dataloader.encode_config
+        ):
+            return self._fit_blocked(
+                train_dataloader, val_dataloader, start_epoch, nb_epochs,
+                block, verbose,
+            )
         epochs_iter = range(start_epoch, nb_epochs)
         if verbose:
             from tqdm.auto import tqdm
@@ -585,6 +668,90 @@ class EnsembleTrainer:
                 break
         if verbose:
             epochs_iter.close()
+        return self.histories
+
+    def _fit_blocked(self, train_loader, val_loader, start_epoch, nb_epochs,
+                     block, verbose):
+        """K-epochs-per-dispatch ensemble fit (see ``fit(epoch_block=...)``
+        and ``Trainer._fit_blocked``).
+
+        Per block: ONE device dispatch (K train+val epoch scans with the
+        per-seed best merge inside), ONE stats fetch, and -- with a
+        checkpoint folder -- ONE packed snapshot fetch that writes the K
+        per-epoch checkpoint files.  Index matrices come from the same
+        ``iter_indices()`` rng sequence as the per-epoch path, so the
+        trajectories (and files) are identical."""
+        from ..train.trainer import host_snapshot
+
+        train_block = self._steps_for(train_loader.encode_config)[4]
+        with_snaps = self.ckpt is not None
+        n_seeds = len(self.seeds)
+        pbar = None
+        if verbose:
+            from tqdm.auto import tqdm
+
+            pbar = tqdm(total=nb_epochs - start_epoch,
+                        desc="Training ensemble", unit="epoch")
+        x_tr, y_tr = self.device_data.arrays(train_loader, self.mesh)
+        x_va, y_va = self.device_data.arrays(val_loader, self.mesh)
+        if self.best_params is None:
+            # Fresh fits have best_val == inf, so the first epoch improves
+            # every seed and the on-device merge reproduces
+            # _update_best's copy-on-first-call exactly.
+            best_params = jax.tree.map(jnp.copy, self.params)
+        else:
+            best_params = self.best_params
+        best_val_dev = jnp.asarray(self.best_val, dtype=jnp.float32)
+        epoch = start_epoch
+        while epoch < nb_epochs:
+            k = min(block, nb_epochs - epoch)
+            ti, tw = zip(*(self._epoch_index_matrix(train_loader)
+                           for _ in range(k)))
+            vi, vw = zip(*(self._epoch_index_matrix(val_loader)
+                           for _ in range(k)))
+            (self.params, self.opt_state, best_params, best_val_dev,
+             outs) = train_block(
+                self.params, self.opt_state, best_params, best_val_dev,
+                x_tr, y_tr, jnp.asarray(np.stack(ti)),
+                jnp.asarray(np.stack(tw)),
+                x_va, y_va, jnp.asarray(np.stack(vi)),
+                jnp.asarray(np.stack(vw)),
+            )
+            trm, vam, corr, tot, improved = outs[:5]
+            # ONE host sync for the whole block's per-seed stats.
+            stats = np.asarray(jnp.concatenate(
+                [trm, vam, corr, improved.astype(jnp.float32), tot[:, None]],
+                axis=1,
+            ))
+            snaps_h = host_snapshot(outs[5]) if with_snaps else None
+            for i in range(k):
+                tl = stats[i, :n_seeds]
+                vl = stats[i, n_seeds:2 * n_seeds]
+                corr_i = stats[i, 2 * n_seeds:3 * n_seeds]
+                imp = stats[i, 3 * n_seeds:4 * n_seeds] > 0.5
+                tot_i = float(stats[i, -1])
+                for j, hist in enumerate(self.histories):
+                    hist.concat(
+                        dict(train=float(tl[j]), val=float(vl[j]))
+                    )
+                self.best_epoch = np.where(imp, epoch + i, self.best_epoch)
+                self.best_val = np.where(imp, vl, self.best_val)
+                if with_snaps:
+                    params_h, opt_h = jax.tree.map(lambda a: a[i], snaps_h)
+                    self._write_checkpoint(
+                        params_h, opt_h, epoch + i, tl, vl, imp
+                    )
+                if pbar is not None:
+                    pbar.update(1)
+                    pbar.set_postfix(
+                        train_loss=f"{np.mean(tl):.5e}",
+                        val_loss=f"{np.mean(vl):.5e}",
+                        val_acc=f"{np.mean(corr_i) / max(tot_i, 1.0):.5f}",
+                    )
+            epoch += k
+        self.best_params = best_params
+        if pbar is not None:
+            pbar.close()
         return self.histories
 
     def _replicate(self, tree):
@@ -712,6 +879,15 @@ class EnsembleTrainer:
         from ..train.trainer import host_snapshot
 
         params_h, opt_h = host_snapshot((self.params, self.opt_state))
+        self._write_checkpoint(
+            params_h, opt_h, epoch, train_losses, val_losses, improved
+        )
+
+    def _write_checkpoint(
+        self, params_h, opt_h, epoch, train_losses, val_losses, improved
+    ) -> None:
+        """File writes for one epoch from already-fetched host trees (the
+        blocked path slices them out of one packed block fetch)."""
         self.ckpt.save_checkpoint(
             params_h,
             opt_h,

@@ -103,22 +103,18 @@ def _pack_leaves(leaves):
     ])
 
 
-def host_snapshot(tree):
-    """Device->host copy of a pytree in ONE device round trip.
+def _is_packable(leaf) -> bool:
+    return isinstance(leaf, (jax.Array, np.ndarray)) and leaf.size
 
-    ``jax.device_get`` fetches leaf by leaf; on relay-attached TPUs every
-    fetch pays a ~30 ms round trip, so a params+opt_state tree (~30
-    leaves) costs ~1 s.  Packing the leaves into a single uint8 buffer on
-    device and slicing on the host makes it one round trip regardless of
-    tree size."""
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    arrays = [l for l in leaves if isinstance(l, jax.Array) and l.size]
-    if not arrays:
-        return jax.device_get(tree)
-    flat = np.asarray(_pack_leaves(arrays))  # the single transfer
+
+def _unpack_flat(flat: np.ndarray, template_tree):
+    """Slice one packed uint8 host buffer back into ``template_tree``'s
+    structure (inverse of :func:`_pack_leaves` on its packable leaves;
+    non-array / empty leaves pass through from the template)."""
+    leaves, treedef = jax.tree_util.tree_flatten(template_tree)
     out, off = [], 0
     for l in leaves:
-        if not (isinstance(l, jax.Array) and l.size):
+        if not _is_packable(l):
             out.append(np.asarray(l) if isinstance(l, jax.Array) else l)
             continue
         nbytes = l.size * l.dtype.itemsize
@@ -128,6 +124,22 @@ def host_snapshot(tree):
         )
         off += nbytes
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def host_snapshot(tree):
+    """Device->host copy of a pytree in ONE device round trip.
+
+    ``jax.device_get`` fetches leaf by leaf; on relay-attached TPUs every
+    fetch pays a ~30 ms round trip, so a params+opt_state tree (~30
+    leaves) costs ~1 s.  Packing the leaves into a single uint8 buffer on
+    device and slicing on the host makes it one round trip regardless of
+    tree size."""
+    leaves, _ = jax.tree_util.tree_flatten(tree)
+    arrays = [l for l in leaves if _is_packable(l)]
+    if not arrays:
+        return jax.device_get(tree)
+    flat = np.asarray(_pack_leaves(arrays))  # the single transfer
+    return _unpack_flat(flat, tree)
 
 
 def _encode_on_device(x: jax.Array, enc: EncodeConfig) -> jax.Array:
@@ -348,9 +360,36 @@ class Trainer:
             )
             return losses, jnp.sum(correct), jnp.sum(total)
 
+        # Multi-epoch block: K train+val epochs in ONE dispatch.  Even the
+        # whole-epoch scan pays ~2 blocking host interactions per epoch on
+        # a relay-attached TPU (~30 ms each, vs ~50 ms of flagship
+        # compute); scanning K epochs amortizes that to ~1/K per epoch.
+        # Per-epoch checkpoint-file semantics are preserved by emitting a
+        # packed (params, opt_state) snapshot per epoch as a scan output --
+        # the (K, nbytes) stack is fetched ONCE per block in the async
+        # checkpoint thread and sliced into K per-epoch files on the host.
+        def train_block_fn(params, opt_state, x_tr, y_tr, ti, tw,
+                           x_va, y_va, vi, vw):
+            def epoch_body(carry, xs):
+                p, o = carry
+                eti, etw, evi, evw = xs
+                p, o, tr_losses = train_epoch_fn(p, o, x_tr, y_tr, eti, etw)
+                va_losses, corr, tot = eval_epoch_fn(p, x_va, y_va, evi, evw)
+                snap = _pack_leaves(
+                    [l for l in jax.tree_util.tree_leaves((p, o)) if l.size]
+                )
+                return (p, o), (jnp.mean(tr_losses), jnp.mean(va_losses),
+                                corr, tot, snap)
+
+            (params, opt_state), outs = jax.lax.scan(
+                epoch_body, (params, opt_state), (ti, tw, vi, vw)
+            )
+            return params, opt_state, outs
+
         if self.mesh is None:
             train_epoch = jax.jit(train_epoch_fn, donate_argnums=(0, 1))
             eval_epoch = jax.jit(eval_epoch_fn)
+            train_block = jax.jit(train_block_fn, donate_argnums=(0, 1))
         else:
             repl = replicated(self.mesh)
             train_epoch = jax.jit(
@@ -364,7 +403,13 @@ class Trainer:
                 in_shardings=(repl,) * 5,
                 out_shardings=(repl, repl, repl),
             )
-        return train_step, eval_step, train_epoch, eval_epoch
+            train_block = jax.jit(
+                train_block_fn,
+                in_shardings=(repl,) * 10,
+                out_shardings=(repl, repl, repl),
+                donate_argnums=(0, 1),
+            )
+        return train_step, eval_step, train_epoch, eval_epoch, train_block
 
     def _prep_batch(self, x: np.ndarray, y: np.ndarray, target: int = 0):
         """Pad to ``target`` rows (the loader's nominal batch size) and to
@@ -455,6 +500,7 @@ class Trainer:
         verbose: bool = True,
         p_bar_position: Optional[int] = None,
         p_bar_leave: Optional[bool] = None,
+        epoch_block: Optional[int] = None,
     ) -> LossHistory:
         """Train with per-epoch train+val phases, best-val checkpointing,
         optional plateau early stopping (snn.py:280-350).
@@ -464,6 +510,14 @@ class Trainer:
         requires ``force_overwrite=True`` (then it is wiped,
         snn.py:302-307); with a mode, a missing checkpoint downgrades to a
         warning and training starts fresh (snn.py:308-317).
+
+        ``epoch_block``: run K train+val epochs per device dispatch (the
+        relay-latency amortization on top of the whole-epoch scan; see
+        ``_build_steps``).  ``None`` auto-picks 8 when the dataset is
+        device-resident and early stopping is off; pass 1 to force the
+        per-epoch path.  Identical math, batch order, loss history, and
+        per-epoch checkpoint files; early stopping needs a per-epoch host
+        decision, so it always uses the per-epoch path.
         """
         self._ensure_optimizer(lr, weight_decay, max_grad_norm)
 
@@ -491,6 +545,22 @@ class Trainer:
 
         if start_epoch >= nb_epochs:
             return self.loss_history
+
+        block = 8 if epoch_block is None else int(epoch_block)
+        if (
+            block > 1
+            and not early_stopping
+            and self._epoch_eligible(train_dataloader)
+            and self._epoch_eligible(val_dataloader)
+            # The block program bakes ONE encode config for both phases;
+            # the per-epoch path honors each loader's own (see
+            # train_epochs), so mixed-config fits must use it.
+            and train_dataloader.encode_config == val_dataloader.encode_config
+        ):
+            return self._fit_blocked(
+                train_dataloader, val_dataloader, start_epoch, nb_epochs,
+                block, verbose, p_bar_position, p_bar_leave,
+            )
 
         best_loss = self.loss_history.min("val")
         epochs_iter = range(start_epoch, nb_epochs)
@@ -528,6 +598,105 @@ class Trainer:
         self._join_pending_save()
         self.plot_loss_history(show=False)
         return self.loss_history
+
+    def _fit_blocked(self, train_loader, val_loader, start_epoch, nb_epochs,
+                     block, verbose, p_bar_position, p_bar_leave):
+        """K-epochs-per-dispatch fit loop (see ``fit(epoch_block=...)``).
+
+        Per block: ONE device dispatch (train+val scans for K epochs with a
+        per-epoch packed snapshot), ONE stats fetch, and ONE packed
+        (K, nbytes) snapshot fetch in the async checkpoint thread that
+        writes the K per-epoch checkpoint files.  The index matrices come
+        from the same ``iter_indices()`` rng sequence as the per-epoch
+        path, so shuffles, batch order, and therefore the entire training
+        trajectory are identical.  A remainder block (nb_epochs % block)
+        compiles a second program; the persistent compilation cache makes
+        that a one-time cost per shape.
+        """
+        best_loss = self.loss_history.min("val")
+        train_block = self._steps_for(train_loader.encode_config)[4]
+        pbar = None
+        if verbose:
+            from tqdm.auto import tqdm
+
+            pbar = tqdm(
+                total=nb_epochs - start_epoch, desc="Training",
+                position=p_bar_position, unit="epoch", leave=p_bar_leave,
+            )
+        x_tr, y_tr = self.device_data.arrays(train_loader, self.mesh)
+        x_va, y_va = self.device_data.arrays(val_loader, self.mesh)
+        epoch = start_epoch
+        while epoch < nb_epochs:
+            k = min(block, nb_epochs - epoch)
+            ti, tw = zip(*(self._epoch_index_matrix(train_loader)
+                           for _ in range(k)))
+            vi, vw = zip(*(self._epoch_index_matrix(val_loader)
+                           for _ in range(k)))
+            self.params, self.opt_state, outs = train_block(
+                self.params, self.opt_state,
+                x_tr, y_tr, jnp.asarray(np.stack(ti)),
+                jnp.asarray(np.stack(tw)),
+                x_va, y_va, jnp.asarray(np.stack(vi)),
+                jnp.asarray(np.stack(vw)),
+            )
+            trm, vam, corr, tot, snaps = outs
+            # ONE host sync for the whole block's scalar stats.
+            stats = np.asarray(jnp.stack([trm, vam, corr, tot]))
+            ep_losses, flags = [], []
+            for i in range(k):
+                el = dict(train=float(stats[0, i]), val=float(stats[1, i]))
+                self.loss_history.concat(el)
+                is_best = el["val"] < best_loss
+                if is_best:
+                    best_loss = el["val"]
+                ep_losses.append(el)
+                flags.append(is_best)
+                if pbar is not None:
+                    pbar.update(1)
+                    pbar.set_postfix(
+                        train_loss=f"{el['train']:.5e}",
+                        val_loss=f"{el['val']:.5e}",
+                        val_acc=(
+                            f"{stats[2, i] / max(stats[3, i], 1.0):.5f}"
+                        ),
+                    )
+            self._save_checkpoint_block(
+                range(epoch, epoch + k), ep_losses, flags, snaps
+            )
+            epoch += k
+        if pbar is not None:
+            pbar.close()
+        self._join_pending_save()
+        self.plot_loss_history(show=False)
+        return self.loss_history
+
+    def _save_checkpoint_block(self, epochs, ep_losses, flags, snaps_dev):
+        """Write one block's K per-epoch checkpoint files from the stacked
+        packed snapshots: one (K, nbytes) host fetch, then K file writes --
+        same files as K calls to ``_save_checkpoint``."""
+        self._join_pending_save()
+        # Template: packable leaves are used for shape/dtype metadata only
+        # (safe even after the next block donates the buffers); any
+        # non-packable leaf is materialized NOW, before donation.
+        template = jax.tree_util.tree_map(
+            lambda l: l if _is_packable(l) or not isinstance(l, jax.Array)
+            else np.asarray(l),
+            (self.params, self.opt_state),
+        )
+
+        def save():
+            flat = np.asarray(snaps_dev)  # the single transfer
+            for i, (ep, el, isb) in enumerate(zip(epochs, ep_losses, flags)):
+                params, opt_state = _unpack_flat(flat[i], template)
+                self.ckpt.save_checkpoint(params, opt_state, ep, el, isb)
+
+        if not self.async_checkpointing:
+            save()
+            return
+        import threading
+
+        self._ckpt_thread = threading.Thread(target=save, daemon=True)
+        self._ckpt_thread.start()
 
     def _check_early_stopping(self, patience: int, tol: float = 1e-2) -> bool:
         """Plateau detector: all successive |diffs| of the last ``patience``

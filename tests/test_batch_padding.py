@@ -130,7 +130,10 @@ def test_epoch_scan_matches_per_batch_path(tmp_path, use_mesh):
         t = Trainer(cfg, checkpoint_folder=str(tmp_path / tag), mesh=mesh)
         t.device_data.limit_bytes = limit
         t.async_checkpointing = False
-        hist = t.fit(tr_loader, va_loader, nb_epochs=3, force_overwrite=True)
+        # epoch_block=1 pins the per-epoch scan path (the blocked path has
+        # its own equivalence suite, tests/test_epoch_block.py).
+        hist = t.fit(tr_loader, va_loader, nb_epochs=3, force_overwrite=True,
+                     epoch_block=1)
         return ([float(v) for v in hist["train"]],
                 [float(v) for v in hist["val"]],
                 t.compute_classification_accuracy(va_loader))

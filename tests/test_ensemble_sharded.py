@@ -177,7 +177,7 @@ class TestSeedShardedNoCollectives:
     def test_train_and_eval_hlo_have_no_collectives(self, mesh):
         ens = EnsembleTrainer(_cfg(), SEEDS, mesh=mesh, shard_seeds=True)
         loader = _loader(shuffle=False)
-        train, evals, train_epoch, eval_epoch = ens._steps_for(ENC)
+        train, evals, train_epoch, eval_epoch, train_block = ens._steps_for(ENC)
         xb, yb, wb = next(iter(ens._batches(loader)))
         txt = train.lower(
             ens.params, ens.opt_state, xb, yb, wb
@@ -197,6 +197,29 @@ class TestSeedShardedNoCollectives:
         txt = train_epoch.lower(
             ens.params, ens.opt_state, x_all, y_all,
             jnp.asarray(mi), jnp.asarray(mw),
+        ).compile().as_text()
+        assert not [op for op in COLLECTIVES if op in txt]
+
+    def test_block_scan_hlo_has_no_collectives(self, mesh):
+        """fit(epoch_block=K)'s K-epoch block program must stay
+        collective-free under shard_seeds too (the on-device best merge is
+        purely per-replica)."""
+        import jax
+        import jax.numpy as jnp
+
+        ens = EnsembleTrainer(_cfg(), SEEDS, mesh=mesh, shard_seeds=True)
+        loader = _loader(shuffle=False)
+        train_block = ens._steps_for(ENC)[4]
+        x_all, y_all = ens.device_data.arrays(loader, ens.mesh)
+        k = 2
+        mi, mw = zip(*(ens._epoch_index_matrix(loader) for _ in range(k)))
+        mi = jnp.asarray(np.stack(mi))
+        mw = jnp.asarray(np.stack(mw))
+        best = jax.tree.map(jnp.copy, ens.params)
+        bv = jnp.full((len(SEEDS),), jnp.inf, dtype=jnp.float32)
+        txt = train_block.lower(
+            ens.params, ens.opt_state, best, bv,
+            x_all, y_all, mi, mw, x_all, y_all, mi, mw,
         ).compile().as_text()
         assert not [op for op in COLLECTIVES if op in txt]
 

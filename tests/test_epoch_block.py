@@ -1,0 +1,264 @@
+"""Multi-epoch block fit (``fit(epoch_block=K)``) equivalence suite.
+
+The blocked path runs K train+val epochs in ONE device dispatch
+(train/trainer.py train_block_fn) and writes the K per-epoch checkpoint
+files from one stacked packed snapshot.  These tests pin that it is a
+pure dispatch-count optimization: identical loss history, identical
+final weights, identical per-epoch checkpoint files, same resume
+semantics as the per-epoch scan path -- single-device and on the
+8-virtual-device data mesh."""
+import os
+
+import numpy as np
+import pytest
+
+from snnimageclassification_tpu.data.datasets import ArrayDataLoader, EncodeConfig
+from snnimageclassification_tpu.models.config import SNNConfig
+from snnimageclassification_tpu.train.checkpoint import LoadCheckpointMode
+from snnimageclassification_tpu.train.trainer import Trainer
+
+ENC = EncodeConfig(n_steps=4)
+CFG = SNNConfig(input_size=6, output_size=3, n_hidden_neurons=8,
+                int_time_steps=4)
+
+
+def _data(n=50, f=6, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.random((n, f)).astype(np.float32)
+    y = rng.integers(0, 3, n).astype(np.int32)
+    return x, y
+
+
+def _loaders():
+    x, y = _data()
+    tr = ArrayDataLoader(x[:40], y[:40], 16, shuffle=True, seed=5,
+                         encode_config=ENC)
+    va = ArrayDataLoader(x[40:], y[40:], 16, encode_config=ENC)
+    return tr, va
+
+
+def _fit(tmp_path, tag, *, epoch_block, nb_epochs=5, mesh=None,
+         async_ckpt=False, **kw):
+    tr_loader, va_loader = _loaders()
+    t = Trainer(CFG, checkpoint_folder=str(tmp_path / tag), mesh=mesh)
+    t.async_checkpointing = async_ckpt
+    hist = t.fit(tr_loader, va_loader, nb_epochs=nb_epochs,
+                 force_overwrite=True, epoch_block=epoch_block,
+                 verbose=False, **kw)
+    return t, hist
+
+
+@pytest.mark.parametrize("use_mesh", [False, True], ids=["single", "mesh8"])
+def test_blocked_matches_per_epoch(tmp_path, use_mesh):
+    """epoch_block=3 over 5 epochs (full block + remainder block) produces
+    the same loss history, final params, and checkpoint files as the
+    per-epoch scan path -- the same iter_indices() rng sequence drives
+    both, so the trajectories are identical math."""
+    import jax
+
+    mesh = None
+    if use_mesh:
+        from snnimageclassification_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs the 8-virtual-device conftest")
+        mesh = make_mesh()
+
+    t1, h1 = _fit(tmp_path, "per_epoch", epoch_block=1, mesh=mesh)
+    tb, hb = _fit(tmp_path, "blocked", epoch_block=3, mesh=mesh)
+
+    np.testing.assert_allclose(
+        [float(v) for v in hb["train"]], [float(v) for v in h1["train"]],
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        [float(v) for v in hb["val"]], [float(v) for v in h1["val"]],
+        rtol=1e-6)
+    assert len(hb["train"]) == 5
+
+    # Final in-memory weights match.
+    for a, b in zip(jax.tree_util.tree_leaves(t1.params),
+                    jax.tree_util.tree_leaves(tb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    # Every per-epoch checkpoint file exists and BEST/LAST restore to the
+    # same weights as the per-epoch path's files.
+    for ep in range(5):
+        assert os.path.exists(tb.ckpt.checkpoint_path(ep)), ep
+    for mode in (LoadCheckpointMode.BEST_EPOCH, LoadCheckpointMode.LAST_EPOCH):
+        c1 = t1.ckpt.load_checkpoint(mode)
+        cb = tb.ckpt.load_checkpoint(mode)
+        assert c1["epoch"] == cb["epoch"]
+        p1, _ = t1.ckpt.restore(c1, t1.params, t1.opt_state)
+        pb, _ = tb.ckpt.restore(cb, tb.params, tb.opt_state)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(pb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+
+def test_blocked_async_checkpointing(tmp_path):
+    """The async block-snapshot thread writes all K per-epoch files before
+    fit returns (fit joins the pending save), bitwise equal to the sync
+    path's files."""
+    import jax
+
+    ts, _ = _fit(tmp_path, "sync", epoch_block=4, nb_epochs=4,
+                 async_ckpt=False)
+    ta, _ = _fit(tmp_path, "async", epoch_block=4, nb_epochs=4,
+                 async_ckpt=True)
+    for ep in range(4):
+        cs = ts.ckpt.load_checkpoint_at(ep)
+        ca = ta.ckpt.load_checkpoint_at(ep)
+        ps, _ = ts.ckpt.restore(cs, ts.params, ts.opt_state)
+        pa, _ = ta.ckpt.restore(ca, ta.params, ta.opt_state)
+        for a, b in zip(jax.tree_util.tree_leaves(ps),
+                        jax.tree_util.tree_leaves(pa)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_blocked_resume_last_epoch(tmp_path):
+    """A blocked fit's checkpoints support LAST_EPOCH resume exactly like
+    the per-epoch path: training continues from epoch K with the loss
+    history reconstructed from the files."""
+    t, h = _fit(tmp_path, "resume", epoch_block=3, nb_epochs=3)
+    tr_loader, va_loader = _loaders()
+    h2 = t.fit(tr_loader, va_loader, nb_epochs=6, epoch_block=3,
+               load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH,
+               verbose=False)
+    assert len(h2["train"]) == 6
+    np.testing.assert_allclose([float(v) for v in h2["train"][:3]],
+                               [float(v) for v in h["train"]], rtol=1e-6)
+
+
+def test_early_stopping_forces_per_epoch_path(tmp_path, monkeypatch):
+    """early_stopping needs a per-epoch host decision, so the blocked path
+    must never be taken even when epoch_block would otherwise engage."""
+    called = []
+    orig = Trainer._fit_blocked
+    monkeypatch.setattr(
+        Trainer, "_fit_blocked",
+        lambda self, *a, **k: called.append(1) or orig(self, *a, **k))
+    _fit(tmp_path, "es", epoch_block=8, nb_epochs=3, early_stopping=True)
+    assert not called
+    _fit(tmp_path, "no_es", epoch_block=8, nb_epochs=3)
+    assert called
+
+
+def test_mixed_encode_configs_force_per_epoch_path(tmp_path, monkeypatch):
+    """The block program bakes ONE encode config for both phases, while
+    the per-epoch path honors each loader's own -- so a train/val encode
+    mismatch must fall back to the per-epoch path (and still train)."""
+    called = []
+    orig = Trainer._fit_blocked
+    monkeypatch.setattr(
+        Trainer, "_fit_blocked",
+        lambda self, *a, **k: called.append(1) or orig(self, *a, **k))
+    x, y = _data()
+    tr = ArrayDataLoader(x[:40], y[:40], 16, shuffle=True, seed=5,
+                         encode_config=ENC)
+    va = ArrayDataLoader(x[40:], y[40:], 16,
+                         encode_config=EncodeConfig(n_steps=5))
+    t = Trainer(
+        SNNConfig(input_size=6, output_size=3, n_hidden_neurons=8,
+                  int_time_steps=5),
+        checkpoint_folder=str(tmp_path / "mixed"))
+    t.async_checkpointing = False
+    h = t.fit(tr, va, nb_epochs=2, force_overwrite=True, epoch_block=2,
+              verbose=False)
+    assert not called
+    assert len(h["train"]) == 2
+
+
+def test_streaming_loader_falls_back_to_per_epoch(tmp_path):
+    """A dataset over the device-cache limit is not epoch-eligible; the
+    blocked path silently defers to the per-batch streaming path with the
+    same results."""
+    tr_loader, va_loader = _loaders()
+    t = Trainer(CFG, checkpoint_folder=str(tmp_path / "stream"))
+    t.async_checkpointing = False
+    t.device_data.limit_bytes = 1  # force host streaming
+    h = t.fit(tr_loader, va_loader, nb_epochs=2, force_overwrite=True,
+              epoch_block=4, verbose=False)
+    t2, h2 = _fit(tmp_path, "cached", epoch_block=1, nb_epochs=2)
+    np.testing.assert_allclose([float(v) for v in h["train"]],
+                               [float(v) for v in h2["train"]], rtol=1e-6)
+
+
+# -- EnsembleTrainer.fit(epoch_block=K) ------------------------------------
+#
+# Same contract as the Trainer: the blocked path is a pure dispatch-count
+# optimization.  The per-seed best-val merge moves on device (inside the
+# block scan), so beyond histories/params/files the per-seed best_val,
+# best_epoch, and best_params snapshots must also match the per-epoch path.
+
+def _ens_fit(tmp_path, tag, *, epoch_block, nb_epochs=5, seeds=(0, 1, 2),
+             mesh=None, shard_seeds=False):
+    from snnimageclassification_tpu.parallel.ensemble import EnsembleTrainer
+
+    tr_loader, va_loader = _loaders()
+    ens = EnsembleTrainer(CFG, seeds, checkpoint_folder=str(tmp_path / tag),
+                          mesh=mesh, shard_seeds=shard_seeds)
+    hists = ens.fit(tr_loader, va_loader, nb_epochs=nb_epochs,
+                    force_overwrite=True, epoch_block=epoch_block,
+                    verbose=False)
+    return ens, hists
+
+
+@pytest.mark.parametrize("mode", ["single", "mesh8", "shard_seeds"])
+def test_ensemble_blocked_matches_per_epoch(tmp_path, mode):
+    import jax
+
+    mesh, shard_seeds, seeds = None, False, (0, 1, 2)
+    if mode != "single":
+        from snnimageclassification_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs the 8-virtual-device conftest")
+        mesh = make_mesh()
+        if mode == "shard_seeds":
+            shard_seeds, seeds = True, tuple(range(8))
+
+    e1, h1 = _ens_fit(tmp_path, f"pe_{mode}", epoch_block=1, seeds=seeds,
+                      mesh=mesh, shard_seeds=shard_seeds)
+    eb, hb = _ens_fit(tmp_path, f"bl_{mode}", epoch_block=3, seeds=seeds,
+                      mesh=mesh, shard_seeds=shard_seeds)
+
+    for ha, hx in zip(h1, hb):
+        for key in ("train", "val"):
+            np.testing.assert_allclose([float(v) for v in hx[key]],
+                                       [float(v) for v in ha[key]],
+                                       rtol=1e-6)
+    np.testing.assert_allclose(eb.best_val, e1.best_val, rtol=1e-6)
+    np.testing.assert_array_equal(eb.best_epoch, e1.best_epoch)
+    for tree_a, tree_b in ((e1.params, eb.params),
+                           (e1.best_params, eb.best_params)):
+        for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                        jax.tree_util.tree_leaves(tree_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+    # Per-epoch checkpoint files restore to the same stacked weights.
+    for ep in range(5):
+        c1 = e1.ckpt.load_checkpoint_at(ep)
+        cb = eb.ckpt.load_checkpoint_at(ep)
+        p1, _ = e1.ckpt.restore(c1, e1.params, e1.opt_state)
+        pb, _ = eb.ckpt.restore(cb, eb.params, eb.opt_state)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(pb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+
+def test_ensemble_blocked_resume(tmp_path):
+    """Blocked ensemble checkpoints resume with LAST_EPOCH: histories,
+    best metadata, and continuation all line up with the per-epoch files."""
+    ens, h = _ens_fit(tmp_path, "resume", epoch_block=3, nb_epochs=3)
+    tr_loader, va_loader = _loaders()
+    h2 = ens.fit(tr_loader, va_loader, nb_epochs=6, epoch_block=3,
+                 load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH,
+                 verbose=False)
+    assert all(len(hist["train"]) == 6 for hist in h2)
+    for ha, hx in zip(h, h2):
+        np.testing.assert_allclose([float(v) for v in hx["train"][:3]],
+                                   [float(v) for v in ha["train"]],
+                                   rtol=1e-6)
