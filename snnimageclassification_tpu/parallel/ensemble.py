@@ -14,7 +14,7 @@ from __future__ import annotations
 import logging
 import os
 import shutil
-from typing import List, Optional, Sequence
+from typing import List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,7 @@ from ..train.checkpoint import CheckpointManager, LoadCheckpointMode
 from ..train.trainer import _encode_on_device, make_optimizer, nll_loss
 from ..utils.history import LossHistory
 
-__all__ = ["init_ensemble", "EnsembleTrainer"]
+__all__ = ["init_ensemble", "majority_vote", "EnsembleTrainer"]
 
 logger = logging.getLogger(__name__)
 
@@ -37,6 +37,28 @@ def init_ensemble(cfg: SNNConfig, seeds: Sequence[int]):
     """Stacked params: every leaf gains a leading ``n_seeds`` axis."""
     keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
     return jax.vmap(lambda k: model_lib.init(cfg, k))(keys)
+
+
+def majority_vote(seed_preds: np.ndarray, n_classes: int) -> np.ndarray:
+    """Hard majority vote over the seed axis: ``(n_seeds, B) -> (B,)``.
+    Ties resolve to the lowest label (``np.bincount(...).argmax()``),
+    deterministically."""
+    seed_preds = np.asarray(seed_preds)
+    return np.array([
+        np.bincount(col, minlength=n_classes).argmax()
+        for col in seed_preds.T
+    ])
+
+
+class EnsembleSteps(NamedTuple):
+    """Compiled programs for one encode config (``_build``'s product)."""
+
+    train: callable        # per-batch train step
+    evals: callable        # per-batch eval step
+    train_epoch: callable  # whole-epoch train scan
+    eval_epoch: callable   # whole-epoch eval scan
+    train_block: callable  # K-epoch block scan (fit(epoch_block=K))
+    predict: callable      # per-seed logits (S, B, O) from pixels
 
 
 class EnsembleTrainer:
@@ -241,6 +263,15 @@ class EnsembleTrainer:
             losses, preds = jax.vmap(one_replica)(params)
             return losses, preds  # (n_seeds,), (n_seeds, B)
 
+        def predict_step(params, x):
+            """Per-seed logits (n_seeds, B, O) from raw pixels."""
+            if fused:
+                return all_logits(params, x)
+            inputs = _encode_on_device(x, enc)
+            return jax.vmap(
+                lambda p: model_lib.forward_logits(cfg, p, inputs)
+            )(params)
+
         if self.shard_seeds:
             from jax.sharding import PartitionSpec as P
 
@@ -422,10 +453,18 @@ class EnsembleTrainer:
                 ),
                 donate_argnums=(0, 1, 2, 3),
             )
+            predict = jax.jit(
+                jax.shard_map(
+                    predict_step, mesh=self.mesh,
+                    in_specs=(S, P()), out_specs=S,
+                    check_vma=False,
+                )
+            )
         elif self.mesh is None:
             train_epoch = jax.jit(train_epoch_fn, donate_argnums=(0, 1))
             eval_epoch = jax.jit(eval_epoch_fn)
             train_block = jax.jit(block_fn, donate_argnums=(0, 1, 2, 3))
+            predict = jax.jit(predict_step)
         else:
             repl_e = replicated(self.mesh)
             train_epoch = jax.jit(
@@ -445,7 +484,18 @@ class EnsembleTrainer:
                 out_shardings=repl_e,
                 donate_argnums=(0, 1, 2, 3),
             )
-        return train, evals, train_epoch, eval_epoch, train_block
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .mesh import DATA_AXIS, batch_sharded
+
+            predict = jax.jit(
+                predict_step,
+                in_shardings=(repl_e, batch_sharded(self.mesh)),
+                # logits are (n_seeds, B, O): the batch axis is dim 1.
+                out_shardings=NamedSharding(self.mesh, P(None, DATA_AXIS)),
+            )
+        return EnsembleSteps(train, evals, train_epoch, eval_epoch,
+                             train_block, predict)
 
     def _steps_for(self, enc: EncodeConfig):
         if enc not in self._steps:
@@ -560,6 +610,71 @@ class EnsembleTrainer:
     def accuracies(self, loader: ArrayDataLoader) -> np.ndarray:
         """Per-seed accuracy over the loader."""
         return self.eval_epoch(loader)[1]
+
+    # -- ensemble inference ------------------------------------------------
+    #
+    # The reference only ever reports per-seed accuracies; combining the
+    # replicas into ONE predictor is the payoff of training them together.
+    # Soft voting ("mean_proba": argmax of the seed-averaged softmax) and
+    # hard majority voting ("vote") are both provided; ties in "vote"
+    # resolve to the lowest label (np.bincount argmax), deterministically.
+
+    def predict_logits(self, x, encode_config: Optional[EncodeConfig] = None):
+        """Per-seed prediction logits ``(n_seeds, B, n_classes)`` for raw
+        pixel inputs (the stacked analogue of
+        ``SNN.get_prediction_logits``)."""
+        enc = encode_config or EncodeConfig(n_steps=self.cfg.int_time_steps)
+        predict = self._steps_for(enc).predict
+        x = np.asarray(x, dtype=np.float32)
+        n_real = x.shape[0]
+        if self.mesh is not None and not self.shard_seeds:
+            from .mesh import pad_to_multiple
+
+            x, _ = pad_to_multiple(x, self.mesh.size)
+        logits = predict(self.params, jnp.asarray(x))
+        return logits[:, :n_real]
+
+    def predict_proba(self, x, encode_config: Optional[EncodeConfig] = None,
+                      reduce: Optional[str] = "mean"):
+        """Class probabilities: the seed-averaged softmax ``(B, n_classes)``
+        (``reduce="mean"``), or per-seed probabilities
+        ``(n_seeds, B, n_classes)`` with ``reduce=None``."""
+        probas = jax.nn.softmax(self.predict_logits(x, encode_config), axis=-1)
+        if reduce is None:
+            return probas
+        if reduce != "mean":
+            raise ValueError(f"unknown reduce {reduce!r}; use 'mean' or None")
+        return jnp.mean(probas, axis=0)
+
+    def predict(self, x, encode_config: Optional[EncodeConfig] = None,
+                method: str = "mean_proba") -> np.ndarray:
+        """Ensemble class predictions ``(B,)``.
+
+        ``method="mean_proba"``: argmax of the seed-averaged softmax (soft
+        voting -- the default; uses every replica's confidence).
+        ``method="vote"``: per-seed argmax, majority vote, ties to the
+        lowest label."""
+        if method == "mean_proba":
+            return np.asarray(jnp.argmax(self.predict_proba(x, encode_config),
+                                         axis=-1))
+        if method != "vote":
+            raise ValueError(
+                f"unknown method {method!r}; use 'mean_proba' or 'vote'")
+        seed_preds = np.asarray(
+            jnp.argmax(self.predict_logits(x, encode_config), axis=-1)
+        )  # (n_seeds, B)
+        return majority_vote(seed_preds, self.cfg.output_size)
+
+    def ensemble_accuracy(self, loader: ArrayDataLoader,
+                          method: str = "mean_proba") -> float:
+        """Accuracy of the combined ensemble predictor over the loader
+        (typically above the per-seed ``accuracies`` mean)."""
+        correct, total = 0, 0
+        for x, y in loader:
+            pred = self.predict(x, loader.encode_config, method=method)
+            correct += int(np.sum(pred == np.asarray(y)))
+            total += len(np.asarray(y))
+        return correct / max(total, 1)
 
     # -- fit -------------------------------------------------------------------
     def fit(
