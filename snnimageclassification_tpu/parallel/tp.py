@@ -74,6 +74,7 @@ __all__ = [
     "shard_params_2d",
     "make_tp_forward",
     "make_tp_loss_fn",
+    "make_tp_loss_logits_fn",
     "make_tp_train_step",
 ]
 
@@ -276,7 +277,7 @@ def make_tp_forward(cfg: SNNConfig, mesh: Mesh, enc=None):
     return jax.jit(fwd)
 
 
-def _tp_loss_local(cfg: SNNConfig, params, x, y, w, enc) -> jax.Array:
+def _tp_loss_logits_local(cfg: SNNConfig, params, x, y, w, enc):
     logits = _tp_forward_local(cfg, params, x, enc)
     per = optax.softmax_cross_entropy_with_integer_labels(logits, y)
     # psum over BOTH axes: the model-axis double count cancels in the
@@ -284,7 +285,11 @@ def _tp_loss_local(cfg: SNNConfig, params, x, y, w, enc) -> jax.Array:
     # for every replicated leaf) well-defined under check_vma=False.
     num = jax.lax.psum(jnp.sum(per * w), (DATA_AXIS, MODEL_AXIS))
     den = jax.lax.psum(jnp.sum(w), (DATA_AXIS, MODEL_AXIS))
-    return num / jnp.maximum(den, 1.0)
+    return num / jnp.maximum(den, 1.0), logits
+
+
+def _tp_loss_local(cfg: SNNConfig, params, x, y, w, enc) -> jax.Array:
+    return _tp_loss_logits_local(cfg, params, x, y, w, enc)[0]
 
 
 def make_tp_loss_fn(cfg: SNNConfig, mesh: Mesh, enc=None):
@@ -300,6 +305,25 @@ def make_tp_loss_fn(cfg: SNNConfig, mesh: Mesh, enc=None):
         mesh=mesh,
         in_specs=_in_specs(cfg, 3),
         out_specs=P(),
+        check_vma=False,
+    )
+
+
+def make_tp_loss_logits_fn(cfg: SNNConfig, mesh: Mesh, enc=None):
+    """``(params, x, y, w) -> (loss, logits)`` under shard_map.
+
+    Same weighted-NLL loss as :func:`make_tp_loss_fn` (exactly the
+    Trainer's default criterion, ``trainer.nll_loss``), plus the gathered
+    ``(B, n_out)`` logits for prediction/accuracy -- the Trainer's eval
+    path needs both from one forward.  Differentiable via ``has_aux=True``
+    (the loss output carries the gradient; logits are aux).
+    """
+    _validate(cfg, mesh)
+    return jax.shard_map(
+        partial(_tp_loss_logits_local, cfg, enc=enc),
+        mesh=mesh,
+        in_specs=_in_specs(cfg, 3),
+        out_specs=(P(), P(DATA_AXIS)),
         check_vma=False,
     )
 

@@ -176,7 +176,11 @@ class Trainer:
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a "data" axis; when
         given, every step runs data-parallel (params replicated, batch
-        sharded, XLA-inserted gradient all-reduce over ICI).
+        sharded, XLA-inserted gradient all-reduce over ICI).  A 2-D mesh
+        with a "model" axis (``parallel.tp.make_2d_mesh``) additionally
+        shards every hidden layer's neurons over "model" (Megatron-style
+        column sharding, ``parallel/tp.py``) -- same fit/eval/checkpoint
+        surface, tensor-parallel compute.
 
         ``reg_fn``: optional spike regularizer (train/losses.py) taking the
         hidden-state traces dict and returning a scalar added to the loss.
@@ -200,10 +204,32 @@ class Trainer:
         from ..data.device_cache import DeviceDataCache
 
         self.device_data = DeviceDataCache()
-        if mesh is not None:
+        self._tp = bool(
+            mesh is not None
+            and "model" in mesh.axis_names
+            and mesh.shape["model"] > 1
+        )
+        if self._tp:
+            from ..parallel.tp import shard_params_2d
+
+            if self.reg_fn is not None:
+                raise ValueError(
+                    "reg_fn needs the full hidden traces, which the "
+                    "tensor-parallel path keeps sharded; use a data-only "
+                    "mesh for spike regularization"
+                )
+            if self.criterion is not default_criterion:
+                raise ValueError(
+                    "tensor parallelism computes the weighted-NLL loss "
+                    "inside shard_map (parallel/tp.py); custom criteria "
+                    "need a data-only mesh"
+                )
+            self.params = shard_params_2d(mesh, cfg, self.params)
+        elif mesh is not None:
             from ..parallel.mesh import replicated
 
             self.params = jax.device_put(self.params, replicated(mesh))
+        self._tp_forward = None  # cached shard_mapped forward (TP predict)
         self._tx: Optional[optax.GradientTransformation] = None
         self._opt_hparams: Optional[tuple] = None
         self._step_cache: Dict = {}
@@ -213,6 +239,39 @@ class Trainer:
         # flight; readers join it first (see _join_pending_save).
         self.async_checkpointing = True
         self._ckpt_thread = None
+
+    def _restore_placed(self, checkpoint):
+        """Restore params/opt_state from a checkpoint payload, re-applying
+        the live buffers' device shardings.
+
+        ``CheckpointManager.restore`` yields host arrays; under a mesh --
+        especially TP's mixed per-leaf param specs -- the restored leaves
+        must land back where the compiled steps expect them (the DP path's
+        explicit jit in_shardings used to paper over this; the TP path has
+        no uniform annotation to lean on)."""
+        live = (self.params, self.opt_state)
+        shardings = [
+            l.sharding if isinstance(l, jax.Array) else None
+            for l in jax.tree_util.tree_leaves(live)
+        ]
+        restored = self.ckpt.restore(checkpoint, *live)
+        if self.mesh is not None:
+            # Only re-place leaves whose live buffer actually spans the
+            # mesh (TP-sharded / replicated weights).  Leaves that were
+            # uncommitted single-device arrays (e.g. Adam's scalar count
+            # from eager optax init) must stay as host arrays -- committing
+            # them to one device would conflict with the mesh-spanning
+            # params inside the unannotated TP jits.
+            mesh_devs = frozenset(self.mesh.devices.flat)
+            leaves, treedef = jax.tree_util.tree_flatten(restored)
+            leaves = [
+                jax.device_put(l, s)
+                if s is not None and frozenset(s.device_set) == mesh_devs
+                else l
+                for l, s in zip(leaves, shardings)
+            ]
+            restored = jax.tree_util.tree_unflatten(treedef, leaves)
+        self.params, self.opt_state = restored
 
     def _join_pending_save(self):
         if self._ckpt_thread is not None:
@@ -274,6 +333,17 @@ class Trainer:
             logits = model_lib.forward_logits_pixels(cfg, params, x, enc)
             return criterion(logits, y, w), logits
 
+        if self._tp:
+            # Tensor parallelism: the whole forward+loss runs inside
+            # shard_map (per-step spike all_gather over "model", loss
+            # psum over both axes -- parallel/tp.py).  Same (loss,
+            # logits) contract, so every step/epoch/block builder below
+            # is strategy-agnostic.  Criterion/reg_fn restrictions are
+            # enforced in __init__.
+            from ..parallel.tp import make_tp_loss_logits_fn
+
+            loss_fn = make_tp_loss_logits_fn(cfg, self.mesh, enc)
+
         def train_step_fn(params, opt_state, x, y, w):
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, x, y, w
@@ -287,7 +357,14 @@ class Trainer:
             preds = jnp.argmax(logits, axis=-1)
             return loss, preds
 
-        if self.mesh is not None:
+        if self._tp:
+            # Params/opt_state carry tp_param_specs shardings; shard_map's
+            # in_specs reshard the (batch-sharded) data args -- no jit
+            # sharding annotations needed, and none would be uniform
+            # across the mixed param specs anyway.
+            train_step = jax.jit(train_step_fn, donate_argnums=(0, 1))
+            eval_step = jax.jit(eval_step_fn)
+        elif self.mesh is not None:
             from ..parallel.mesh import batch_sharded, replicated
 
             repl = replicated(self.mesh)
@@ -386,7 +463,10 @@ class Trainer:
             )
             return params, opt_state, outs
 
-        if self.mesh is None:
+        if self.mesh is None or self._tp:
+            # TP: params keep their tp_param_specs shardings through the
+            # scan (the shard_mapped step pins them); the replicated
+            # dataset + index matrices need no annotation.
             train_epoch = jax.jit(train_epoch_fn, donate_argnums=(0, 1))
             eval_epoch = jax.jit(eval_epoch_fn)
             train_block = jax.jit(train_block_fn, donate_argnums=(0, 1))
@@ -534,9 +614,7 @@ class Trainer:
             self._join_pending_save()
             try:
                 checkpoint = self.ckpt.load_checkpoint(load_checkpoint_mode)
-                self.params, self.opt_state = self.ckpt.restore(
-                    checkpoint, self.params, self.opt_state
-                )
+                self._restore_placed(checkpoint)
                 start_epoch = int(checkpoint[self.ckpt.CHECKPOINT_EPOCH_KEY]) + 1
                 self.loss_history = self.ckpt.get_checkpoints_loss_history()
             except FileNotFoundError:
@@ -807,6 +885,20 @@ class Trainer:
     def predict_logits(self, x, encode_config: Optional[EncodeConfig] = None):
         enc = encode_config or EncodeConfig(n_steps=self.cfg.int_time_steps)
         inputs = _encode_on_device(jnp.asarray(x, jnp.float32), enc)
+        if self._tp:
+            from ..parallel.tp import make_tp_forward
+
+            if self._tp_forward is None:
+                self._tp_forward = make_tp_forward(self.cfg, self.mesh)
+            # shard_map splits the batch over "data": pad to divisibility,
+            # slice the padding back off.
+            n = inputs.shape[0]
+            pad = (-n) % self.mesh.shape["data"]
+            if pad:
+                inputs = jnp.pad(
+                    inputs, [(0, pad)] + [(0, 0)] * (inputs.ndim - 1)
+                )
+            return self._tp_forward(self.params, inputs)[:n]
         return model_lib.forward_logits(self.cfg, self.params, inputs)
 
     def compute_classification_accuracy(
@@ -895,9 +987,7 @@ class Trainer:
         self._join_pending_save()
         self._ensure_optimizer_any()
         checkpoint = self.ckpt.load_checkpoint(load_checkpoint_mode)
-        self.params, self.opt_state = self.ckpt.restore(
-            checkpoint, self.params, self.opt_state
-        )
+        self._restore_placed(checkpoint)
         return checkpoint
 
     def plot_loss_history(self, loss_history: Optional[LossHistory] = None, show=False):
