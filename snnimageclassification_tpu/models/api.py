@@ -60,6 +60,7 @@ class SNN:
         model_name: str = "snn",
         seed: int = 0,
         mesh=None,
+        pp_n_micro: int = None,
         **kwargs: Any,
     ):
         del device
@@ -84,6 +85,7 @@ class SNN:
             model_name=model_name,
             seed=seed,
             mesh=mesh,
+            pp_n_micro=pp_n_micro,
         )
 
     # -- attribute passthroughs -------------------------------------------------

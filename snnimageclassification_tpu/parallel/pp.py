@@ -67,8 +67,11 @@ __all__ = [
     "make_pp_mesh",
     "pp_stack_params",
     "pp_unstack_params",
+    "pp_param_specs",
+    "shard_params_pp",
     "make_pp_forward",
     "make_pp_loss_fn",
+    "make_pp_loss_logits_fn",
     "make_pp_train_step",
     "pp_param_labels",
 ]
@@ -386,7 +389,7 @@ def make_pp_forward(cfg: SNNConfig, mesh: Mesh, enc=None, n_micro: int = None):
     return jax.jit(fwd)
 
 
-def _pp_loss_local(cfg, n_micro, enc, stacked, x, y, w):
+def _pp_loss_logits_local(cfg, n_micro, enc, stacked, x, y, w):
     logits = _pp_forward_local(cfg, n_micro, enc, stacked, x)
     per = optax.softmax_cross_entropy_with_integer_labels(logits, y)
     # psum over BOTH axes: the pipe-axis replication cancels in the ratio
@@ -396,7 +399,11 @@ def _pp_loss_local(cfg, n_micro, enc, stacked, x, y, w):
     # "data" and reverse-ppermute flows over "pipe".
     num = jax.lax.psum(jnp.sum(per * w), (DATA_AXIS, PIPE_AXIS))
     den = jax.lax.psum(jnp.sum(w), (DATA_AXIS, PIPE_AXIS))
-    return num / jnp.maximum(den, 1.0)
+    return num / jnp.maximum(den, 1.0), logits
+
+
+def _pp_loss_local(cfg, n_micro, enc, stacked, x, y, w):
+    return _pp_loss_logits_local(cfg, n_micro, enc, stacked, x, y, w)[0]
 
 
 def make_pp_loss_fn(cfg: SNNConfig, mesh: Mesh, enc=None, n_micro: int = None):
@@ -409,6 +416,27 @@ def make_pp_loss_fn(cfg: SNNConfig, mesh: Mesh, enc=None, n_micro: int = None):
         mesh=mesh,
         in_specs=(pp_param_specs(),) + (P(DATA_AXIS),) * 3,
         out_specs=P(),
+        check_vma=False,
+    )
+
+
+def make_pp_loss_logits_fn(cfg: SNNConfig, mesh: Mesh, enc=None,
+                           n_micro: int = None):
+    """``(stacked_params, x, y, w) -> (loss, logits)`` under shard_map.
+
+    The same weighted-NLL loss as :func:`make_pp_loss_fn` (exactly the
+    Trainer's default criterion) plus the gathered ``(B, n_out)`` logits
+    -- the Trainer's eval path needs both from one forward.
+    Differentiable via ``has_aux=True``.
+    """
+    _validate(cfg, mesh)
+    if n_micro is None:
+        n_micro = 2 * mesh.shape[PIPE_AXIS]
+    return jax.shard_map(
+        partial(_pp_loss_logits_local, cfg, n_micro, enc),
+        mesh=mesh,
+        in_specs=(pp_param_specs(),) + (P(DATA_AXIS),) * 3,
+        out_specs=(P(), P(DATA_AXIS)),
         check_vma=False,
     )
 

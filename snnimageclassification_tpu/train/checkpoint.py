@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import enum
 import json
+import logging
 import os
 from typing import Any, Dict, Union
 
@@ -26,6 +27,8 @@ from ..utils.dict_utils import mapping_update_recursively
 from ..utils.history import LossHistory
 
 __all__ = ["LoadCheckpointMode", "CheckpointManager"]
+
+logger = logging.getLogger(__name__)
 
 
 class LoadCheckpointMode(enum.Enum):
@@ -152,13 +155,29 @@ class CheckpointManager:
             return serialization.msgpack_restore(f.read())
 
     def restore(self, checkpoint: dict, params_template: Any, opt_state_template: Any):
-        """Rebuild typed pytrees from a raw checkpoint payload."""
+        """Rebuild typed pytrees from a raw checkpoint payload.
+
+        Params must restore; a structurally-mismatched optimizer state
+        (cross-parallelism-strategy load, or a changed optimizer chain)
+        degrades to keeping ``opt_state_template`` with a loud warning --
+        the model weights are the portable part of a checkpoint, exactly
+        like torch's ``strict=False`` idiom."""
         params = serialization.from_state_dict(
             params_template, checkpoint[self.CHECKPOINT_STATE_DICT_KEY]
         )
-        opt_state = serialization.from_state_dict(
-            opt_state_template, checkpoint[self.CHECKPOINT_OPTIMIZER_STATE_DICT_KEY]
-        )
+        try:
+            opt_state = serialization.from_state_dict(
+                opt_state_template,
+                checkpoint[self.CHECKPOINT_OPTIMIZER_STATE_DICT_KEY],
+            )
+        except ValueError:
+            logger.warning(
+                "Checkpoint optimizer state does not match this trainer's "
+                "optimizer structure (cross-strategy load or changed "
+                "optimizer); restoring params only and keeping the "
+                "current optimizer state."
+            )
+            opt_state = opt_state_template
         return params, opt_state
 
     def get_checkpoints_loss_history(self) -> LossHistory:

@@ -173,6 +173,7 @@ class Trainer:
         criterion: Optional[Callable] = None,
         mesh=None,
         reg_fn: Optional[Callable] = None,
+        pp_n_micro: Optional[int] = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a "data" axis; when
         given, every step runs data-parallel (params replicated, batch
@@ -180,7 +181,13 @@ class Trainer:
         with a "model" axis (``parallel.tp.make_2d_mesh``) additionally
         shards every hidden layer's neurons over "model" (Megatron-style
         column sharding, ``parallel/tp.py``) -- same fit/eval/checkpoint
-        surface, tensor-parallel compute.
+        surface, tensor-parallel compute.  A 2-D mesh with a "pipe" axis
+        (``parallel.pp.make_pp_mesh``) instead pipelines one layer per
+        stage, GPipe-microbatched (``parallel/pp.py``); ``pp_n_micro``
+        sets the microbatch count (default ``2 * n_stages``).  Checkpoint
+        files always store the canonical per-layer params (the stacked
+        padded stage representation is converted on save/restore), so a
+        PP-trained BEST checkpoint reloads into any other strategy.
 
         ``reg_fn``: optional spike regularizer (train/losses.py) taking the
         hidden-state traces dict and returning a scalar added to the loss.
@@ -209,27 +216,33 @@ class Trainer:
             and "model" in mesh.axis_names
             and mesh.shape["model"] > 1
         )
-        if self._tp:
+        self._pp = bool(
+            mesh is not None
+            and "pipe" in mesh.axis_names
+            and mesh.shape["pipe"] > 1
+        )
+        self._pp_n_micro = pp_n_micro
+        if self._tp and self._pp:
+            raise ValueError(
+                "Trainer supports one of 'model' (TP) or 'pipe' (PP) mesh "
+                "axes at a time; for combined 3-D parallelism use "
+                "parallel/pp3.py directly"
+            )
+        if self._pp:
+            from ..parallel.pp import shard_params_pp
+
+            self._check_inside_shardmap_loss()
+            self.params = shard_params_pp(mesh, cfg, self.params)
+        elif self._tp:
             from ..parallel.tp import shard_params_2d
 
-            if self.reg_fn is not None:
-                raise ValueError(
-                    "reg_fn needs the full hidden traces, which the "
-                    "tensor-parallel path keeps sharded; use a data-only "
-                    "mesh for spike regularization"
-                )
-            if self.criterion is not default_criterion:
-                raise ValueError(
-                    "tensor parallelism computes the weighted-NLL loss "
-                    "inside shard_map (parallel/tp.py); custom criteria "
-                    "need a data-only mesh"
-                )
+            self._check_inside_shardmap_loss()
             self.params = shard_params_2d(mesh, cfg, self.params)
         elif mesh is not None:
             from ..parallel.mesh import replicated
 
             self.params = jax.device_put(self.params, replicated(mesh))
-        self._tp_forward = None  # cached shard_mapped forward (TP predict)
+        self._shard_forward = None  # cached shard_mapped forward (TP/PP predict)
         self._tx: Optional[optax.GradientTransformation] = None
         self._opt_hparams: Optional[tuple] = None
         self._step_cache: Dict = {}
@@ -240,6 +253,35 @@ class Trainer:
         self.async_checkpointing = True
         self._ckpt_thread = None
 
+    def _check_inside_shardmap_loss(self):
+        """TP/PP compute the weighted-NLL loss inside shard_map
+        (parallel/tp.py, parallel/pp.py); custom criteria and trace-based
+        regularizers need a data-only mesh."""
+        if self.reg_fn is not None:
+            raise ValueError(
+                "reg_fn needs the full hidden traces, which the tensor-/"
+                "pipeline-parallel paths keep sharded; use a data-only "
+                "mesh for spike regularization"
+            )
+        if self.criterion is not default_criterion:
+            raise ValueError(
+                "tensor/pipeline parallelism computes the weighted-NLL "
+                "loss inside shard_map; custom criteria need a data-only "
+                "mesh"
+            )
+
+    def _canonical_params(self, params):
+        """Checkpoint-file form of ``params``: the canonical per-layer
+        dict.  Under PP the live params are the stacked padded stage
+        representation; padding stays bitwise zero through training (zero
+        grad -> zero Adam moments -> zero update, parallel/pp.py), so the
+        slice-back is lossless and the round trip exact."""
+        if self._pp:
+            from ..parallel.pp import pp_unstack_params
+
+            return pp_unstack_params(self.cfg, params)
+        return params
+
     def _restore_placed(self, checkpoint):
         """Restore params/opt_state from a checkpoint payload, re-applying
         the live buffers' device shardings.
@@ -249,20 +291,18 @@ class Trainer:
         must land back where the compiled steps expect them (the DP path's
         explicit jit in_shardings used to paper over this; the TP path has
         no uniform annotation to lean on)."""
-        live = (self.params, self.opt_state)
-        shardings = [
-            l.sharding if isinstance(l, jax.Array) else None
-            for l in jax.tree_util.tree_leaves(live)
-        ]
-        restored = self.ckpt.restore(checkpoint, *live)
-        if self.mesh is not None:
+        def replace_mesh_leaves(restored, live):
             # Only re-place leaves whose live buffer actually spans the
             # mesh (TP-sharded / replicated weights).  Leaves that were
             # uncommitted single-device arrays (e.g. Adam's scalar count
             # from eager optax init) must stay as host arrays -- committing
             # them to one device would conflict with the mesh-spanning
-            # params inside the unannotated TP jits.
+            # params inside the unannotated TP/PP jits.
             mesh_devs = frozenset(self.mesh.devices.flat)
+            shardings = [
+                l.sharding if isinstance(l, jax.Array) else None
+                for l in jax.tree_util.tree_leaves(live)
+            ]
             leaves, treedef = jax.tree_util.tree_flatten(restored)
             leaves = [
                 jax.device_put(l, s)
@@ -270,8 +310,31 @@ class Trainer:
                 else l
                 for l, s in zip(leaves, shardings)
             ]
-            restored = jax.tree_util.tree_unflatten(treedef, leaves)
-        self.params, self.opt_state = restored
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        params_tmpl = self._canonical_params(self.params)
+        params, opt_state = self.ckpt.restore(
+            checkpoint, params_tmpl, self.opt_state
+        )
+        if self._pp:
+            # Checkpoint files hold canonical per-layer params; live PP
+            # params are the stacked padded stage representation.
+            from jax.sharding import NamedSharding
+
+            from ..parallel.pp import pp_param_specs, pp_stack_params
+
+            params = jax.device_put(
+                pp_stack_params(self.cfg, params),
+                {
+                    k: NamedSharding(self.mesh, s)
+                    for k, s in pp_param_specs().items()
+                },
+            )
+        elif self.mesh is not None:
+            params = replace_mesh_leaves(params, self.params)
+        if self.mesh is not None:
+            opt_state = replace_mesh_leaves(opt_state, self.opt_state)
+        self.params, self.opt_state = params, opt_state
 
     def _join_pending_save(self):
         if self._ckpt_thread is not None:
@@ -283,7 +346,8 @@ class Trainer:
         if not self.async_checkpointing:
             params, opt_state = host_snapshot((self.params, self.opt_state))
             self.ckpt.save_checkpoint(
-                params, opt_state, epoch, epoch_loss, is_best
+                self._canonical_params(params), opt_state, epoch,
+                epoch_loss, is_best,
             )
             return
         import threading
@@ -297,7 +361,8 @@ class Trainer:
         def save():
             params, opt_state = host_snapshot(snap)
             self.ckpt.save_checkpoint(
-                params, opt_state, epoch, epoch_loss, is_best
+                self._canonical_params(params), opt_state, epoch,
+                epoch_loss, is_best,
             )
 
         self._ckpt_thread = threading.Thread(target=save, daemon=True)
@@ -343,6 +408,15 @@ class Trainer:
             from ..parallel.tp import make_tp_loss_logits_fn
 
             loss_fn = make_tp_loss_logits_fn(cfg, self.mesh, enc)
+        elif self._pp:
+            # Pipeline parallelism: GPipe schedule inside shard_map, one
+            # layer per "pipe" stage (parallel/pp.py).  Same (loss,
+            # logits) contract as above.
+            from ..parallel.pp import make_pp_loss_logits_fn
+
+            loss_fn = make_pp_loss_logits_fn(
+                cfg, self.mesh, enc, self._pp_n_micro
+            )
 
         def train_step_fn(params, opt_state, x, y, w):
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -357,11 +431,11 @@ class Trainer:
             preds = jnp.argmax(logits, axis=-1)
             return loss, preds
 
-        if self._tp:
-            # Params/opt_state carry tp_param_specs shardings; shard_map's
-            # in_specs reshard the (batch-sharded) data args -- no jit
-            # sharding annotations needed, and none would be uniform
-            # across the mixed param specs anyway.
+        if self._tp or self._pp:
+            # Params/opt_state carry their strategy's param-spec
+            # shardings; shard_map's in_specs reshard the (batch-sharded)
+            # data args -- no jit sharding annotations needed, and none
+            # would be uniform across the mixed param specs anyway.
             train_step = jax.jit(train_step_fn, donate_argnums=(0, 1))
             eval_step = jax.jit(eval_step_fn)
         elif self.mesh is not None:
@@ -463,10 +537,10 @@ class Trainer:
             )
             return params, opt_state, outs
 
-        if self.mesh is None or self._tp:
-            # TP: params keep their tp_param_specs shardings through the
-            # scan (the shard_mapped step pins them); the replicated
-            # dataset + index matrices need no annotation.
+        if self.mesh is None or self._tp or self._pp:
+            # TP/PP: params keep their strategy's param-spec shardings
+            # through the scan (the shard_mapped step pins them); the
+            # replicated dataset + index matrices need no annotation.
             train_epoch = jax.jit(train_epoch_fn, donate_argnums=(0, 1))
             eval_epoch = jax.jit(eval_epoch_fn)
             train_block = jax.jit(train_block_fn, donate_argnums=(0, 1))
@@ -509,11 +583,22 @@ class Trainer:
             return x, y, w
         from ..parallel.mesh import pad_to_multiple, shard_batch
 
-        n_dev = self.mesh.size
-        x, w2 = pad_to_multiple(x, n_dev)
-        y, _ = pad_to_multiple(y, n_dev)
+        mult = self._batch_multiple()
+        x, w2 = pad_to_multiple(x, mult)
+        y, _ = pad_to_multiple(y, mult)
         w = np.pad(w, (0, w2.shape[0] - w.shape[0]))
         return shard_batch(self.mesh, x, y, w)
+
+    def _batch_multiple(self) -> int:
+        """Rows per batch must split evenly over the mesh -- and under PP
+        additionally into ``n_micro`` microbatches per data shard."""
+        if self.mesh is None:
+            return 1
+        if self._pp:
+            n_data = self.mesh.shape["data"]
+            nm = self._pp_n_micro or 2 * self.mesh.shape["pipe"]
+            return int(np.lcm(self.mesh.size, n_data * nm))
+        return self.mesh.size
 
     def _steps_for(self, enc: EncodeConfig):
         # Keyed by the optimizer hyperparameters (which uniquely determine
@@ -538,7 +623,12 @@ class Trainer:
             lr, weight_decay, max_grad_norm,
         ):
             return
-        labels = model_lib.param_labels(self.cfg, self.params)
+        if self._pp:
+            from ..parallel.pp import pp_param_labels
+
+            labels = pp_param_labels(self.params)
+        else:
+            labels = model_lib.param_labels(self.cfg, self.params)
         self._tx = make_optimizer(
             labels, lr=lr, weight_decay=weight_decay,
             max_grad_norm=max_grad_norm,
@@ -766,7 +856,9 @@ class Trainer:
             flat = np.asarray(snaps_dev)  # the single transfer
             for i, (ep, el, isb) in enumerate(zip(epochs, ep_losses, flags)):
                 params, opt_state = _unpack_flat(flat[i], template)
-                self.ckpt.save_checkpoint(params, opt_state, ep, el, isb)
+                self.ckpt.save_checkpoint(
+                    self._canonical_params(params), opt_state, ep, el, isb
+                )
 
         if not self.async_checkpointing:
             save()
@@ -809,8 +901,8 @@ class Trainer:
 
         target = loader.batch_size
         if self.mesh is not None:
-            n_dev = self.mesh.size
-            target = -(-target // n_dev) * n_dev
+            mult = self._batch_multiple()
+            target = -(-target // mult) * mult
         idxs, ws = [], []
         for idx in loader.iter_indices():
             p, w = pad_rows(np.asarray(idx), target)
@@ -885,20 +977,27 @@ class Trainer:
     def predict_logits(self, x, encode_config: Optional[EncodeConfig] = None):
         enc = encode_config or EncodeConfig(n_steps=self.cfg.int_time_steps)
         inputs = _encode_on_device(jnp.asarray(x, jnp.float32), enc)
-        if self._tp:
-            from ..parallel.tp import make_tp_forward
+        if self._tp or self._pp:
+            if self._shard_forward is None:
+                if self._tp:
+                    from ..parallel.tp import make_tp_forward
 
-            if self._tp_forward is None:
-                self._tp_forward = make_tp_forward(self.cfg, self.mesh)
-            # shard_map splits the batch over "data": pad to divisibility,
-            # slice the padding back off.
+                    self._shard_forward = make_tp_forward(self.cfg, self.mesh)
+                else:
+                    from ..parallel.pp import make_pp_forward
+
+                    self._shard_forward = make_pp_forward(
+                        self.cfg, self.mesh, n_micro=self._pp_n_micro
+                    )
+            # shard_map splits the batch over "data" (and PP further into
+            # microbatches): pad to divisibility, slice the padding off.
             n = inputs.shape[0]
-            pad = (-n) % self.mesh.shape["data"]
+            pad = (-n) % self._batch_multiple()
             if pad:
                 inputs = jnp.pad(
                     inputs, [(0, pad)] + [(0, 0)] * (inputs.ndim - 1)
                 )
-            return self._tp_forward(self.params, inputs)[:n]
+            return self._shard_forward(self.params, inputs)[:n]
         return model_lib.forward_logits(self.cfg, self.params, inputs)
 
     def compute_classification_accuracy(

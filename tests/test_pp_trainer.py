@@ -1,0 +1,160 @@
+"""Trainer.fit with a 2-D (data, pipe) mesh: the pipeline-parallel path
+through the production fit/eval/checkpoint surface.
+
+`tests/test_pp.py` pins the GPipe shard_map step against the
+single-device oracle; this file pins the *Trainer integration*: fit loop,
+loss history, canonical checkpoint files (stacked padded stage params are
+converted on save/restore, so a PP checkpoint reloads anywhere), resume
+and prediction surface.
+
+Runs on the conftest's virtual 8-device CPU platform, mesh (2 data x 4
+pipe) over a 3-hidden-layer + readout stack (one layer per stage).
+Padding changes only contraction lengths (exact zeros), so parity with
+single-device is f32-reassociation-tight per step; multi-epoch histories
+get a small tolerance.
+"""
+import jax
+import numpy as np
+import pytest
+
+import snnimageclassification_tpu as st
+from snnimageclassification_tpu.data.datasets import ArrayDataLoader, EncodeConfig
+from snnimageclassification_tpu.parallel import pp
+from snnimageclassification_tpu.train.checkpoint import LoadCheckpointMode
+from snnimageclassification_tpu.train.trainer import Trainer
+
+N_FEATURES = 64
+ENC = EncodeConfig(n_steps=4, use_periods=True)
+
+
+def _loaders(seed=0, n=128, batch_size=32):
+    rng = np.random.default_rng(seed)
+    protos = rng.random((10, N_FEATURES)).astype(np.float32)
+    y = (np.arange(n) % 10).astype(np.int32)
+    x = np.clip(
+        protos[y] + 0.1 * rng.standard_normal((n, N_FEATURES)).astype(np.float32),
+        0, 1,
+    )
+    split = int(0.75 * n)
+    mk = lambda lo, hi, sh: ArrayDataLoader(
+        x[lo:hi], y[lo:hi], batch_size, shuffle=sh, encode_config=ENC, seed=seed
+    )
+    return mk(0, split, True), mk(split, n, False)
+
+
+def _cfg(**kw):
+    base = dict(
+        input_size=N_FEATURES, output_size=10,
+        n_hidden_neurons=[32, 24, 16],
+        hidden_layer_type=st.LayerType.ALIF, use_recurrent_connection=True,
+        int_time_steps=4,
+    )
+    base.update(kw)
+    return st.SNNConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return pp.make_pp_mesh(2, 4)
+
+
+def _fit(tmp_path, tag, mesh=None, nb_epochs=3, epoch_block=1, seed=7, **kw):
+    tr = Trainer(
+        _cfg(), checkpoint_folder=str(tmp_path / tag), seed=seed, mesh=mesh,
+        **kw,
+    )
+    tl, vl = _loaders()
+    hist = tr.fit(
+        tl, vl, nb_epochs=nb_epochs, force_overwrite=True, verbose=False,
+        epoch_block=epoch_block,
+    )
+    return tr, hist
+
+
+class TestPPFit:
+    def test_fit_matches_single_device(self, tmp_path, mesh):
+        _, hist_1d = _fit(tmp_path, "single")
+        _, hist_pp = _fit(tmp_path, "pp", mesh=mesh)
+        np.testing.assert_allclose(
+            hist_pp["train"], hist_1d["train"], atol=5e-4, rtol=5e-4
+        )
+        np.testing.assert_allclose(
+            hist_pp["val"], hist_1d["val"], atol=5e-4, rtol=5e-4
+        )
+
+    def test_epoch_block_matches_per_epoch(self, tmp_path, mesh):
+        _, hist_1 = _fit(tmp_path, "pp-e1", mesh=mesh, nb_epochs=4)
+        _, hist_4 = _fit(tmp_path, "pp-e4", mesh=mesh, nb_epochs=4,
+                         epoch_block=4)
+        np.testing.assert_array_equal(hist_4["train"], hist_1["train"])
+        np.testing.assert_array_equal(hist_4["val"], hist_1["val"])
+
+    def test_checkpoint_is_canonical_and_cross_loads(self, tmp_path, mesh):
+        tr_pp, hist = _fit(tmp_path, "pp-ckpt", mesh=mesh, nb_epochs=3)
+        # A fresh single-device trainer reloads the PP-trained BEST
+        # checkpoint: files hold canonical per-layer params.
+        tr_1d = Trainer(_cfg(), checkpoint_folder=str(tmp_path / "pp-ckpt"),
+                        seed=0)
+        ckpt = tr_1d.load_checkpoint(LoadCheckpointMode.BEST_EPOCH)
+        assert int(ckpt[tr_1d.ckpt.CHECKPOINT_EPOCH_KEY]) == int(
+            np.argmin(hist["val"])
+        )
+        # And the PP trainer's own reload round-trips through the stacked
+        # representation exactly: canonical views of both agree bitwise.
+        tr_pp.load_checkpoint(LoadCheckpointMode.BEST_EPOCH)
+        canon_pp = tr_pp._canonical_params(tr_pp.params)
+        for name, group in tr_1d.params.items():
+            for key in group:
+                np.testing.assert_array_equal(
+                    np.asarray(canon_pp[name][key]), np.asarray(group[key])
+                )
+        _, vl = _loaders()
+        a_pp = tr_pp.compute_classification_accuracy(vl)
+        a_1d = tr_1d.compute_classification_accuracy(vl)
+        assert a_pp == pytest.approx(a_1d)
+
+    def test_resume_continues_trajectory(self, tmp_path, mesh):
+        _, hist_full = _fit(tmp_path, "pp-full", mesh=mesh, nb_epochs=4)
+        _fit(tmp_path, "pp-resume", mesh=mesh, nb_epochs=2)
+        tr2 = Trainer(_cfg(), checkpoint_folder=str(tmp_path / "pp-resume"),
+                      seed=7, mesh=mesh)
+        tl, vl = _loaders()
+        for _ in range(2):  # replay the consumed shuffle draws
+            list(tl.iter_indices())
+            list(vl.iter_indices())
+        hist = tr2.fit(
+            tl, vl, nb_epochs=4, verbose=False, epoch_block=1,
+            load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH,
+        )
+        np.testing.assert_allclose(
+            hist["val"], hist_full["val"], atol=5e-4, rtol=5e-4
+        )
+
+    def test_predict_matches_single_device(self, tmp_path, mesh):
+        cfg = _cfg()
+        tr_1d = Trainer(cfg, checkpoint_folder=str(tmp_path / "p1"), seed=3)
+        tr_pp = Trainer(cfg, checkpoint_folder=str(tmp_path / "p2"), seed=3,
+                        mesh=mesh)
+        rng = np.random.default_rng(5)
+        # 30 rows: not divisible by the PP batch multiple (16).
+        x = rng.random((30, N_FEATURES)).astype(np.float32)
+        got = tr_pp.predict_logits(x, ENC)
+        want = tr_1d.predict_logits(x, ENC)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+        )
+
+    def test_tp_and_pp_axes_together_rejected(self):
+        from jax.sharding import Mesh
+
+        devs = np.asarray(jax.devices()).reshape(2, 2, 2)
+        mesh3 = Mesh(devs, ("data", "pipe", "model"))
+        with pytest.raises(ValueError, match="pp3"):
+            Trainer(_cfg(), checkpoint_folder="/tmp/x", mesh=mesh3)
+
+    def test_custom_criterion_rejected(self, tmp_path, mesh):
+        with pytest.raises(ValueError, match="criteria"):
+            Trainer(
+                _cfg(), checkpoint_folder=str(tmp_path / "c"), mesh=mesh,
+                criterion=lambda logits, y, w=None: logits.sum(),
+            )
