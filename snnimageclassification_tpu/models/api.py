@@ -91,11 +91,13 @@ class SNN:
     # -- attribute passthroughs -------------------------------------------------
     @property
     def params(self):
-        return self.trainer.params
+        # Canonical per-layer form regardless of the trainer's parallelism
+        # strategy (PP keeps a stacked padded stage representation live).
+        return self.trainer.canonical_params
 
     @params.setter
     def params(self, value):
-        self.trainer.params = value
+        self.trainer.set_canonical_params(value)
 
     @property
     def loss_history(self):
@@ -206,7 +208,8 @@ class SNN:
     def save_checkpoint(self, epoch: int, epoch_losses: Dict[str, float], best=False):
         self.trainer._ensure_optimizer_any()
         return self.trainer.ckpt.save_checkpoint(
-            self.trainer.params, self.trainer.opt_state, epoch, epoch_losses, best
+            self.trainer.canonical_params, self.trainer.opt_state, epoch,
+            epoch_losses, best,
         )
 
     def load_checkpoint(

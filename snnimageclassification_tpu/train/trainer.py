@@ -282,6 +282,30 @@ class Trainer:
             return pp_unstack_params(self.cfg, params)
         return params
 
+    @property
+    def canonical_params(self) -> Dict:
+        """Params in the canonical per-layer form (converts PP's stacked
+        stage representation; identity elsewhere)."""
+        return self._canonical_params(self.params)
+
+    def set_canonical_params(self, value) -> None:
+        """Install canonical per-layer params, re-applying the trainer's
+        parallelism-strategy placement (inverse of ``canonical_params``)."""
+        if self._pp:
+            from ..parallel.pp import shard_params_pp
+
+            self.params = shard_params_pp(self.mesh, self.cfg, value)
+        elif self._tp:
+            from ..parallel.tp import shard_params_2d
+
+            self.params = shard_params_2d(self.mesh, self.cfg, value)
+        elif self.mesh is not None:
+            from ..parallel.mesh import replicated
+
+            self.params = jax.device_put(value, replicated(self.mesh))
+        else:
+            self.params = value
+
     def _restore_placed(self, checkpoint):
         """Restore params/opt_state from a checkpoint payload, re-applying
         the live buffers' device shardings.

@@ -152,6 +152,41 @@ class TestPPFit:
         with pytest.raises(ValueError, match="pp3"):
             Trainer(_cfg(), checkpoint_folder="/tmp/x", mesh=mesh3)
 
+    def test_facade_is_strategy_transparent(self, tmp_path, mesh):
+        """st.SNN under a PP mesh: params property, forward, and export
+        all see canonical per-layer params."""
+        net_pp = st.SNN(
+            inputs_size=N_FEATURES, output_size=10,
+            n_hidden_neurons=[32, 24, 16],
+            hidden_layer_type=st.LayerType.ALIF,
+            use_recurrent_connection=True, int_time_steps=4,
+            checkpoint_folder=str(tmp_path / "fpp"), seed=3, mesh=mesh,
+        )
+        net_1d = st.SNN(
+            inputs_size=N_FEATURES, output_size=10,
+            n_hidden_neurons=[32, 24, 16],
+            hidden_layer_type=st.LayerType.ALIF,
+            use_recurrent_connection=True, int_time_steps=4,
+            checkpoint_folder=str(tmp_path / "f1d"), seed=3,
+        )
+        for name, group in net_1d.params.items():
+            for key in group:
+                np.testing.assert_array_equal(
+                    np.asarray(net_pp.params[name][key]),
+                    np.asarray(group[key]),
+                )
+        rng = np.random.default_rng(9)
+        spikes = (rng.random((8, 4, N_FEATURES)) < 0.3).astype(np.float32)
+        out_pp, _ = net_pp.forward(spikes, return_hidden=False)
+        out_1d, _ = net_1d.forward(spikes, return_hidden=False)
+        np.testing.assert_array_equal(np.asarray(out_pp), np.asarray(out_1d))
+        assert "stablehlo" in net_pp.export_stablehlo().lower() or len(
+            net_pp.export_stablehlo()
+        )
+        # Round-trip through the setter: canonical in -> stacked live.
+        net_pp.params = net_1d.params
+        assert "pipe" in str(net_pp.trainer.params["w_in"].sharding.spec)
+
     def test_custom_criterion_rejected(self, tmp_path, mesh):
         with pytest.raises(ValueError, match="criteria"):
             Trainer(
