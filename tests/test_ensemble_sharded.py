@@ -177,7 +177,8 @@ class TestSeedShardedNoCollectives:
     def test_train_and_eval_hlo_have_no_collectives(self, mesh):
         ens = EnsembleTrainer(_cfg(), SEEDS, mesh=mesh, shard_seeds=True)
         loader = _loader(shuffle=False)
-        train, evals, train_epoch, eval_epoch, train_block = ens._steps_for(ENC)
+        steps = ens._steps_for(ENC)
+        train, evals = steps.train, steps.evals
         xb, yb, wb = next(iter(ens._batches(loader)))
         txt = train.lower(
             ens.params, ens.opt_state, xb, yb, wb
