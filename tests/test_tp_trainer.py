@@ -145,6 +145,24 @@ class TestTPFit:
             tr_1d.compute_classification_accuracy(vl)
         )
 
+    def test_tp_step_hlo_has_expected_collectives(self, tmp_path, mesh):
+        """The compiled TP train step must contain the structural
+        collectives the design promises (parallel/tp.py): the per-step
+        spike all-gather over "model" and an all-reduce (the loss psum /
+        DP gradient sync).  Guards against a silent fall-back to
+        replicated compute."""
+        tr = Trainer(_cfg(), checkpoint_folder=str(tmp_path / "hlo"),
+                     seed=7, mesh=mesh)
+        tr._ensure_optimizer(1e-3, 1e-5)
+        train_step = tr._steps_for(ENC)[0]
+        tl, _ = _loaders()
+        xb, yb, wb = tr._prep_batch(*next(iter(tl)), target=tl.batch_size)
+        txt = train_step.lower(
+            tr.params, tr.opt_state, xb, yb, wb
+        ).compile().as_text()
+        assert "all-gather" in txt
+        assert "all-reduce" in txt
+
     def test_custom_criterion_rejected(self, tmp_path, mesh):
         with pytest.raises(ValueError, match="criteria"):
             Trainer(
