@@ -695,6 +695,7 @@ class Trainer:
         p_bar_position: Optional[int] = None,
         p_bar_leave: Optional[bool] = None,
         epoch_block: Optional[int] = None,
+        checkpoint_every: int = 1,
     ) -> LossHistory:
         """Train with per-epoch train+val phases, best-val checkpointing,
         optional plateau early stopping (snn.py:280-350).
@@ -712,8 +713,23 @@ class Trainer:
         per-epoch path.  Identical math, batch order, loss history, and
         per-epoch checkpoint files; early stopping needs a per-epoch host
         decision, so it always uses the per-epoch path.
+
+        ``checkpoint_every``: write checkpoint files only for every Nth
+        epoch, the final epoch, and the global-best epoch (whose packed
+        snapshot is tracked as a device slice and fetched ONCE at fit
+        end).  The default 1 is the reference's every-epoch contract
+        (snn.py:335-338).  On relay-attached TPUs the per-epoch packed
+        (params, opt_state) snapshot TRANSFER dominates the whole fit:
+        interleaved A/B on the flagship (T=100, batch 8192, epoch_block=8)
+        measures ~520-740k img/s steady-state with every-epoch files vs
+        ~920-975k with checkpoint_every=8 -- essentially the 917k
+        no-checkpoint ceiling.  Training math, loss history, and
+        best-epoch selection are unchanged; only which per-epoch files
+        exist differs (resume from LAST_EPOCH restarts from the newest
+        file on disk; intermediate best files appear only at fit end).
         """
         self._ensure_optimizer(lr, weight_decay, max_grad_norm)
+        every = max(int(checkpoint_every), 1)
 
         start_epoch = 0
         if load_checkpoint_mode is None:
@@ -751,7 +767,7 @@ class Trainer:
         ):
             return self._fit_blocked(
                 train_dataloader, val_dataloader, start_epoch, nb_epochs,
-                block, verbose, p_bar_position, p_bar_leave,
+                block, verbose, p_bar_position, p_bar_leave, every,
             )
 
         best_loss = self.loss_history.min("val")
@@ -772,7 +788,8 @@ class Trainer:
             )
             self.loss_history.concat(epoch_loss)
             is_best = epoch_loss["val"] < best_loss
-            self._save_checkpoint(epoch, epoch_loss, is_best)
+            if is_best or epoch % every == 0 or epoch == nb_epochs - 1:
+                self._save_checkpoint(epoch, epoch_loss, is_best)
             if is_best:
                 best_loss = epoch_loss["val"]
             if verbose:
@@ -792,7 +809,7 @@ class Trainer:
         return self.loss_history
 
     def _fit_blocked(self, train_loader, val_loader, start_epoch, nb_epochs,
-                     block, verbose, p_bar_position, p_bar_leave):
+                     block, verbose, p_bar_position, p_bar_leave, every=1):
         """K-epochs-per-dispatch fit loop (see ``fit(epoch_block=...)``).
 
         Per block: ONE device dispatch (train+val scans for K epochs with a
@@ -807,6 +824,14 @@ class Trainer:
         """
         best_loss = self.loss_history.min("val")
         train_block = self._steps_for(train_loader.encode_config)[4]
+        # checkpoint_every > 1: the global-best epoch's packed snapshot is
+        # tracked as a DEVICE slice of the block's snaps stack (free) and
+        # fetched exactly once at fit end -- best-so-far epochs improve
+        # nearly every epoch in a converging run, so fetching them per
+        # block would re-create the every-epoch transfer bottleneck the
+        # knob exists to remove (see fit(checkpoint_every=...)).
+        best_snap_dev = None
+        best_snap_meta = None  # (epoch, ep_loss)
         pbar = None
         if verbose:
             from tqdm.auto import tqdm
@@ -834,6 +859,7 @@ class Trainer:
             trm, vam, corr, tot, snaps = outs
             # ONE host sync for the whole block's scalar stats.
             stats = np.asarray(jnp.stack([trm, vam, corr, tot]))
+            prev_best = best_loss
             ep_losses, flags = [], []
             for i in range(k):
                 el = dict(train=float(stats[0, i]), val=float(stats[1, i]))
@@ -852,21 +878,62 @@ class Trainer:
                             f"{stats[2, i] / max(stats[3, i], 1.0):.5f}"
                         ),
                     )
-            self._save_checkpoint_block(
-                range(epoch, epoch + k), ep_losses, flags, snaps
-            )
+            if every == 1:
+                self._save_checkpoint_block(
+                    range(epoch, epoch + k), ep_losses, flags, snaps
+                )
+            else:
+                sel = [
+                    i for i in range(k)
+                    if (epoch + i) % every == 0 or epoch + i == nb_epochs - 1
+                ]
+                self._save_checkpoint_block(
+                    [epoch + i for i in sel],
+                    [ep_losses[i] for i in sel],
+                    [False] * len(sel),
+                    snaps,
+                    sel=sel,
+                )
+                block_best = float(np.min(stats[1, :k]))
+                if block_best < prev_best:
+                    i_best = int(np.argmin(stats[1, :k]))
+                    best_snap_dev = snaps[i_best]  # device slice, no fetch
+                    best_snap_meta = (epoch + i_best, ep_losses[i_best])
             epoch += k
         if pbar is not None:
             pbar.close()
         self._join_pending_save()
+        if best_snap_dev is not None:
+            # The deferred global-best file: ONE snapshot fetch per fit.
+            flat = np.asarray(best_snap_dev)
+            params_b, opt_b = _unpack_flat(flat, (self.params, self.opt_state))
+            self.ckpt.save_checkpoint(
+                self._canonical_params(params_b), opt_b,
+                best_snap_meta[0], best_snap_meta[1], True,
+            )
         self.plot_loss_history(show=False)
         return self.loss_history
 
-    def _save_checkpoint_block(self, epochs, ep_losses, flags, snaps_dev):
-        """Write one block's K per-epoch checkpoint files from the stacked
-        packed snapshots: one (K, nbytes) host fetch, then K file writes --
-        same files as K calls to ``_save_checkpoint``."""
+    def _save_checkpoint_block(self, epochs, ep_losses, flags, snaps_dev,
+                               sel=None):
+        """Write one block's per-epoch checkpoint files from the stacked
+        packed snapshots: one host fetch, then one file write per entry --
+        same files as individual calls to ``_save_checkpoint``.
+
+        ``sel``: optional row indices into ``snaps_dev`` matching
+        ``epochs`` (``fit(checkpoint_every=N)``): the rows are gathered on
+        device so only the selected epochs' bytes cross the relay -- the
+        snapshot transfer is the measured fit bottleneck (see
+        ``fit(checkpoint_every=...)``)."""
         self._join_pending_save()
+        if sel is not None:
+            snaps_dev = (
+                snaps_dev[jnp.asarray(np.asarray(sel, np.int32))]
+                if len(sel)
+                else None
+            )
+            if snaps_dev is None:
+                return
         # Template: packable leaves are used for shape/dtype metadata only
         # (safe even after the next block donates the buffers); any
         # non-packable leaf is materialized NOW, before donation.

@@ -262,3 +262,46 @@ def test_ensemble_blocked_resume(tmp_path):
         np.testing.assert_allclose([float(v) for v in hx["train"][:3]],
                                    [float(v) for v in ha["train"]],
                                    rtol=1e-6)
+
+
+@pytest.mark.parametrize("epoch_block", [1, 3], ids=["per-epoch", "blocked"])
+def test_checkpoint_every_selects_files(tmp_path, epoch_block):
+    """fit(checkpoint_every=N) writes files only for best-so-far epochs,
+    every Nth epoch, and the last epoch -- training math and best-epoch
+    selection identical to the every-epoch default."""
+    t_full, hist_full = _fit(tmp_path, f"full-{epoch_block}",
+                             epoch_block=epoch_block, nb_epochs=5)
+    t_sel, hist_sel = _fit(tmp_path, f"sel-{epoch_block}",
+                           epoch_block=epoch_block, nb_epochs=5,
+                           checkpoint_every=3)
+    np.testing.assert_array_equal(hist_sel["train"], hist_full["train"])
+    np.testing.assert_array_equal(hist_sel["val"], hist_full["val"])
+
+    val = np.asarray(hist_full["val"])
+    if epoch_block == 1:
+        # Per-epoch path: best-so-far epochs save eagerly.
+        best = {i for i in range(5) if val[i] < val[:i].min(initial=np.inf)}
+    else:
+        # Blocked path: the global best is tracked as a device slice and
+        # written once at fit end -- only it, not every improvement.
+        best = {int(np.argmin(val))}
+    expected = sorted(best | {0, 3} | {4})
+    import json
+
+    with open(t_sel.ckpt.checkpoints_meta_path) as f:
+        meta = json.load(f)
+    saved = sorted(int(e) for e in meta[t_sel.ckpt.CHECKPOINT_EPOCHS_KEY])
+    assert saved == expected
+
+    # BEST reload agrees between the two runs.
+    c_full = t_full.load_checkpoint(LoadCheckpointMode.BEST_EPOCH)
+    c_sel = t_sel.load_checkpoint(LoadCheckpointMode.BEST_EPOCH)
+    assert int(c_full[t_full.ckpt.CHECKPOINT_EPOCH_KEY]) == int(
+        c_sel[t_sel.ckpt.CHECKPOINT_EPOCH_KEY]
+    )
+    for name, group in t_full.params.items():
+        for key in group:
+            np.testing.assert_array_equal(
+                np.asarray(t_sel.params[name][key]),
+                np.asarray(group[key]),
+            )
