@@ -688,6 +688,7 @@ class EnsembleTrainer:
         early_stopping_patience: int = 5,
         verbose: bool = True,
         epoch_block: Optional[int] = None,
+        checkpoint_every: int = 1,
     ) -> List[LossHistory]:
         """Train all replicas simultaneously with per-epoch train+val
         phases, per-seed best-val snapshots, and optional plateau early
@@ -718,7 +719,19 @@ class EnsembleTrainer:
         math, batch order, histories, best snapshots, and per-epoch
         checkpoint files; early stopping needs a per-epoch host decision,
         so it always uses the per-epoch path.
+
+        ``checkpoint_every``: write per-epoch checkpoint files only for
+        every Nth and the final epoch, plus ONE merged-best payload at
+        fit end (the device-resident per-seed best stack, fetched once).
+        The default 1 is the every-epoch contract.  The per-epoch stacked
+        snapshot transfer scales with the seed count, so it dominates
+        ensemble fits on relay-attached TPUs the same way it does
+        ``Trainer.fit`` (see ``Trainer.fit(checkpoint_every=...)``).
+        Training math, histories, and the in-memory best snapshots are
+        unchanged; resume from LAST_EPOCH restarts from the newest file
+        on disk, and best reconstruction prefers the merged payload.
         """
+        every = max(int(checkpoint_every), 1)
         start_epoch = self._prepare_resume(
             load_checkpoint_mode, force_overwrite, verbose
         )
@@ -735,7 +748,7 @@ class EnsembleTrainer:
         ):
             return self._fit_blocked(
                 train_dataloader, val_dataloader, start_epoch, nb_epochs,
-                block, verbose,
+                block, verbose, every,
             )
         epochs_iter = range(start_epoch, nb_epochs)
         if verbose:
@@ -757,7 +770,9 @@ class EnsembleTrainer:
             improved = val_losses < self.best_val
             self._update_best(improved, epoch)
             self.best_val = np.where(improved, val_losses, self.best_val)
-            if self.ckpt is not None:
+            if self.ckpt is not None and (
+                epoch % every == 0 or epoch == nb_epochs - 1
+            ):
                 self._save_checkpoint(epoch, train_losses, val_losses, improved)
             mean_val_history.append(float(np.mean(val_losses)))
             if verbose:
@@ -783,10 +798,26 @@ class EnsembleTrainer:
                 break
         if verbose:
             epochs_iter.close()
+        if self.ckpt is not None and every > 1:
+            self._write_best_merged()
         return self.histories
 
+    def _write_best_merged(self) -> None:
+        """One end-of-fit fetch of the device-resident per-seed best stack
+        -> the merged-best payload ``_reconstruct_best_params`` prefers.
+        Replaces per-epoch best files under ``checkpoint_every > 1``."""
+        if self.best_params is None:
+            return
+        from ..train.trainer import host_snapshot
+
+        params_h = host_snapshot(self.best_params)
+        self.ckpt.save_best_merged(
+            params_h,
+            {"best_epoch_per_seed": [int(e) for e in self.best_epoch]},
+        )
+
     def _fit_blocked(self, train_loader, val_loader, start_epoch, nb_epochs,
-                     block, verbose):
+                     block, verbose, every=1):
         """K-epochs-per-dispatch ensemble fit (see ``fit(epoch_block=...)``
         and ``Trainer._fit_blocked``).
 
@@ -838,7 +869,25 @@ class EnsembleTrainer:
                 [trm, vam, corr, improved.astype(jnp.float32), tot[:, None]],
                 axis=1,
             ))
-            snaps_h = host_snapshot(outs[5]) if with_snaps else None
+            # checkpoint_every > 1: gather only the selected epochs' rows
+            # on device before the host fetch -- the stacked (K, S, ...)
+            # snapshot transfer is the measured fit bottleneck (see
+            # Trainer.fit(checkpoint_every=...)); the best stack already
+            # lives on device and is written once at fit end.
+            sel = (
+                [i for i in range(k)
+                 if (epoch + i) % every == 0 or epoch + i == nb_epochs - 1]
+                if every > 1
+                else list(range(k))
+            )
+            snaps_h, sel_pos = None, {i: i for i in sel}
+            if with_snaps and sel:
+                snaps_src = outs[5]
+                if every > 1 and len(sel) < k:
+                    idx = jnp.asarray(np.asarray(sel, np.int32))
+                    snaps_src = jax.tree.map(lambda a: a[idx], snaps_src)
+                    sel_pos = {e: p for p, e in enumerate(sel)}
+                snaps_h = host_snapshot(snaps_src)
             for i in range(k):
                 tl = stats[i, :n_seeds]
                 vl = stats[i, n_seeds:2 * n_seeds]
@@ -851,8 +900,11 @@ class EnsembleTrainer:
                     )
                 self.best_epoch = np.where(imp, epoch + i, self.best_epoch)
                 self.best_val = np.where(imp, vl, self.best_val)
-                if with_snaps:
-                    params_h, opt_h = jax.tree.map(lambda a: a[i], snaps_h)
+                if with_snaps and i in sel_pos and snaps_h is not None:
+                    pos = sel_pos[i]
+                    params_h, opt_h = jax.tree.map(
+                        lambda a: a[pos], snaps_h
+                    )
                     self._write_checkpoint(
                         params_h, opt_h, epoch + i, tl, vl, imp
                     )
@@ -867,6 +919,8 @@ class EnsembleTrainer:
         self.best_params = best_params
         if pbar is not None:
             pbar.close()
+        if with_snaps and every > 1:
+            self._write_best_merged()
         return self.histories
 
     def _replicate(self, tree):
@@ -955,9 +1009,32 @@ class EnsembleTrainer:
         if (self.best_epoch < 0).all():
             self.best_params = None
             return
+        # A merged-best payload (written once at fit end under
+        # checkpoint_every > 1) replaces the per-epoch file walk when its
+        # recorded best epochs match the meta -- and is the only source
+        # when intermediate files were skipped.
+        merged = self.ckpt.load_best_merged()
+        if merged is not None and [
+            int(e) for e in merged.get("best_epoch_per_seed", [])
+        ] == [int(e) for e in self.best_epoch]:
+            self.best_params = self._replicate(
+                serialization.from_state_dict(
+                    self.params, merged[self.ckpt.CHECKPOINT_STATE_DICT_KEY]
+                )
+            )
+            return
         best = jax.tree.map(jnp.copy, self.params)
         for e in sorted({int(x) for x in self.best_epoch if x >= 0}):
-            payload = self.ckpt.load_checkpoint_at(e)
+            try:
+                payload = self.ckpt.load_checkpoint_at(e)
+            except FileNotFoundError:
+                logger.warning(
+                    "Best-epoch checkpoint %d missing (checkpoint_every "
+                    "skipped it and no up-to-date merged-best payload "
+                    "exists -- interrupted fit?); the affected seeds keep "
+                    "their current params as 'best'.", e,
+                )
+                continue
             p_e = self._replicate(
                 serialization.from_state_dict(
                     self.params, payload[self.ckpt.CHECKPOINT_STATE_DICT_KEY]

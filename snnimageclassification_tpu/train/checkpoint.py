@@ -145,6 +145,30 @@ class CheckpointManager:
         with open(path, "rb") as f:
             return serialization.msgpack_restore(f.read())
 
+    @property
+    def best_merged_path(self) -> str:
+        """The end-of-fit merged-best payload (``EnsembleTrainer`` with
+        ``checkpoint_every > 1``): the per-seed best params stack plus
+        the best-epoch vector, written once per fit."""
+        return os.path.join(
+            self.checkpoint_folder, f"{self.model_name}-best-merged{self.SAVE_EXT}"
+        )
+
+    def save_best_merged(self, params, extra: Dict[str, Any]) -> None:
+        payload = {
+            self.CHECKPOINT_STATE_DICT_KEY: serialization.to_state_dict(params),
+            **extra,
+        }
+        os.makedirs(self.checkpoint_folder, exist_ok=True)
+        with open(self.best_merged_path, "wb") as f:
+            f.write(serialization.msgpack_serialize(payload))
+
+    def load_best_merged(self) -> Union[dict, None]:
+        if not os.path.exists(self.best_merged_path):
+            return None
+        with open(self.best_merged_path, "rb") as f:
+            return serialization.msgpack_restore(f.read())
+
     def load_checkpoint_at(self, epoch: int) -> dict:
         """Load one specific epoch's raw payload (used by the ensemble's
         per-seed BEST reconstruction on resume)."""

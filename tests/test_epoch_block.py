@@ -193,7 +193,7 @@ def test_streaming_loader_falls_back_to_per_epoch(tmp_path):
 # best_epoch, and best_params snapshots must also match the per-epoch path.
 
 def _ens_fit(tmp_path, tag, *, epoch_block, nb_epochs=5, seeds=(0, 1, 2),
-             mesh=None, shard_seeds=False):
+             mesh=None, shard_seeds=False, **fit_kw):
     from snnimageclassification_tpu.parallel.ensemble import EnsembleTrainer
 
     tr_loader, va_loader = _loaders()
@@ -201,7 +201,7 @@ def _ens_fit(tmp_path, tag, *, epoch_block, nb_epochs=5, seeds=(0, 1, 2),
                           mesh=mesh, shard_seeds=shard_seeds)
     hists = ens.fit(tr_loader, va_loader, nb_epochs=nb_epochs,
                     force_overwrite=True, epoch_block=epoch_block,
-                    verbose=False)
+                    verbose=False, **fit_kw)
     return ens, hists
 
 
@@ -305,3 +305,45 @@ def test_checkpoint_every_selects_files(tmp_path, epoch_block):
                 np.asarray(t_sel.params[name][key]),
                 np.asarray(group[key]),
             )
+
+
+@pytest.mark.parametrize("epoch_block", [1, 3], ids=["per-epoch", "blocked"])
+def test_ensemble_checkpoint_every(tmp_path, epoch_block):
+    """EnsembleTrainer.fit(checkpoint_every=N): per-epoch files only for
+    every Nth + last epoch, ONE merged-best payload at fit end, and best
+    reconstruction on resume prefers the merged payload -- best_params
+    equal to the every-epoch run's."""
+    import jax
+    from snnimageclassification_tpu.parallel.ensemble import EnsembleTrainer
+
+    e_full, h_full = _ens_fit(tmp_path, f"ef-{epoch_block}",
+                              epoch_block=epoch_block)
+    e_sel, h_sel = _ens_fit(tmp_path, f"es-{epoch_block}",
+                            epoch_block=epoch_block, checkpoint_every=3)
+    for ha, hx in zip(h_full, h_sel):
+        np.testing.assert_array_equal([float(v) for v in hx["val"]],
+                                      [float(v) for v in ha["val"]])
+    import json
+
+    with open(e_sel.ckpt.checkpoints_meta_path) as f:
+        meta = json.load(f)
+    saved = sorted(int(e) for e in meta[e_sel.ckpt.CHECKPOINT_EPOCHS_KEY])
+    assert saved == [0, 3, 4]
+    assert e_sel.ckpt.load_best_merged() is not None
+
+    # in-memory best snapshots identical across the two runs
+    np.testing.assert_array_equal(e_sel.best_epoch, e_full.best_epoch)
+    for a, b in zip(jax.tree_util.tree_leaves(e_full.best_params),
+                    jax.tree_util.tree_leaves(e_sel.best_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resume reconstructs best from the merged payload even though the
+    # best epochs' per-epoch files may be missing
+    ens2 = EnsembleTrainer(CFG, (0, 1, 2),
+                           checkpoint_folder=str(tmp_path / f"es-{epoch_block}"))
+    ens2._restore_from_checkpoint(LoadCheckpointMode.LAST_EPOCH)
+    np.testing.assert_array_equal(ens2.best_epoch, e_full.best_epoch)
+    for a, b in zip(jax.tree_util.tree_leaves(e_full.best_params),
+                    jax.tree_util.tree_leaves(ens2.best_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
