@@ -755,10 +755,15 @@ class EnsembleTrainer:
             from tqdm.auto import tqdm
 
             epochs_iter = tqdm(epochs_iter, desc="Training ensemble", unit="epoch")
-        # Restored histories re-seed the early-stopping window.
+        # Restored histories re-seed the early-stopping window.  Old
+        # checkpoints (pre-dense-meta) may hold fewer entries than
+        # start_epoch; seed from what exists.
+        n_hist = min(
+            (len(h["val"]) for h in self.histories), default=0
+        )
         mean_val_history: List[float] = [
             float(np.mean([h["val"][e] for h in self.histories]))
-            for e in range(start_epoch)
+            for e in range(min(start_epoch, n_hist))
         ]
         for epoch in epochs_iter:
             train_losses = self.train_epoch(train_dataloader)
@@ -770,10 +775,15 @@ class EnsembleTrainer:
             improved = val_losses < self.best_val
             self._update_best(improved, epoch)
             self.best_val = np.where(improved, val_losses, self.best_val)
-            if self.ckpt is not None and (
-                epoch % every == 0 or epoch == nb_epochs - 1
-            ):
-                self._save_checkpoint(epoch, train_losses, val_losses, improved)
+            if self.ckpt is not None:
+                from ..train.trainer import checkpoint_selected
+
+                if checkpoint_selected(epoch, nb_epochs, every):
+                    self._save_checkpoint(
+                        epoch, train_losses, val_losses, improved
+                    )
+                else:
+                    self._write_meta(epoch, train_losses, val_losses)
             mean_val_history.append(float(np.mean(val_losses)))
             if verbose:
                 epochs_iter.set_postfix(
@@ -874,9 +884,11 @@ class EnsembleTrainer:
             # snapshot transfer is the measured fit bottleneck (see
             # Trainer.fit(checkpoint_every=...)); the best stack already
             # lives on device and is written once at fit end.
+            from ..train.trainer import checkpoint_selected
+
             sel = (
                 [i for i in range(k)
-                 if (epoch + i) % every == 0 or epoch + i == nb_epochs - 1]
+                 if checkpoint_selected(epoch + i, nb_epochs, every)]
                 if every > 1
                 else list(range(k))
             )
@@ -908,6 +920,11 @@ class EnsembleTrainer:
                     self._write_checkpoint(
                         params_h, opt_h, epoch + i, tl, vl, imp
                     )
+                elif with_snaps:
+                    # Params file skipped (checkpoint_every): the meta
+                    # still records this epoch so restored histories stay
+                    # dense and best metadata stays current.
+                    self._write_meta(epoch + i, tl, vl)
                 if pbar is not None:
                     pbar.update(1)
                     pbar.set_postfix(
@@ -984,6 +1001,11 @@ class EnsembleTrainer:
             )
         self.histories = [LossHistory() for _ in self.seeds]
         for epoch_key in sorted(ens_meta.get("history", {}), key=int):
+            # Entries at/after the resume epoch (an early-stopped fit with
+            # checkpoint_every can record meta past the last params file)
+            # would be re-trained -- drop them so index == epoch holds.
+            if int(epoch_key) >= start_epoch:
+                continue
             per_seed = ens_meta["history"][epoch_key]
             for i, hist in enumerate(self.histories):
                 hist.concat(
@@ -1087,6 +1109,14 @@ class EnsembleTrainer:
             dict(train=float(np.mean(train_losses)), val=float(np.mean(val_losses))),
             best=bool(np.any(improved)),
         )
+        self._write_meta(epoch, train_losses, val_losses)
+
+    def _write_meta(self, epoch, train_losses, val_losses) -> None:
+        """The JSON-meta half of a checkpoint: per-seed losses for this
+        epoch plus the up-to-date best metadata.  Written for EVERY epoch
+        -- even those whose params file ``checkpoint_every`` skips -- so
+        restored histories stay dense (index == epoch) and the merged-best
+        payload's recorded epochs always match the meta."""
         self.ckpt.save_checkpoints_meta(
             {
                 "best_per_seed": {

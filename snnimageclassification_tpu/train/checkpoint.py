@@ -209,8 +209,12 @@ class CheckpointManager:
         history = LossHistory()
         with open(self.checkpoints_meta_path) as f:
             meta = json.load(f)
-        for path in meta[self.CHECKPOINT_EPOCHS_KEY].values():
-            with open(path, "rb") as f:
+        epochs = meta[self.CHECKPOINT_EPOCHS_KEY]
+        # Sort by epoch NUMBER: meta preserves insertion order, and a
+        # deferred best save (fit(checkpoint_every=N)) appends its epoch
+        # after later ones.
+        for key in sorted(epochs, key=int):
+            with open(epochs[key], "rb") as f:
                 payload = serialization.msgpack_restore(f.read())
             history.concat(payload[self.CHECKPOINT_LOSS_KEY])
         return history

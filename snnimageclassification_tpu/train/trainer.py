@@ -61,6 +61,14 @@ def nll_loss(
 default_criterion = nll_loss
 
 
+def checkpoint_selected(epoch: int, nb_epochs: int, every: int) -> bool:
+    """Which epochs get a checkpoint FILE under ``fit(checkpoint_every=N)``:
+    every Nth plus the final epoch.  (The global-best epoch is handled
+    separately: tracked on device and written once at fit end.)  The one
+    definition shared by both trainers' per-epoch and blocked paths."""
+    return epoch % every == 0 or epoch == nb_epochs - 1
+
+
 def make_optimizer(
     param_labels,
     lr: float = 1e-3,
@@ -187,7 +195,10 @@ class Trainer:
         sets the microbatch count (default ``2 * n_stages``).  Checkpoint
         files always store the canonical per-layer params (the stacked
         padded stage representation is converted on save/restore), so a
-        PP-trained BEST checkpoint reloads into any other strategy.
+        PP-trained BEST checkpoint's *weights* reload into any other
+        strategy; optimizer state is strategy-specific -- a cross-strategy
+        resume restores params only and warns that Adam moments restart
+        (``CheckpointManager.restore``).
 
         ``reg_fn``: optional spike regularizer (train/losses.py) taking the
         hidden-state traces dict and returning a scalar added to the loss.
@@ -431,7 +442,13 @@ class Trainer:
             # enforced in __init__.
             from ..parallel.tp import make_tp_loss_logits_fn
 
-            loss_fn = make_tp_loss_logits_fn(cfg, self.mesh, enc)
+            # as_timeseries=False feeds pixels as a constant-over-time 2-D
+            # input (datasets.py EncodeConfig): the shard_mapped forwards'
+            # enc=None path IS that semantics (format_inputs repeats 2-D
+            # inputs over T), so drop the encoder instead of spike-encoding.
+            loss_fn = make_tp_loss_logits_fn(
+                cfg, self.mesh, enc if enc.as_timeseries else None
+            )
         elif self._pp:
             # Pipeline parallelism: GPipe schedule inside shard_map, one
             # layer per "pipe" stage (parallel/pp.py).  Same (loss,
@@ -439,7 +456,8 @@ class Trainer:
             from ..parallel.pp import make_pp_loss_logits_fn
 
             loss_fn = make_pp_loss_logits_fn(
-                cfg, self.mesh, enc, self._pp_n_micro
+                cfg, self.mesh, enc if enc.as_timeseries else None,
+                self._pp_n_micro,
             )
 
         def train_step_fn(params, opt_state, x, y, w):
@@ -726,7 +744,8 @@ class Trainer:
         no-checkpoint ceiling.  Training math, loss history, and
         best-epoch selection are unchanged; only which per-epoch files
         exist differs (resume from LAST_EPOCH restarts from the newest
-        file on disk; intermediate best files appear only at fit end).
+        file on disk, with the reconstructed loss history covering only
+        saved epochs; the global-best file appears at fit end).
         """
         self._ensure_optimizer(lr, weight_decay, max_grad_norm)
         every = max(int(checkpoint_every), 1)
@@ -782,14 +801,28 @@ class Trainer:
                 unit="epoch",
                 leave=p_bar_leave,
             )
+        # every > 1: the best epoch's state is tracked as ONE on-device
+        # copy and written once after the loop -- a converging run improves
+        # nearly every epoch, so eager best saves would re-create the
+        # per-epoch transfer bottleneck the knob removes (this covers the
+        # early-stopping / streaming configs the blocked path can't take).
+        best_dev = None  # (params, opt_state, epoch, epoch_loss)
         for epoch in epochs_iter:
             epoch_loss, epoch_val_acc = self._exec_phase(
                 train_dataloader, val_dataloader
             )
             self.loss_history.concat(epoch_loss)
             is_best = epoch_loss["val"] < best_loss
-            if is_best or epoch % every == 0 or epoch == nb_epochs - 1:
+            selected = checkpoint_selected(epoch, nb_epochs, every)
+            if (is_best and every == 1) or selected:
                 self._save_checkpoint(epoch, epoch_loss, is_best)
+            elif is_best:
+                best_dev = (
+                    jax.tree.map(jnp.copy, (self.params, self.opt_state)),
+                    epoch, epoch_loss,
+                )
+            if is_best and selected:
+                best_dev = None  # this best is already on disk, flagged
             if is_best:
                 best_loss = epoch_loss["val"]
             if verbose:
@@ -805,6 +838,14 @@ class Trainer:
         if verbose:
             epochs_iter.close()
         self._join_pending_save()
+        if best_dev is not None:
+            (params_b, opt_b), ep_b, el_b = (
+                best_dev[0], best_dev[1], best_dev[2],
+            )
+            params_h, opt_h = host_snapshot((params_b, opt_b))
+            self.ckpt.save_checkpoint(
+                self._canonical_params(params_h), opt_h, ep_b, el_b, True
+            )
         self.plot_loss_history(show=False)
         return self.loss_history
 
@@ -885,7 +926,7 @@ class Trainer:
             else:
                 sel = [
                     i for i in range(k)
-                    if (epoch + i) % every == 0 or epoch + i == nb_epochs - 1
+                    if checkpoint_selected(epoch + i, nb_epochs, every)
                 ]
                 self._save_checkpoint_block(
                     [epoch + i for i in sel],

@@ -278,14 +278,9 @@ def test_checkpoint_every_selects_files(tmp_path, epoch_block):
     np.testing.assert_array_equal(hist_sel["val"], hist_full["val"])
 
     val = np.asarray(hist_full["val"])
-    if epoch_block == 1:
-        # Per-epoch path: best-so-far epochs save eagerly.
-        best = {i for i in range(5) if val[i] < val[:i].min(initial=np.inf)}
-    else:
-        # Blocked path: the global best is tracked as a device slice and
-        # written once at fit end -- only it, not every improvement.
-        best = {int(np.argmin(val))}
-    expected = sorted(best | {0, 3} | {4})
+    # Both paths defer the global best (device copy / device slice,
+    # written once at fit end) -- only it, not every improvement.
+    expected = sorted({int(np.argmin(val))} | {0, 3} | {4})
     import json
 
     with open(t_sel.ckpt.checkpoints_meta_path) as f:
@@ -347,3 +342,73 @@ def test_ensemble_checkpoint_every(tmp_path, epoch_block):
                     jax.tree_util.tree_leaves(ens2.best_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_checkpoint_every_loss_history_epoch_ordered(tmp_path):
+    """The deferred global-best file appends its meta entry after later
+    epochs'; get_checkpoints_loss_history must order by epoch number, not
+    meta insertion order."""
+    t, hist = _fit(tmp_path, "order", epoch_block=3, nb_epochs=6,
+                   checkpoint_every=5)
+    import json
+
+    with open(t.ckpt.checkpoints_meta_path) as f:
+        meta = json.load(f)
+    saved = sorted(int(e) for e in meta[t.ckpt.CHECKPOINT_EPOCHS_KEY])
+    recon = t.ckpt.get_checkpoints_loss_history()
+    np.testing.assert_allclose(
+        [float(v) for v in recon["val"]],
+        [float(hist["val"][e]) for e in saved],
+        rtol=1e-6,
+    )
+
+
+def test_ensemble_checkpoint_every_per_epoch_resume(tmp_path):
+    """Dense meta under checkpoint_every: a per-epoch-path resume of a
+    sparse-file ensemble checkpoint neither crashes nor misaligns the
+    restored histories (indices == epochs)."""
+    from snnimageclassification_tpu.parallel.ensemble import EnsembleTrainer
+
+    ens, h = _ens_fit(tmp_path, "densemeta", epoch_block=3, nb_epochs=5,
+                      checkpoint_every=3)
+    ens2 = EnsembleTrainer(CFG, (0, 1, 2),
+                           checkpoint_folder=str(tmp_path / "densemeta"))
+    tr_loader, va_loader = _loaders()
+    h2 = ens2.fit(tr_loader, va_loader, nb_epochs=7, epoch_block=1,
+                  load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH,
+                  verbose=False)
+    assert all(len(hist["val"]) == 7 for hist in h2)
+    for ha, hx in zip(h, h2):
+        np.testing.assert_allclose(
+            [float(v) for v in hx["val"][:5]],
+            [float(v) for v in ha["val"]], rtol=1e-6,
+        )
+
+
+def test_tp_trainer_respects_as_timeseries_false(tmp_path):
+    """EncodeConfig(as_timeseries=False) must feed constant pixels -- the
+    TP path's eval loss must equal single-device, not the spike-encoded
+    value."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device conftest")
+    from snnimageclassification_tpu.parallel import tp
+
+    enc = EncodeConfig(n_steps=4, as_timeseries=False)
+    x, y = _data(n=32, f=6)
+    loader = ArrayDataLoader(x, y, 16, encode_config=enc)
+    cfg = SNNConfig(input_size=6, output_size=3, n_hidden_neurons=8,
+                    int_time_steps=4)
+    t1 = Trainer(cfg, checkpoint_folder=str(tmp_path / "a1"), seed=2)
+    t2 = Trainer(cfg, checkpoint_folder=str(tmp_path / "a2"), seed=2,
+                 mesh=tp.make_2d_mesh(4, 2))
+    t1._ensure_optimizer_any()
+    t2._ensure_optimizer_any()
+    e1 = t1._steps_for(enc)[1]
+    e2 = t2._steps_for(enc)[1]
+    xb, yb, wb = t1._prep_batch(x[:16], y[:16])
+    l1, _ = e1(t1.params, xb, yb, wb)
+    xb2, yb2, wb2 = t2._prep_batch(x[:16], y[:16])
+    l2, _ = e2(t2.params, xb2, yb2, wb2)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
