@@ -104,6 +104,41 @@ def measure(cfg, batch=BATCH):
     return batch * MEASURE_STEPS / best_dt, final_loss
 
 
+def measure_infer(cfg, batch=BATCH):
+    """Forward-only (serving) throughput: logits for a batch of raw pixel
+    images through the fused whole-network kernel.  Iterations are
+    serialized by folding a ~1e-30-scaled scalar of the previous logits
+    into the next input (numerically a no-op in f32, but a real data
+    dependency XLA cannot fold away) -- unchained same-args loops
+    under-report wildly on relay-attached backends (CLAUDE.md)."""
+    from snnimageclassification_tpu.data.datasets import EncodeConfig
+    from snnimageclassification_tpu.models import snn as model_lib
+
+    params = model_lib.init(cfg, jax.random.PRNGKey(0))
+    enc = EncodeConfig(n_steps=cfg.int_time_steps, use_periods=True)
+
+    @jax.jit
+    def infer(p, x, carry):
+        logits = model_lib.forward_logits_pixels(cfg, p, x + carry, enc)
+        return logits, logits[0, 0] * 1e-30
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, 28 * 28)), jnp.float32)
+    carry = jnp.float32(0.0)
+    for _ in range(WARMUP_STEPS):
+        logits, carry = infer(params, x, carry)
+    float(logits[0, 0])
+
+    best_dt = float("inf")
+    for _ in range(MEASURE_WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            logits, carry = infer(params, x, carry)
+        float(logits[0, 0])  # host sync closes the window
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return batch * MEASURE_STEPS / best_dt
+
+
 def main():
     from snnimageclassification_tpu.models.config import SNNConfig
     from snnimageclassification_tpu.utils.compile_cache import (
@@ -143,6 +178,10 @@ def main():
         izh["hidden_layer_type"] = "Izhikevich"
         del izh["learn_beta"]
         result["izh_value"] = round(measure(SNNConfig(**izh))[0], 1)
+        # Serving: forward-only prediction throughput on the headline
+        # bf16 recipe (encode -> fused scan -> readout -> temporal max,
+        # no gradients/optimizer).
+        result["infer_value"] = round(measure_infer(SNNConfig(**FLAGSHIP)), 1)
     print(json.dumps(result))
 
 
