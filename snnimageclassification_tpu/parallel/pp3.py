@@ -83,6 +83,7 @@ __all__ = [
     "shard_params_pp3",
     "make_pp3_forward",
     "make_pp3_loss_fn",
+    "make_pp3_loss_logits_fn",
     "make_pp3_train_step",
     "pp3_param_labels",
 ]
@@ -348,7 +349,7 @@ def make_pp3_forward(cfg: SNNConfig, mesh: Mesh, enc=None, n_micro: int = None):
     return jax.jit(fwd)
 
 
-def _pp3_loss_local(cfg, n_micro, enc, stacked, x, y, w):
+def _pp3_loss_logits_local(cfg, n_micro, enc, stacked, x, y, w):
     logits = _pp3_forward_local(cfg, n_micro, enc, stacked, x)
     per = optax.softmax_cross_entropy_with_integer_labels(logits, y)
     # psum over ALL THREE axes: pipe x model replication cancels in the
@@ -358,7 +359,11 @@ def _pp3_loss_local(cfg, n_micro, enc, stacked, x, y, w):
     axes = (DATA_AXIS, PIPE_AXIS, MODEL_AXIS)
     num = jax.lax.psum(jnp.sum(per * w), axes)
     den = jax.lax.psum(jnp.sum(w), axes)
-    return num / jnp.maximum(den, 1.0)
+    return num / jnp.maximum(den, 1.0), logits
+
+
+def _pp3_loss_local(cfg, n_micro, enc, stacked, x, y, w):
+    return _pp3_loss_logits_local(cfg, n_micro, enc, stacked, x, y, w)[0]
 
 
 def make_pp3_loss_fn(cfg: SNNConfig, mesh: Mesh, enc=None, n_micro: int = None):
@@ -371,6 +376,28 @@ def make_pp3_loss_fn(cfg: SNNConfig, mesh: Mesh, enc=None, n_micro: int = None):
         mesh=mesh,
         in_specs=(pp3_param_specs(),) + (P(DATA_AXIS),) * 3,
         out_specs=P(),
+        check_vma=False,
+    )
+
+
+def make_pp3_loss_logits_fn(cfg: SNNConfig, mesh: Mesh, enc=None,
+                            n_micro: int = None):
+    """``(stacked_params, x, y, w) -> (loss, logits)`` under shard_map.
+
+    The same weighted-NLL loss as :func:`make_pp3_loss_fn` (exactly the
+    Trainer's default criterion) plus the gathered ``(B, n_out)`` logits
+    -- the Trainer's eval path needs both from one forward (same contract
+    as ``pp.make_pp_loss_logits_fn``).  Differentiable via
+    ``has_aux=True``.
+    """
+    _validate(cfg, mesh)
+    if n_micro is None:
+        n_micro = 2 * mesh.shape[PIPE_AXIS]
+    return jax.shard_map(
+        partial(_pp3_loss_logits_local, cfg, n_micro, enc),
+        mesh=mesh,
+        in_specs=(pp3_param_specs(),) + (P(DATA_AXIS),) * 3,
+        out_specs=(P(), P(DATA_AXIS)),
         check_vma=False,
     )
 

@@ -192,7 +192,11 @@ class Trainer:
         surface, tensor-parallel compute.  A 2-D mesh with a "pipe" axis
         (``parallel.pp.make_pp_mesh``) instead pipelines one layer per
         stage, GPipe-microbatched (``parallel/pp.py``); ``pp_n_micro``
-        sets the microbatch count (default ``2 * n_stages``).  Checkpoint
+        sets the microbatch count (default ``2 * n_stages``).  A 3-D
+        mesh with BOTH axes (``parallel.pp3.make_3d_mesh``: ("data",
+        "pipe", "model")) runs the combined DP x PP x TP step
+        (``parallel/pp3.py``) -- one layer per "pipe" stage, each
+        stage's neurons column-sharded over "model".  Checkpoint
         files always store the canonical per-layer params (the stacked
         padded stage representation is converted on save/restore), so a
         PP-trained BEST checkpoint's *weights* reload into any other
@@ -233,13 +237,17 @@ class Trainer:
             and mesh.shape["pipe"] > 1
         )
         self._pp_n_micro = pp_n_micro
-        if self._tp and self._pp:
-            raise ValueError(
-                "Trainer supports one of 'model' (TP) or 'pipe' (PP) mesh "
-                "axes at a time; for combined 3-D parallelism use "
-                "parallel/pp3.py directly"
-            )
-        if self._pp:
+        # Both axes > 1: combined 3-D DP x PP x TP (parallel/pp3.py) --
+        # layer-per-stage GPipe whose stages are column-sharded over
+        # "model".  Takes precedence over the single-strategy branches
+        # everywhere below.
+        self._pp3 = self._tp and self._pp
+        if self._pp3:
+            from ..parallel.pp3 import shard_params_pp3
+
+            self._check_inside_shardmap_loss()
+            self.params = shard_params_pp3(mesh, cfg, self.params)
+        elif self._pp:
             from ..parallel.pp import shard_params_pp
 
             self._check_inside_shardmap_loss()
@@ -302,7 +310,11 @@ class Trainer:
     def set_canonical_params(self, value) -> None:
         """Install canonical per-layer params, re-applying the trainer's
         parallelism-strategy placement (inverse of ``canonical_params``)."""
-        if self._pp:
+        if self._pp3:
+            from ..parallel.pp3 import shard_params_pp3
+
+            self.params = shard_params_pp3(self.mesh, self.cfg, value)
+        elif self._pp:
             from ..parallel.pp import shard_params_pp
 
             self.params = shard_params_pp(self.mesh, self.cfg, value)
@@ -353,17 +365,25 @@ class Trainer:
         )
         if self._pp:
             # Checkpoint files hold canonical per-layer params; live PP
-            # params are the stacked padded stage representation.
+            # params are the stacked padded stage representation (with
+            # the "model"-divisible extra padding under 3-D).
             from jax.sharding import NamedSharding
 
-            from ..parallel.pp import pp_param_specs, pp_stack_params
+            if self._pp3:
+                from ..parallel.pp3 import pp3_param_specs, pp3_stack_params
 
+                stacked = pp3_stack_params(
+                    self.cfg, params, self.mesh.shape["model"]
+                )
+                specs = pp3_param_specs()
+            else:
+                from ..parallel.pp import pp_param_specs, pp_stack_params
+
+                stacked = pp_stack_params(self.cfg, params)
+                specs = pp_param_specs()
             params = jax.device_put(
-                pp_stack_params(self.cfg, params),
-                {
-                    k: NamedSharding(self.mesh, s)
-                    for k, s in pp_param_specs().items()
-                },
+                stacked,
+                {k: NamedSharding(self.mesh, s) for k, s in specs.items()},
             )
         elif self.mesh is not None:
             params = replace_mesh_leaves(params, self.params)
@@ -433,7 +453,17 @@ class Trainer:
             logits = model_lib.forward_logits_pixels(cfg, params, x, enc)
             return criterion(logits, y, w), logits
 
-        if self._tp:
+        if self._pp3:
+            # Combined 3-D DP x PP x TP: GPipe stages column-sharded over
+            # "model" inside one shard_map (parallel/pp3.py).  Same
+            # (loss, logits) contract as the 2-D strategies below.
+            from ..parallel.pp3 import make_pp3_loss_logits_fn
+
+            loss_fn = make_pp3_loss_logits_fn(
+                cfg, self.mesh, enc if enc.as_timeseries else None,
+                self._pp_n_micro,
+            )
+        elif self._tp:
             # Tensor parallelism: the whole forward+loss runs inside
             # shard_map (per-step spike all_gather over "model", loss
             # psum over both axes -- parallel/tp.py).  Same (loss,
@@ -1111,7 +1141,13 @@ class Trainer:
         inputs = _encode_on_device(jnp.asarray(x, jnp.float32), enc)
         if self._tp or self._pp:
             if self._shard_forward is None:
-                if self._tp:
+                if self._pp3:
+                    from ..parallel.pp3 import make_pp3_forward
+
+                    self._shard_forward = make_pp3_forward(
+                        self.cfg, self.mesh, n_micro=self._pp_n_micro
+                    )
+                elif self._tp:
                     from ..parallel.tp import make_tp_forward
 
                     self._shard_forward = make_tp_forward(self.cfg, self.mesh)

@@ -144,13 +144,19 @@ class TestPPFit:
             np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
         )
 
-    def test_tp_and_pp_axes_together_rejected(self):
+    def test_tp_and_pp_axes_together_is_pp3(self, tmp_path):
+        """Both axes > 1 dispatches the combined 3-D strategy (covered in
+        tests/test_pp3_trainer.py); needs a 3-layer stack for pipe=2 x
+        model=2 over 8 devices... here just the flag wiring on a cube."""
         from jax.sharding import Mesh
 
         devs = np.asarray(jax.devices()).reshape(2, 2, 2)
         mesh3 = Mesh(devs, ("data", "pipe", "model"))
-        with pytest.raises(ValueError, match="pp3"):
-            Trainer(_cfg(), checkpoint_folder="/tmp/x", mesh=mesh3)
+        tr = Trainer(
+            _cfg(n_hidden_neurons=[32]),
+            checkpoint_folder=str(tmp_path / "cube"), mesh=mesh3,
+        )
+        assert tr._pp3
 
     def test_facade_is_strategy_transparent(self, tmp_path, mesh):
         """st.SNN under a PP mesh: params property, forward, and export
