@@ -166,6 +166,21 @@ def main():
                             atol=1e-4)
                 ok &= check(f"{name} head grad {jax.tree_util.keystr(path)}",
                             ghh, gx, atol=1e-4)
+            # Inference primal (store_traces=False: no residual trace
+            # leaves the kernel) must stay BITWISE equal to the
+            # residual-storing f_fwd forward the training path runs.
+            infer_logits = jax.jit(
+                lambda p, cfg=cfg, enc=enc: M.forward_logits_pixels(
+                    cfg, p, x, enc
+                )
+            )(params)
+            fwd_logits = jax.jit(
+                lambda p, cfg=cfg, enc=enc: jax.vjp(
+                    lambda pp: M.forward_logits_pixels(cfg, pp, x, enc), p
+                )[0]
+            )(params)
+            ok &= check(f"{name} infer==train logits", infer_logits,
+                        fwd_logits, atol=0.0, rtol=0.0)
 
     # Fused encode+Izhikevich layer-0 (ops/pallas_fused_izh.py): the
     # model routes Izhikevich first layers through apply_pixels'

@@ -163,7 +163,7 @@ def _spike_row(lat, step, n_steps: int, use_periods: bool):
 # ---------------------------------------------------------------------------
 def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
                       alpha, rho, threshold, store_delta, head=False,
-                      kappa=0.0, ilv=1, t_axis=1):
+                      kappa=0.0, ilv=1, t_axis=1, store_traces=True):
     if has_w:
         lat_ref, w_in_ref, w_rec_ref, beta_ref, *rest = refs
     else:
@@ -178,23 +178,34 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
         # magnitude above that denormal range, so unreachable in practice)
         # and stores the delta residual for every cell/surrogate combo
         # (+ the adaptation trace for Phi's dynamic-threshold scale).
-        n_trace = 1 if (store_delta or not alif) else 2
+        # Inference (store_traces=False, the custom_vjp PRIMAL): no trace
+        # output leaves the kernel at all -- arithmetic is unchanged, so
+        # logits are bitwise identical, but the (T, B, H) residual HBM
+        # write disappears from the serving path.
+        n_trace = 0 if not store_traces else (1 if (store_delta or not alif) else 2)
         out_refs = rest[:n_trace]
         rest = rest[n_trace:]
         logits_ref, tstar_ref, *rest = rest
         v_scr, a_scr, z_scr, vr_scr, m_scr, ts_scr = rest
         z_ref = v_ref = None
-        if alif and not store_delta:
+        if not store_traces:
+            d_ref = a_ref = None
+        elif alif and not store_delta:
             d_ref, a_ref = out_refs
         else:
             (d_ref,) = out_refs
             a_ref = None
     else:
-        n_trace = 2 if (store_delta or not alif) else 3
+        # Non-head inference still stores z (the next layer consumes it)
+        # but skips the backward-only residuals (v / delta / a).
+        n_trace = 1 if not store_traces else (2 if (store_delta or not alif) else 3)
         out_refs = rest[:n_trace]
         rest = rest[n_trace:]
         v_scr, a_scr, z_scr = rest
-        if alif and not store_delta:
+        if not store_traces:
+            (z_ref,) = out_refs
+            v_ref = d_ref = a_ref = None
+        elif alif and not store_delta:
             z_ref, v_ref, a_ref = out_refs
             d_ref = None
         elif alif:
@@ -221,7 +232,7 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
     if head:
         w_out = w_out_ref[:]
         b_out = b_out_ref[:]
-    trace_dtype = out_refs[0].dtype
+    trace_dtype = out_refs[0].dtype if out_refs else jnp.float32
     v_c, a_c, z_prev = v_scr[:], a_scr[:], z_scr[:]
     # Input currents are state-independent, so the K spike-gen + W_in
     # matmuls run OFF the serial chain (back-to-back, MXU pipelined)
@@ -262,14 +273,15 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
                 delta = vh[i] - dyn_threshold
                 zh[i] = (delta >= 0).astype(vh[i].dtype)
                 if head:
-                    d_ref[k, s] = delta.astype(trace_dtype)
+                    if d_ref is not None:
+                        d_ref[k, s] = delta.astype(trace_dtype)
                     if a_ref is not None:
                         a_ref[k, s] = ah[i].astype(trace_dtype)
                 else:
                     z_ref[k, s] = zh[i].astype(trace_dtype)
                     if d_ref is not None:
                         d_ref[k, s] = delta.astype(trace_dtype)
-                    else:
+                    elif v_ref is not None:
                         v_ref[k, s] = vh[i].astype(trace_dtype)
                         if alif:
                             a_ref[k, s] = ah[i].astype(trace_dtype)
@@ -294,14 +306,15 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
             z_prev = (delta >= 0).astype(v_c.dtype)
             if head:
                 zs.append(z_prev)
-                d_ref[k] = delta.astype(trace_dtype)
+                if d_ref is not None:
+                    d_ref[k] = delta.astype(trace_dtype)
                 if a_ref is not None:
                     a_ref[k] = a_c.astype(trace_dtype)
             else:
                 z_ref[k] = z_prev.astype(trace_dtype)
                 if d_ref is not None:
                     d_ref[k] = delta.astype(trace_dtype)
-                else:
+                elif v_ref is not None:
                     v_ref[k] = v_c.astype(trace_dtype)
                     if alif:
                         a_ref[k] = a_c.astype(trace_dtype)
@@ -419,16 +432,25 @@ def _shapes(B, w_in, F, K, head=False, recurrent=True, n_out=0):
 
 def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
                     alpha, rho, threshold, store_delta, interpret,
-                    lat_prepadded=None, w_out=None, b_out=None, kappa=0.0):
+                    lat_prepadded=None, w_out=None, b_out=None, kappa=0.0,
+                    store_traces=True):
     has_w = w_rec is not None
     head = w_out is not None
     stacked = w_in.ndim == 3  # leading replica axis (see _stack_spec)
     S = w_in.shape[0] if stacked else None
     K = _time_block(T)
+    # store_traces=False is the inference mode (custom_vjp primal): only
+    # what downstream consumers need leaves the kernel -- logits for the
+    # head, the z spike trace otherwise.  Same arithmetic, no residual
+    # HBM writes.
     if head:  # delta (+ a for Phi) only -- no z trace leaves the kernel
-        n_trace = 1 if (store_delta or not alif) else 2
+        n_trace = 0 if not store_traces else (
+            1 if (store_delta or not alif) else 2
+        )
     else:
-        n_trace = 2 if (store_delta or not alif) else 3
+        n_trace = 1 if not store_traces else (
+            2 if (store_delta or not alif) else 3
+        )
     B, F = latencies.shape
     H, f_pad, h_pad, bb = _shapes(B, w_in, F, K, head, recurrent=has_w,
         n_out=w_out.shape[-1] if head else 0)
@@ -462,7 +484,7 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
         _fused_fwd_kernel, K=K, n_steps=T, use_periods=use_periods,
         alif=alif, has_w=has_w, alpha=alpha, rho=rho, threshold=threshold,
         store_delta=store_delta, head=head, kappa=kappa, ilv=_ilv_for(bb),
-        t_axis=2 if stacked else 1,
+        t_axis=2 if stacked else 1, store_traces=store_traces,
     )
     in_specs = [lat_spec, w_in_spec] + ([w_rec_spec] if has_w else []) + [beta_spec]
     args = [lat, w_in_p] + ([_pad2(w_rec, h_pad, h_pad)] if has_w else []) + [beta_s]
@@ -919,11 +941,11 @@ def fused_encode_rec_scan(
     ``encoded_input_matmul`` followed by ``rec_{alif,lif}_scan``.  For
     LIF pass ``alif=False`` (beta is ignored, zero cotangent either way).
     """
-    (z, *_), _ = _fused_fwd_call(
+    (z,), _ = _fused_fwd_call(
         latencies, w_in, w_rec, beta, T=n_steps, use_periods=use_periods,
         alif=alif, alpha=alpha, rho=rho, threshold=threshold,
         store_delta=alif and _use_delta_residual(spike_func),
-        interpret=interpret,
+        interpret=interpret, store_traces=False,
     )
     return z
 
@@ -976,11 +998,11 @@ def fused_encode_ff_scan(
     interpret: bool = False,
 ) -> jax.Array:
     """Feedforward variant: no recurrent weights."""
-    (z, *_), _ = _fused_fwd_call(
+    (z,), _ = _fused_fwd_call(
         latencies, w_in, None, beta, T=n_steps, use_periods=use_periods,
         alif=alif, alpha=alpha, rho=rho, threshold=threshold,
         store_delta=alif and _use_delta_residual(spike_func),
-        interpret=interpret,
+        interpret=interpret, store_traces=False,
     )
     return z
 
@@ -1058,6 +1080,7 @@ def fused_encode_rec_scan_head(
         alif=alif, alpha=alpha, rho=rho, threshold=threshold,
         store_delta=alif and _use_delta_residual(spike_func),
         interpret=interpret, w_out=w_out, b_out=b_out, kappa=kappa,
+        store_traces=False,
     )
     return logits
 
@@ -1121,6 +1144,7 @@ def fused_encode_ff_scan_head(
         alif=alif, alpha=alpha, rho=rho, threshold=threshold,
         store_delta=alif and _use_delta_residual(spike_func),
         interpret=interpret, w_out=w_out, b_out=b_out, kappa=kappa,
+        store_traces=False,
     )
     return logits
 

@@ -65,7 +65,8 @@ def fused_izh_head_supported(
 
 
 def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
-                    v_th, k, a, b, c, d, v_peak, head=False, kappa=0.0):
+                    v_th, k, a, b, c, d, v_peak, head=False, kappa=0.0,
+                    store_traces=True):
     if has_w:
         lat_ref, w_in_ref, w_rec_ref, *rest = refs
     else:
@@ -74,12 +75,25 @@ def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
     if head:
         # The head stores ONLY the f32 v trace: z is recomputed in the
         # backward as (v >= v_peak) -- bit-exact, because the forward
-        # computes z from exactly the stored v.
-        (w_out_ref, b_out_ref, v_ref, logits_ref, tstar_ref,
-         v_scr, u_scr, z_scr, vr_scr, m_scr, ts_scr) = rest
+        # computes z from exactly the stored v.  Inference
+        # (store_traces=False, the custom_vjp PRIMAL) skips even that:
+        # only logits/tstar leave the kernel, same arithmetic.
+        if store_traces:
+            (w_out_ref, b_out_ref, v_ref, logits_ref, tstar_ref,
+             v_scr, u_scr, z_scr, vr_scr, m_scr, ts_scr) = rest
+        else:
+            (w_out_ref, b_out_ref, logits_ref, tstar_ref,
+             v_scr, u_scr, z_scr, vr_scr, m_scr, ts_scr) = rest
+            v_ref = None
         z_ref = None
     else:
-        z_ref, v_ref, v_scr, u_scr, z_scr = rest
+        # Non-head inference keeps z (the next layer consumes it) but
+        # skips the backward-only v residual.
+        if store_traces:
+            z_ref, v_ref, v_scr, u_scr, z_scr = rest
+        else:
+            z_ref, v_scr, u_scr, z_scr = rest
+            v_ref = None
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -98,7 +112,10 @@ def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
     if head:
         w_out = w_out_ref[:]
         b_out = b_out_ref[:]
-    trace_dtype = v_ref.dtype
+    trace_dtype = (
+        v_ref.dtype if v_ref is not None
+        else (z_ref.dtype if z_ref is not None else jnp.float32)
+    )
     v_prev, u_prev, z_prev = v_scr[:], u_scr[:], z_scr[:]
     # Input currents off the serial chain (see pallas_fused.py): the K
     # spike-gen + W_in matmuls have no state dependence.
@@ -124,7 +141,8 @@ def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
             zs.append(z)
         else:
             z_ref[kk] = z.astype(trace_dtype)
-        v_ref[kk] = v.astype(trace_dtype)
+        if v_ref is not None:
+            v_ref[kk] = v.astype(trace_dtype)
         v_prev, u_prev, z_prev = v, u, z
     v_scr[:] = v_prev
     u_scr[:] = u_prev
@@ -318,7 +336,8 @@ def _izh_bwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
 
 
 def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
-                  lat_prepadded=None, w_out=None, b_out=None, kappa=0.0):
+                  lat_prepadded=None, w_out=None, b_out=None, kappa=0.0,
+                  store_traces=True):
     has_w = w_rec is not None
     head = w_out is not None
     K = _time_block(T)
@@ -347,7 +366,8 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
     trace_dtype = jnp.float32
     kernel = functools.partial(
         _izh_fwd_kernel, K=K, n_steps=T, use_periods=use_periods,
-        has_w=has_w, head=head, kappa=kappa, **kp,
+        has_w=has_w, head=head, kappa=kappa, store_traces=store_traces,
+        **kp,
     )
     in_specs = [lat_spec, w_in_spec] + ([w_rec_spec] if has_w else [])
     args = [lat, _pad2(w_in, f_pad, h_pad)] + (
@@ -369,9 +389,11 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
             _pad2(w_out, h_pad, o_pad),
             _pad2(jnp.asarray(b_out, jnp.float32).reshape(1, -1), 1, o_pad),
         ]
-        out_specs = [tr_spec, head_spec, head_spec]
-        out_shape = [
-            jax.ShapeDtypeStruct((T, Bp, h_pad), trace_dtype),
+        v_out = (
+            [tr_spec], [jax.ShapeDtypeStruct((T, Bp, h_pad), trace_dtype)]
+        ) if store_traces else ([], [])
+        out_specs = v_out[0] + [head_spec, head_spec]
+        out_shape = v_out[1] + [
             jax.ShapeDtypeStruct((Bp, o_pad), jnp.float32),
             jax.ShapeDtypeStruct((Bp, o_pad), jnp.int32),
         ]
@@ -380,7 +402,7 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
             pltpu.VMEM((bb, o_pad), jnp.float32),
             pltpu.VMEM((bb, o_pad), jnp.int32),
         ]
-        v, logits, tstar = pl.pallas_call(
+        outs = pl.pallas_call(
             lambda *refs: kernel(refs),
             grid=grid,
             in_specs=in_specs,
@@ -389,18 +411,24 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
             scratch_shapes=scratch,
             interpret=interpret,
         )(*args)
+        v = outs[0][:, :B, :H] if store_traces else None
+        logits, tstar = outs[-2], outs[-1]
         O = w_out.shape[1]
-        return v[:, :B, :H], lat, logits[:B, :O], tstar[:B, :O]
-    z, v = pl.pallas_call(
+        return v, lat, logits[:B, :O], tstar[:B, :O]
+    n_out_traces = 2 if store_traces else 1
+    outs = pl.pallas_call(
         lambda *refs: kernel(refs),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[tr_spec, tr_spec],
-        out_shape=[jax.ShapeDtypeStruct((T, Bp, h_pad), trace_dtype)] * 2,
+        out_specs=[tr_spec] * n_out_traces,
+        out_shape=[jax.ShapeDtypeStruct((T, Bp, h_pad), trace_dtype)]
+        * n_out_traces,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
-    return z[:, :B, :H], v[:, :B, :H], lat
+    z = outs[0][:, :B, :H]
+    v = outs[1][:, :B, :H] if store_traces else None
+    return z, v, lat
 
 
 def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
@@ -552,7 +580,7 @@ def fused_encode_izh_scan(
     """
     z, _, _ = _izh_fwd_call(
         latencies, w_in, w_rec, dict(kernel_params), T=n_steps,
-        use_periods=use_periods, interpret=interpret,
+        use_periods=use_periods, interpret=interpret, store_traces=False,
     )
     return z
 
@@ -612,7 +640,7 @@ def fused_encode_izh_scan_head(
     _, _, logits, _ = _izh_fwd_call(
         latencies, w_in, w_rec, dict(kernel_params), T=n_steps,
         use_periods=use_periods, interpret=interpret,
-        w_out=w_out, b_out=b_out, kappa=kappa,
+        w_out=w_out, b_out=b_out, kappa=kappa, store_traces=False,
     )
     return logits
 

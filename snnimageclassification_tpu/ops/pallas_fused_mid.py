@@ -62,16 +62,22 @@ def _mid_shapes(B, hidden_in, hidden, K):
 
 
 def _mid_fwd_kernel(refs, *, K, alif, has_w, alpha, rho, threshold,
-                    store_delta):
+                    store_delta, store_traces=True):
     if has_w:
         zin_ref, w_in_ref, w_rec_ref, beta_ref, *rest = refs
     else:
         zin_ref, w_in_ref, beta_ref, *rest = refs
         w_rec_ref = None
-    n_trace = 2 if (store_delta or not alif) else 3
+    # Inference (store_traces=False, the custom_vjp PRIMAL): only the z
+    # spike trace leaves the kernel (the next layer consumes it); the
+    # backward-only residuals (v / delta / a) are never written.
+    n_trace = 1 if not store_traces else (2 if (store_delta or not alif) else 3)
     out_refs = rest[:n_trace]
     v_scr, a_scr, z_scr = rest[n_trace:]
-    if alif and not store_delta:
+    if not store_traces:
+        (z_ref,) = out_refs
+        v_ref = d_ref = a_ref = None
+    elif alif and not store_delta:
         z_ref, v_ref, a_ref = out_refs
         d_ref = None
     elif alif:
@@ -115,7 +121,7 @@ def _mid_fwd_kernel(refs, *, K, alif, has_w, alpha, rho, threshold,
         z_ref[k] = z_prev.astype(trace_dtype)
         if d_ref is not None:
             d_ref[k] = delta.astype(trace_dtype)
-        else:
+        elif v_ref is not None:
             v_ref[k] = v_c.astype(trace_dtype)
             if alif:
                 a_ref[k] = a_c.astype(trace_dtype)
@@ -219,10 +225,10 @@ def _mid_bwd_kernel(refs, *, K, alif, has_w, alpha, rho, threshold, gamma,
 
 
 def _mid_fwd_call(z_in, w_in, w_rec, beta, *, T, alif, alpha, rho,
-                  threshold, store_delta, interpret):
+                  threshold, store_delta, interpret, store_traces=True):
     has_w = w_rec is not None
     K = _time_block(T)
-    n_trace = 2 if (store_delta or not alif) else 3
+    n_trace = 1 if not store_traces else (2 if (store_delta or not alif) else 3)
     _, B, Hin = z_in.shape
     H = w_in.shape[1]
     hin_pad, h_pad, bb = _mid_shapes(B, Hin, H, K)
@@ -252,6 +258,7 @@ def _mid_fwd_call(z_in, w_in, w_rec, beta, *, T, alif, alpha, rho,
     kernel = functools.partial(
         _mid_fwd_kernel, K=K, alif=alif, has_w=has_w, alpha=alpha, rho=rho,
         threshold=threshold, store_delta=store_delta,
+        store_traces=store_traces,
     )
     in_specs = (
         [zin_spec, w_in_spec] + ([w_rec_spec] if has_w else []) + [beta_spec]
@@ -384,11 +391,11 @@ def fused_mid_rec_scan(
     ``z_in @ W_in`` followed by ``rec_{alif,lif}_scan``; the backward
     additionally returns the z_in cotangent.
     """
-    (z, *_), _ = _mid_fwd_call(
+    (z,), _ = _mid_fwd_call(
         z_in, w_in, w_rec, beta, T=n_steps, alif=alif, alpha=alpha, rho=rho,
         threshold=threshold,
         store_delta=alif and _use_delta_residual(spike_func),
-        interpret=interpret,
+        interpret=interpret, store_traces=False,
     )
     return z
 
@@ -439,11 +446,11 @@ def fused_mid_ff_scan(
     interpret: bool = False,
 ) -> jax.Array:
     """Feedforward mid-layer variant: no recurrent weights."""
-    (z, *_), _ = _mid_fwd_call(
+    (z,), _ = _mid_fwd_call(
         z_in, w_in, None, beta, T=n_steps, alif=alif, alpha=alpha, rho=rho,
         threshold=threshold,
         store_delta=alif and _use_delta_residual(spike_func),
-        interpret=interpret,
+        interpret=interpret, store_traces=False,
     )
     return z
 

@@ -79,11 +79,21 @@ def _pad_w(w, H_pad):
 # Forward
 # ---------------------------------------------------------------------------
 def _rec_fwd_kernel(i_ref, w_ref, beta_ref, out_refs_and_scratch, *, K, alif,
-                    alpha, rho, threshold, store_delta=False):
+                    alpha, rho, threshold, store_delta=False,
+                    store_traces=True):
     """``store_delta`` (ALIF + FastSigmoid): the backward needs only
     ``v - A`` (see pallas_scan._use_delta_residual), so the kernel writes
-    z + delta instead of z + v + a -- one less full HBM output pass."""
-    if alif and store_delta:
+    z + delta instead of z + v + a -- one less full HBM output pass.
+    ``store_traces=False`` (inference, the custom_vjp primal): only the z
+    spike trace is written; the backward-only residuals never touch HBM."""
+    if not store_traces:
+        if alif:
+            z_ref, v_scr, a_scr, z_scr = out_refs_and_scratch
+        else:
+            z_ref, v_scr, z_scr = out_refs_and_scratch
+            a_scr = None
+        v_ref = a_ref = d_ref = None
+    elif alif and store_delta:
         z_ref, d_ref, v_scr, a_scr, z_scr = out_refs_and_scratch
         v_ref = a_ref = None
     elif alif:
@@ -123,9 +133,9 @@ def _rec_fwd_kernel(i_ref, w_ref, beta_ref, out_refs_and_scratch, *, K, alif,
         delta = v_c - dyn_threshold
         z_prev = (delta >= 0).astype(v_c.dtype)
         z_ref[k] = z_prev.astype(trace_dtype)  # 0/1: exact in bf16
-        if alif and store_delta:
+        if d_ref is not None:
             d_ref[k] = delta.astype(trace_dtype)
-        else:
+        elif v_ref is not None:
             v_ref[k] = v_c.astype(trace_dtype)
             if alif:
                 a_ref[k] = a_c.astype(trace_dtype)
@@ -136,11 +146,14 @@ def _rec_fwd_kernel(i_ref, w_ref, beta_ref, out_refs_and_scratch, *, K, alif,
 
 
 def _rec_fwd_call(currents, w_rec, beta, *, alif, alpha, rho, threshold,
-                  interpret, store_delta=False):
+                  interpret, store_delta=False, store_traces=True):
     T, B, H = currents.shape
     H_pad = -(-H // _LANE) * _LANE
     K = _time_block(T)
-    n_out = (2 if store_delta else 3) if alif else 2
+    if store_traces:
+        n_out = (2 if store_delta else 3) if alif else 2
+    else:
+        n_out = 1
     n_scr = 3 if alif else 2
     bb = _block_b(B, K, H_pad, n_blocks=1 + n_out)
     if w_rec.dtype == jnp.bfloat16:
@@ -160,7 +173,7 @@ def _rec_fwd_call(currents, w_rec, beta, *, alif, alpha, rho, threshold,
     def kernel(i_ref, w_ref, beta_ref, *rest):
         _rec_fwd_kernel(i_ref, w_ref, beta_ref, rest, K=K, alif=alif,
                         alpha=alpha, rho=rho, threshold=threshold,
-                        store_delta=store_delta)
+                        store_delta=store_delta, store_traces=store_traces)
 
     # Trace storage follows W's dtype: under SNNConfig.matmul_dtype=bf16
     # the z/delta traces are stored bf16 (z is 0/1, exact; delta only
@@ -340,7 +353,7 @@ def rec_alif_scan(
     return _rec_fwd_call(
         currents, w_rec, beta, alif=True, alpha=alpha, rho=rho,
         threshold=threshold, interpret=interpret,
-        store_delta=_use_delta_residual(spike_func),
+        store_delta=_use_delta_residual(spike_func), store_traces=False,
     )[0]
 
 
@@ -380,8 +393,9 @@ def rec_lif_scan(
     interpret: bool = False,
 ) -> jax.Array:
     """Fused recurrent LIF: (currents (T,B,H), masked W_rec) -> spikes."""
-    z, _ = _rec_fwd_call(currents, w_rec, 0.0, alif=False, alpha=alpha,
-                         rho=0.0, threshold=threshold, interpret=interpret)
+    (z,) = _rec_fwd_call(currents, w_rec, 0.0, alif=False, alpha=alpha,
+                         rho=0.0, threshold=threshold, interpret=interpret,
+                         store_traces=False)
     return z
 
 

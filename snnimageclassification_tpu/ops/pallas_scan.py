@@ -108,13 +108,18 @@ def _pad(x, bb, bh):
 # ---------------------------------------------------------------------------
 def _alif_fwd_kernel(i_ref, beta_ref, out_refs, v_scr, a_scr,
                      z_scr, *, K, alpha, rho, threshold, gamma, spike_func,
-                     store_delta):
+                     store_delta, store_traces=True):
     """``store_delta``: FastSigmoid's surrogate depends only on
     ``v - A`` (ops/surrogate.py), so the backward residual shrinks from
     (v, a) traces to a single delta trace -- one less full HBM pass in
     each direction.  Phi additionally needs A itself, so it keeps (v, a).
+    ``store_traces=False`` (inference, the custom_vjp primal): only the z
+    spike trace is written.
     """
-    if store_delta:
+    if not store_traces:
+        (z_ref,) = out_refs
+        v_ref = a_ref = d_ref = None
+    elif store_delta:
         z_ref, d_ref = out_refs
         v_ref = a_ref = None
     else:
@@ -140,9 +145,9 @@ def _alif_fwd_kernel(i_ref, beta_ref, out_refs, v_scr, a_scr,
         delta = v_c - dyn_threshold
         z_prev = (delta >= 0).astype(v_c.dtype)
         z_ref[k] = z_prev.astype(trace_dtype)  # 0/1: exact in bf16
-        if store_delta:
+        if d_ref is not None:
             d_ref[k] = delta.astype(trace_dtype)
-        else:
+        elif v_ref is not None:
             v_ref[k] = v_c.astype(trace_dtype)
             a_ref[k] = a_c.astype(trace_dtype)
     v_scr[:] = v_c
@@ -151,8 +156,13 @@ def _alif_fwd_kernel(i_ref, beta_ref, out_refs, v_scr, a_scr,
     del gamma, spike_func  # gamma only matters in the backward
 
 
-def _lif_fwd_kernel(i_ref, z_ref, v_ref, v_scr, z_scr,
-                    *, K, alpha, threshold, gamma, spike_func):
+def _lif_fwd_kernel(i_ref, *rest, K, alpha, threshold, gamma, spike_func,
+                    store_traces=True):
+    if store_traces:
+        z_ref, v_ref, v_scr, z_scr = rest
+    else:  # inference: no v residual leaves the kernel
+        z_ref, v_scr, z_scr = rest
+        v_ref = None
     t = pl.program_id(2)
 
     @pl.when(t == 0)
@@ -166,7 +176,8 @@ def _lif_fwd_kernel(i_ref, z_ref, v_ref, v_scr, z_scr,
         v_c = (alpha * v_c + i_ref[k]) * (1.0 - z_prev)
         z_prev = (v_c >= threshold).astype(v_c.dtype)
         z_ref[k] = z_prev.astype(trace_dtype)
-        v_ref[k] = v_c.astype(trace_dtype)
+        if v_ref is not None:
+            v_ref[k] = v_c.astype(trace_dtype)
     v_scr[:] = v_c
     z_scr[:] = z_prev
     del gamma, spike_func
@@ -350,7 +361,7 @@ def alif_scan(
     """
     return _alif_scan_fwd_impl(
         currents, beta, alpha, rho, threshold, gamma, spike_func, interpret,
-        trace_dtype,
+        trace_dtype, store_traces=False,
     )[0]
 
 
@@ -371,11 +382,13 @@ def _bf16_bb(bb: int, trace_dtype) -> int:
 
 
 def _alif_scan_fwd_impl(currents, beta, alpha, rho, threshold, gamma,
-                        spike_func, interpret, trace_dtype="float32"):
+                        spike_func, interpret, trace_dtype="float32",
+                        store_traces=True):
     T, B, H = currents.shape
     K = _time_block(T)
     store_delta = _use_delta_residual(spike_func)
-    n_out = 2 if store_delta else 3  # z + (delta | v, a)
+    # z + (delta | v, a); inference stores z only
+    n_out = (2 if store_delta else 3) if store_traces else 1
     bb, bh = _block_shape(B, H, K, n_blocks=1 + n_out)
     bb = _bf16_bb(bb, trace_dtype)
     padded = _pad(currents, bb, bh)
@@ -384,7 +397,7 @@ def _alif_scan_fwd_impl(currents, beta, alpha, rho, threshold, gamma,
         _alif_fwd_kernel(
             i_ref, beta_ref, rest[:n_out], *rest[n_out:], K=K, alpha=alpha,
             rho=rho, threshold=threshold, gamma=gamma, spike_func=spike_func,
-            store_delta=store_delta,
+            store_delta=store_delta, store_traces=store_traces,
         )
 
     outs = _fwd_call(
@@ -447,31 +460,32 @@ def lif_scan(
     trace_dtype: str = "float32",
 ) -> jax.Array:
     """Fused feedforward LIF recurrence: currents (T,B,H) -> spikes."""
-    z, _ = _lif_scan_fwd_impl(currents, alpha, threshold, gamma, spike_func,
-                              interpret, trace_dtype)
+    (z,) = _lif_scan_fwd_impl(currents, alpha, threshold, gamma, spike_func,
+                              interpret, trace_dtype, store_traces=False)
     return z
 
 
 def _lif_scan_fwd_impl(currents, alpha, threshold, gamma, spike_func,
-                       interpret, trace_dtype="float32"):
+                       interpret, trace_dtype="float32", store_traces=True):
     T, B, H = currents.shape
     K = _time_block(T)
-    bb, bh = _block_shape(B, H, K, n_blocks=3)  # in + z/v out
+    n_out = 2 if store_traces else 1  # z (+ v residual when training)
+    bb, bh = _block_shape(B, H, K, n_blocks=1 + n_out)
     bb = _bf16_bb(bb, trace_dtype)
     padded = _pad(currents, bb, bh)
     kernel = functools.partial(
         _lif_fwd_kernel, K=K, alpha=alpha, threshold=threshold, gamma=gamma,
-        spike_func=spike_func,
+        spike_func=spike_func, store_traces=store_traces,
     )
-    z, v = _fwd_call(kernel, padded, [], 1, K, bb, bh, interpret,
-                     out_dtype=jnp.dtype(trace_dtype))
-    return z[:, :B, :H], v[:, :B, :H]
+    outs = _fwd_call(kernel, padded, [], n_out - 1, K, bb, bh, interpret,
+                     n_scratch=2, out_dtype=jnp.dtype(trace_dtype))
+    return tuple(o[:, :B, :H] for o in outs)
 
 
 def _lif_scan_fwd(currents, alpha, threshold, gamma, spike_func, interpret,
                   trace_dtype):
     z, v = _lif_scan_fwd_impl(currents, alpha, threshold, gamma, spike_func,
-                              interpret, trace_dtype)
+                              interpret, trace_dtype, store_traces=True)
     return z, (z, v)
 
 

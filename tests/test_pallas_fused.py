@@ -797,3 +797,80 @@ def test_shrunk_tile_multi_tile_grads(monkeypatch):
         scale = max(float(jnp.max(jnp.abs(b))), 1e-12)
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale, atol=1e-6)
+
+
+class TestInferencePrimalMatchesTrainingForward:
+    """The custom_vjp PRIMAL runs in inference mode (store_traces=False:
+    no residual trace leaves the kernel).  Arithmetic is unchanged, so
+    the primal's outputs must be BITWISE equal to the f_fwd pass the
+    training path uses -- pinned here so the serving fast path can never
+    drift from the trained forward."""
+
+    @pytest.mark.parametrize(
+        "name,alif,rec,use_periods,spike_func,n_steps",
+        [HEAD_CASES[0], HEAD_CASES[3], HEAD_CASES[4]],
+        ids=[HEAD_CASES[i][0] for i in (0, 3, 4)],
+    )
+    def test_head_primal_bitwise(self, name, alif, rec, use_periods,
+                                 spike_func, n_steps):
+        from snnimageclassification_tpu.ops.pallas_fused import (
+            _fused_ff_head_fwd,
+            _fused_rec_head_fwd,
+        )
+
+        rng = np.random.default_rng(23)
+        pixels = rng.random((B, F)).astype(np.float32)
+        lat = pixels_to_firing_periods(jnp.asarray(pixels),
+                                       t_max=float(n_steps))
+        w_in = jnp.asarray(0.5 * rng.standard_normal((F, H)).astype(np.float32))
+        w_rec = (
+            jnp.asarray(
+                (0.3 * rng.standard_normal((H, H))).astype(np.float32)
+                * (1 - np.eye(H, dtype=np.float32))
+            )
+            if rec
+            else None
+        )
+        w_out = jnp.asarray(rng.standard_normal((H, O)).astype(np.float32))
+        b_out = jnp.asarray(0.1 * rng.standard_normal((O,)).astype(np.float32))
+        cfg_cls = ALIFConfig if alif else LIFConfig
+        cfg = cfg_cls(input_size=F, output_size=H, spike_func=spike_func,
+                      use_recurrent_connection=rec)
+        beta = cfg.beta if alif else 0.0
+        rho = cfg.rho if alif else 0.0
+        primal = _run_head(lat, w_in, w_rec, w_out, b_out, cfg, alif,
+                           use_periods, spike_func, n_steps)
+        if rec:
+            trained, _ = _fused_rec_head_fwd(
+                lat, w_in, w_rec, beta, w_out, b_out, n_steps, use_periods,
+                alif, cfg.alpha, rho, cfg.threshold, cfg.gamma, _KAPPA,
+                spike_func, True,
+            )
+        else:
+            trained, _ = _fused_ff_head_fwd(
+                lat, w_in, beta, w_out, b_out, n_steps, use_periods,
+                alif, cfg.alpha, rho, cfg.threshold, cfg.gamma, _KAPPA,
+                spike_func, True,
+            )
+        np.testing.assert_array_equal(np.asarray(primal), np.asarray(trained))
+
+    @pytest.mark.parametrize("alif", [True, False], ids=["alif", "lif"])
+    def test_layer_primal_bitwise(self, alif):
+        from snnimageclassification_tpu.ops.pallas_fused import (
+            _fused_rec_fwd,
+        )
+
+        _, lat, w_in, w_rec = _data(3)
+        cfg_cls = ALIFConfig if alif else LIFConfig
+        cfg = cfg_cls(input_size=F, output_size=H)
+        beta = cfg.beta if alif else 0.0
+        rho = cfg.rho if alif else 0.0
+        z = fused_encode_rec_scan(
+            lat, w_in, w_rec, beta, T, False, alif, cfg.alpha, rho,
+            cfg.threshold, cfg.gamma, SpikeFuncType.FastSigmoid, True,
+        )
+        z_trained, _ = _fused_rec_fwd(
+            lat, w_in, w_rec, beta, T, False, alif, cfg.alpha, rho,
+            cfg.threshold, cfg.gamma, SpikeFuncType.FastSigmoid, True,
+        )
+        np.testing.assert_array_equal(np.asarray(z), np.asarray(z_trained))
