@@ -27,6 +27,7 @@ from .pp import (
     pp_unstack_params,
     shard_params_pp,
 )
+from . import multihost
 from .pp3 import (
     make_3d_mesh,
     make_pp3_forward,

@@ -31,6 +31,15 @@ __all__ = ["LoadCheckpointMode", "CheckpointManager"]
 logger = logging.getLogger(__name__)
 
 
+def _is_writer() -> bool:
+    """In multi-controller (multi-host) runs only process 0 writes files;
+    every process reads them back from the shared filesystem
+    (``parallel/multihost.py``).  Single-process runs always write."""
+    import jax
+
+    return jax.process_index() == 0
+
+
 class LoadCheckpointMode(enum.Enum):
     """Mirror of the reference enum (snn.py:29-31)."""
 
@@ -79,9 +88,12 @@ class CheckpointManager:
         best: bool = False,
     ) -> str:
         """Write one epoch checkpoint + update the meta file
-        (snn.py:434-449)."""
-        os.makedirs(self.checkpoint_folder, exist_ok=True)
+        (snn.py:434-449).  No-op (path still returned) on non-zero
+        processes of a multi-host run."""
         save_path = self.checkpoint_path(epoch)
+        if not _is_writer():
+            return save_path
+        os.makedirs(self.checkpoint_folder, exist_ok=True)
         payload = {
             self.CHECKPOINT_EPOCH_KEY: int(epoch),
             self.CHECKPOINT_STATE_DICT_KEY: serialization.to_state_dict(params),
@@ -104,6 +116,8 @@ class CheckpointManager:
 
     def save_checkpoints_meta(self, new_info: dict) -> None:
         """Recursive-merge update of the meta JSON (snn.py:498-505)."""
+        if not _is_writer():
+            return
         info: dict = {}
         if os.path.exists(self.checkpoints_meta_path):
             with open(self.checkpoints_meta_path) as f:
@@ -155,6 +169,8 @@ class CheckpointManager:
         )
 
     def save_best_merged(self, params, extra: Dict[str, Any]) -> None:
+        if not _is_writer():
+            return
         payload = {
             self.CHECKPOINT_STATE_DICT_KEY: serialization.to_state_dict(params),
             **extra,

@@ -237,6 +237,21 @@ class Trainer:
             and mesh.shape["pipe"] > 1
         )
         self._pp_n_micro = pp_n_micro
+        # Multi-controller (one process per host, parallel/multihost.py):
+        # datasets replicate per process, file I/O is guarded to process 0
+        # (CheckpointManager._is_writer) with cross-process barriers at fit
+        # boundaries.  TP/PP keep checkpoint snapshots device-sharded, so
+        # their host fetch needs a cross-process gather -- not wired up
+        # yet; DP is the supported multi-host strategy.
+        self._multiproc = jax.process_count() > 1
+        if self._multiproc and (self._tp or self._pp):
+            raise NotImplementedError(
+                "multi-process (multi-host) training supports data-parallel "
+                "meshes only: TP/PP checkpoint snapshots are device-sharded "
+                "and would need a cross-process gather on save; build the "
+                "mesh with parallel.multihost.make_multihost_mesh() "
+                "(n_model=n_pipe=1)"
+            )
         # Both axes > 1: combined 3-D DP x PP x TP (parallel/pp3.py) --
         # layer-per-stage GPipe whose stages are column-sharded over
         # "model".  Takes precedence over the single-strategy branches
@@ -779,6 +794,12 @@ class Trainer:
         """
         self._ensure_optimizer(lr, weight_decay, max_grad_norm)
         every = max(int(checkpoint_every), 1)
+        if self._multiproc:
+            # Progress display and file writes belong to process 0; the
+            # others run the same device program silently.
+            from ..parallel.multihost import barrier, is_main
+
+            verbose = verbose and is_main()
 
         start_epoch = 0
         if load_checkpoint_mode is None:
@@ -788,7 +809,12 @@ class Trainer:
                     "Set force_overwrite flag to True to overwrite existing saves."
                 )
             if os.path.exists(self.ckpt.checkpoints_meta_path) and force_overwrite:
-                shutil.rmtree(self.ckpt.checkpoint_folder)
+                if not self._multiproc or is_main():
+                    shutil.rmtree(self.ckpt.checkpoint_folder)
+                if self._multiproc:
+                    # Nobody may start writing epoch files into the folder
+                    # process 0 is still deleting.
+                    barrier("fit-overwrite")
         else:
             self._join_pending_save()
             try:
@@ -1261,6 +1287,10 @@ class Trainer:
         """Save the loss plot into the checkpoint folder (snn.py:417-422)."""
         history = loss_history or self.loss_history
         if not len(history):
+            return
+        from .checkpoint import _is_writer
+
+        if not _is_writer():  # multi-host: PNG belongs to process 0
             return
         os.makedirs(self.ckpt.checkpoint_folder, exist_ok=True)
         try:
