@@ -143,6 +143,14 @@ class EnsembleTrainer:
             place = self._seed_sharding() if self.shard_seeds else replicated(mesh)
             self.params = jax.device_put(self.params, place)
             self.opt_state = jax.device_put(self.opt_state, place)
+        # Multi-controller (one process per host, parallel/multihost.py):
+        # host-fetched jit outputs must be fully replicated per process
+        # (same contract as Trainer); under shard_seeds the seed axis
+        # spans the global mesh, so each host trains its own replicas
+        # with zero cross-host collectives except these tiny stat
+        # gathers.  File writes are rank-0-guarded in CheckpointManager.
+        self._multiproc = jax.process_count() > 1
+        self._repl_jit = None
         self._steps = {}
         # Same host->device economics as Trainer: keep small datasets in
         # HBM and gather batches on device by index (single-device only).
@@ -548,7 +556,7 @@ class EnsembleTrainer:
                 self.params, self.opt_state, x_all, y_all,
                 jnp.asarray(mi), jnp.asarray(mw),
             )
-            return np.mean(np.asarray(losses), axis=0)
+            return np.mean(np.asarray(self._host_fetch(losses)), axis=0)
         step = self._steps_for(loader.encode_config)[0]
         losses = []
         for xb, yb, wb in self._batches(loader):
@@ -556,7 +564,26 @@ class EnsembleTrainer:
                 self.params, self.opt_state, xb, yb, wb
             )
             losses.append(batch_losses)
-        return np.mean(np.asarray(jnp.stack(losses)), axis=0)
+        return np.mean(
+            np.asarray(self._host_fetch(jnp.stack(losses))), axis=0
+        )
+
+    def _host_fetch(self, tree):
+        """np-fetchable copy of jit outputs: in a multi-process run,
+        reshard to fully replicated first (an all-gather of the tiny
+        per-seed stats / logits over the mesh) -- ``np.asarray`` on a
+        global jax.Array only works when every process holds a complete
+        copy.  Identity in single-process runs."""
+        if not self._multiproc or self.mesh is None:
+            return tree
+        if self._repl_jit is None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._repl_jit = jax.jit(
+                lambda t: t,
+                out_shardings=NamedSharding(self.mesh, PartitionSpec()),
+            )
+        return self._repl_jit(tree)
 
     def _epoch_eligible(self, loader) -> bool:
         return self.device_data.fits(loader)
@@ -584,9 +611,9 @@ class EnsembleTrainer:
             eval_epoch = self._steps_for(loader.encode_config)[3]
             x_all, y_all = self.device_data.arrays(loader, self.mesh)
             mi, mw = self._epoch_index_matrix(loader)
-            losses, correct, total = eval_epoch(
+            losses, correct, total = self._host_fetch(eval_epoch(
                 self.params, x_all, y_all, jnp.asarray(mi), jnp.asarray(mw)
-            )
+            ))
             return (
                 np.mean(np.asarray(losses), axis=0),
                 np.asarray(correct) / max(float(total), 1.0),
@@ -598,12 +625,12 @@ class EnsembleTrainer:
         for xb, yb, wb in self._batches(loader):
             batch_losses, preds = evals(self.params, xb, yb, wb)
             losses.append(batch_losses)
-            correct += np.asarray(
+            correct += np.asarray(self._host_fetch(
                 jnp.sum((preds == yb[None]) * wb[None], axis=1)
-            )
+            ))
             total += int(jnp.sum(wb))
         return (
-            np.mean(np.asarray(jnp.stack(losses)), axis=0),
+            np.mean(np.asarray(self._host_fetch(jnp.stack(losses))), axis=0),
             correct / max(total, 1),
         )
 
@@ -631,7 +658,7 @@ class EnsembleTrainer:
             from .mesh import pad_to_multiple
 
             x, _ = pad_to_multiple(x, self.mesh.size)
-        logits = predict(self.params, jnp.asarray(x))
+        logits = self._host_fetch(predict(self.params, jnp.asarray(x)))
         return logits[:, :n_real]
 
     def predict_proba(self, x, encode_config: Optional[EncodeConfig] = None,
@@ -732,6 +759,12 @@ class EnsembleTrainer:
         on disk, and best reconstruction prefers the merged payload.
         """
         every = max(int(checkpoint_every), 1)
+        if self._multiproc:
+            # Progress display belongs to process 0; file writes are
+            # already rank-0-guarded in CheckpointManager.
+            from .multihost import is_main
+
+            verbose = verbose and is_main()
         start_epoch = self._prepare_resume(
             load_checkpoint_mode, force_overwrite, verbose
         )
@@ -820,7 +853,7 @@ class EnsembleTrainer:
             return
         from ..train.trainer import host_snapshot
 
-        params_h = host_snapshot(self.best_params)
+        params_h = host_snapshot(self.best_params, self.mesh)
         self.ckpt.save_best_merged(
             params_h,
             {"best_epoch_per_seed": [int(e) for e in self.best_epoch]},
@@ -875,10 +908,10 @@ class EnsembleTrainer:
             )
             trm, vam, corr, tot, improved = outs[:5]
             # ONE host sync for the whole block's per-seed stats.
-            stats = np.asarray(jnp.concatenate(
+            stats = np.asarray(self._host_fetch(jnp.concatenate(
                 [trm, vam, corr, improved.astype(jnp.float32), tot[:, None]],
                 axis=1,
-            ))
+            )))
             # checkpoint_every > 1: gather only the selected epochs' rows
             # on device before the host fetch -- the stacked (K, S, ...)
             # snapshot transfer is the measured fit bottleneck (see
@@ -899,7 +932,7 @@ class EnsembleTrainer:
                     idx = jnp.asarray(np.asarray(sel, np.int32))
                     snaps_src = jax.tree.map(lambda a: a[idx], snaps_src)
                     sel_pos = {e: p for p, e in enumerate(sel)}
-                snaps_h = host_snapshot(snaps_src)
+                snaps_h = host_snapshot(snaps_src, self.mesh)
             for i in range(k):
                 tl = stats[i, :n_seeds]
                 vl = stats[i, n_seeds:2 * n_seeds]
@@ -968,7 +1001,16 @@ class EnsembleTrainer:
                         "Set force_overwrite flag to True to overwrite "
                         "existing saves."
                     )
-                shutil.rmtree(self.ckpt.checkpoint_folder)
+                if not self._multiproc:
+                    shutil.rmtree(self.ckpt.checkpoint_folder)
+                else:
+                    # Multi-host: only process 0 deletes, and nobody may
+                    # start writing into the folder it is still deleting.
+                    from .multihost import barrier, is_main
+
+                    if is_main():
+                        shutil.rmtree(self.ckpt.checkpoint_folder)
+                    barrier("ensemble-fit-overwrite")
             return 0
         try:
             return self._restore_from_checkpoint(load_checkpoint_mode)
@@ -1092,7 +1134,9 @@ class EnsembleTrainer:
     def _save_checkpoint(self, epoch, train_losses, val_losses, improved) -> None:
         from ..train.trainer import host_snapshot
 
-        params_h, opt_h = host_snapshot((self.params, self.opt_state))
+        params_h, opt_h = host_snapshot(
+            (self.params, self.opt_state), self.mesh
+        )
         self._write_checkpoint(
             params_h, opt_h, epoch, train_losses, val_losses, improved
         )

@@ -134,19 +134,33 @@ def _unpack_flat(flat: np.ndarray, template_tree):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def host_snapshot(tree):
+def host_snapshot(tree, mesh=None):
     """Device->host copy of a pytree in ONE device round trip.
 
     ``jax.device_get`` fetches leaf by leaf; on relay-attached TPUs every
     fetch pays a ~30 ms round trip, so a params+opt_state tree (~30
     leaves) costs ~1 s.  Packing the leaves into a single uint8 buffer on
     device and slicing on the host makes it one round trip regardless of
-    tree size."""
+    tree size.
+
+    ``mesh``: in a multi-process (multi-host) run, leaves sharded over
+    the mesh (TP/PP params) are not host-fetchable per process; packing
+    with a fully-replicated out_sharding turns the fetch into an
+    all-gather + local copy on every host."""
     leaves, _ = jax.tree_util.tree_flatten(tree)
     arrays = [l for l in leaves if _is_packable(l)]
     if not arrays:
         return jax.device_get(tree)
-    flat = np.asarray(_pack_leaves(arrays))  # the single transfer
+    if mesh is not None and jax.process_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        pack = jax.jit(
+            _pack_leaves,
+            out_shardings=NamedSharding(mesh, PartitionSpec()),
+        )
+        flat = np.asarray(pack(arrays))
+    else:
+        flat = np.asarray(_pack_leaves(arrays))  # the single transfer
     return _unpack_flat(flat, tree)
 
 
@@ -240,18 +254,15 @@ class Trainer:
         # Multi-controller (one process per host, parallel/multihost.py):
         # datasets replicate per process, file I/O is guarded to process 0
         # (CheckpointManager._is_writer) with cross-process barriers at fit
-        # boundaries.  TP/PP keep checkpoint snapshots device-sharded, so
-        # their host fetch needs a cross-process gather -- not wired up
-        # yet; DP is the supported multi-host strategy.
+        # boundaries.  Everything the fit loop host-fetches (per-epoch
+        # scalar stats, packed checkpoint snapshots) is constrained to a
+        # fully-replicated sharding inside the jitted programs when
+        # running multi-process -- np.asarray on a global jax.Array only
+        # works when every process holds a complete copy.  Under TP/PP
+        # the snapshot replication is a real collective (an all-gather of
+        # the packed params over "model"/"pipe"); make_multihost_mesh
+        # pins those axes inside one process so it rides ICI.
         self._multiproc = jax.process_count() > 1
-        if self._multiproc and (self._tp or self._pp):
-            raise NotImplementedError(
-                "multi-process (multi-host) training supports data-parallel "
-                "meshes only: TP/PP checkpoint snapshots are device-sharded "
-                "and would need a cross-process gather on save; build the "
-                "mesh with parallel.multihost.make_multihost_mesh() "
-                "(n_model=n_pipe=1)"
-            )
         # Both axes > 1: combined 3-D DP x PP x TP (parallel/pp3.py) --
         # layer-per-stage GPipe whose stages are column-sharded over
         # "model".  Takes precedence over the single-strategy branches
@@ -414,7 +425,9 @@ class Trainer:
     def _save_checkpoint(self, epoch: int, epoch_loss, is_best: bool):
         self._join_pending_save()
         if not self.async_checkpointing:
-            params, opt_state = host_snapshot((self.params, self.opt_state))
+            params, opt_state = host_snapshot(
+                (self.params, self.opt_state), self.mesh
+            )
             self.ckpt.save_checkpoint(
                 self._canonical_params(params), opt_state, epoch,
                 epoch_loss, is_best,
@@ -429,7 +442,7 @@ class Trainer:
         snap = jax.tree.map(jnp.copy, (self.params, self.opt_state))
 
         def save():
-            params, opt_state = host_snapshot(snap)
+            params, opt_state = host_snapshot(snap, self.mesh)
             self.ckpt.save_checkpoint(
                 self._canonical_params(params), opt_state, epoch,
                 epoch_loss, is_best,
@@ -568,6 +581,24 @@ class Trainer:
             def shard_b(t):
                 return t
 
+        # Multi-process TP/PP: anything the fit loop host-fetches must be
+        # fully replicated (see __init__).  The DP branch's explicit
+        # out_shardings below already replicates; the TP/PP jits have no
+        # uniform annotation, so constrain the fetched outputs in-graph.
+        if self._multiproc and (self._tp or self._pp):
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            _repl_host = NamedSharding(self.mesh, PartitionSpec())
+
+            def host_repl(t):
+                return jax.tree.map(
+                    lambda l: jax.lax.with_sharding_constraint(l, _repl_host),
+                    t,
+                )
+        else:
+            def host_repl(t):
+                return t
+
         def train_epoch_fn(params, opt_state, x_all, y_all, idx_mat, w_mat):
             def body(carry, batch):
                 p, o = carry
@@ -581,7 +612,7 @@ class Trainer:
             (params, opt_state), losses = jax.lax.scan(
                 body, (params, opt_state), (idx_mat, w_mat)
             )
-            return params, opt_state, losses
+            return params, opt_state, host_repl(losses)
 
         def eval_epoch_fn(params, x_all, y_all, idx_mat, w_mat):
             def body(_, batch):
@@ -596,7 +627,7 @@ class Trainer:
             _, (losses, correct, total) = jax.lax.scan(
                 body, 0, (idx_mat, w_mat)
             )
-            return losses, jnp.sum(correct), jnp.sum(total)
+            return host_repl((losses, jnp.sum(correct), jnp.sum(total)))
 
         # Multi-epoch block: K train+val epochs in ONE dispatch.  Even the
         # whole-epoch scan pays ~2 blocking host interactions per epoch on
@@ -622,7 +653,7 @@ class Trainer:
             (params, opt_state), outs = jax.lax.scan(
                 epoch_body, (params, opt_state), (ti, tw, vi, vw)
             )
-            return params, opt_state, outs
+            return params, opt_state, host_repl(outs)
 
         if self.mesh is None or self._tp or self._pp:
             # TP/PP: params keep their strategy's param-spec shardings
@@ -898,7 +929,7 @@ class Trainer:
             (params_b, opt_b), ep_b, el_b = (
                 best_dev[0], best_dev[1], best_dev[2],
             )
-            params_h, opt_h = host_snapshot((params_b, opt_b))
+            params_h, opt_h = host_snapshot((params_b, opt_b), self.mesh)
             self.ckpt.save_checkpoint(
                 self._canonical_params(params_h), opt_h, ep_b, el_b, True
             )

@@ -65,6 +65,9 @@ def main() -> None:
     ckpt_dir = sys.argv[4]
     out_json = sys.argv[5]
     epoch_block = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    n_model = int(sys.argv[7]) if len(sys.argv) > 7 else 1
+    n_pipe = int(sys.argv[8]) if len(sys.argv) > 8 else 1
+    mode = sys.argv[9] if len(sys.argv) > 9 else "trainer"
 
     from snnimageclassification_tpu.parallel import multihost
 
@@ -78,39 +81,72 @@ def main() -> None:
     import jax
 
     assert jax.process_count() == num_processes
-    mesh = multihost.make_multihost_mesh()
+    mesh = multihost.make_multihost_mesh(n_model=n_model, n_pipe=n_pipe)
 
-    from snnimageclassification_tpu.train.trainer import Trainer
-
-    tr = Trainer(make_cfg(), checkpoint_folder=ckpt_dir, seed=7, mesh=mesh)
     tl, vl = make_loaders()
-    hist = tr.fit(
-        tl,
-        vl,
-        nb_epochs=3,
-        force_overwrite=True,
-        verbose=False,
-        epoch_block=epoch_block,
-    )
-    acc = float(tr.compute_classification_accuracy(vl))
+    if mode.startswith("ens"):
+        result = run_ensemble(mesh, ckpt_dir, epoch_block,
+                              shard_seeds=(mode == "ens_sharded"))
+    else:
+        from snnimageclassification_tpu.train.trainer import Trainer
+
+        tr = Trainer(make_cfg(), checkpoint_folder=ckpt_dir, seed=7,
+                     mesh=mesh)
+        hist = tr.fit(
+            tl,
+            vl,
+            nb_epochs=3,
+            force_overwrite=True,
+            verbose=False,
+            epoch_block=epoch_block,
+        )
+        acc = float(tr.compute_classification_accuracy(vl))
+        result = {
+            "train": [float(v) for v in hist["train"]],
+            "val": [float(v) for v in hist["val"]],
+            "acc": acc,
+        }
+
+    result["process_count"] = jax.process_count()
+    result["mesh_shape"] = dict(mesh.shape)
 
     # Every process computes identical (replicated) history/accuracy, but
     # only process 0 may write shared files -- including this JSON, which
     # doubles as the is-writer check (the test asserts exactly one exists).
     if multihost.is_main():
         with open(out_json, "w") as f:
-            json.dump(
-                {
-                    "train": [float(v) for v in hist["train"]],
-                    "val": [float(v) for v in hist["val"]],
-                    "acc": acc,
-                    "process_count": jax.process_count(),
-                    "mesh_shape": dict(mesh.shape),
-                },
-                f,
-            )
+            json.dump(result, f)
     multihost.barrier("driver-done")
-    print(f"[proc {process_id}] done acc={acc:.4f}", flush=True)
+    print(f"[proc {process_id}] done", flush=True)
+
+
+def ensemble_seeds(shard_seeds: bool):
+    """8 seeds under seed sharding (divisible by the 8 global devices)."""
+    return list(range(8)) if shard_seeds else [0, 1, 2, 3]
+
+
+def run_ensemble(mesh, ckpt_dir, epoch_block, shard_seeds):
+    """EnsembleTrainer over the global mesh: batch-sharded replicas, or
+    (shard_seeds) one seed per device -- each HOST trains its own
+    replicas with no cross-host collectives beyond the stat fetches."""
+    from snnimageclassification_tpu.parallel.ensemble import EnsembleTrainer
+
+    tl, vl = make_loaders()
+    ens = EnsembleTrainer(
+        make_cfg(), ensemble_seeds(shard_seeds), mesh=mesh,
+        checkpoint_folder=ckpt_dir, shard_seeds=shard_seeds,
+    )
+    hists = ens.fit(
+        tl, vl, nb_epochs=3, force_overwrite=True, verbose=False,
+        epoch_block=epoch_block,
+    )
+    accs = ens.accuracies(vl)
+    return {
+        "train": [[float(v) for v in h["train"]] for h in hists],
+        "val": [[float(v) for v in h["val"]] for h in hists],
+        "accs": [float(a) for a in accs],
+        "ens_acc": float(ens.ensemble_accuracy(vl)),
+    }
 
 
 if __name__ == "__main__":

@@ -85,7 +85,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_cluster(tmp_path, epoch_block=1, num_processes=2):
+def _run_cluster(tmp_path, epoch_block=1, num_processes=2, n_model=1,
+                 n_pipe=1, mode="trainer"):
     """Spawn the N-process cluster; returns process-0's result dict."""
     port = _free_port()
     ckpt = str(tmp_path / "mh-ckpt")
@@ -96,7 +97,8 @@ def _run_cluster(tmp_path, epoch_block=1, num_processes=2):
         subprocess.Popen(
             [
                 sys.executable, DRIVER, str(pid), str(num_processes),
-                str(port), ckpt, out, str(epoch_block),
+                str(port), ckpt, out, str(epoch_block), str(n_model),
+                str(n_pipe), mode,
             ],
             env=env,
             stdout=subprocess.PIPE,
@@ -187,3 +189,122 @@ class TestTwoProcessCluster:
         res, _ = cluster_result
         np.testing.assert_array_equal(res_blocked["train"], res["train"])
         np.testing.assert_array_equal(res_blocked["val"], res["val"])
+
+
+def _single_process_run(tmp_path, n_model=1, n_pipe=1):
+    """The cluster program on the in-process 8-device platform: the same
+    global mesh shape built single-controller."""
+    from snnimageclassification_tpu.train.trainer import Trainer
+
+    mesh = multihost.make_multihost_mesh(n_model=n_model, n_pipe=n_pipe)
+    tr = Trainer(
+        multihost_driver.make_cfg(),
+        checkpoint_folder=str(tmp_path / "ckpt"),
+        seed=7,
+        mesh=mesh,
+    )
+    tl, vl = multihost_driver.make_loaders()
+    hist = tr.fit(
+        tl, vl, nb_epochs=3, force_overwrite=True, verbose=False,
+        epoch_block=1,
+    )
+    acc = float(tr.compute_classification_accuracy(vl))
+    return {
+        "train": [float(v) for v in hist["train"]],
+        "val": [float(v) for v in hist["val"]],
+        "acc": acc,
+    }
+
+
+class TestShardedClusters:
+    """TP / PP / 3-D meshes across the 2-process cluster: the "model" and
+    "pipe" axes live inside one process's devices (ICI in production), so
+    their per-time-step collectives never cross the process boundary;
+    only the data-axis gradient all-reduce does.  Histories must track
+    the identical single-process run (same global mesh shape) to float
+    reassociation tolerance, and checkpoint files are written once, in
+    canonical per-layer form."""
+
+    @pytest.mark.parametrize(
+        "n_model,n_pipe",
+        [(2, 1), (1, 2), (2, 2)],
+        ids=["tp", "pp", "pp3"],
+    )
+    def test_cluster_matches_single_process(
+        self, tmp_path, n_model, n_pipe
+    ):
+        res, ckpt = _run_cluster(
+            tmp_path, n_model=n_model, n_pipe=n_pipe
+        )
+        assert res["process_count"] == 2
+        single = _single_process_run(
+            tmp_path / "single", n_model=n_model, n_pipe=n_pipe
+        )
+        np.testing.assert_allclose(
+            res["train"], single["train"], rtol=2e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            res["val"], single["val"], rtol=2e-5, atol=1e-6
+        )
+        assert res["acc"] == pytest.approx(single["acc"], abs=1e-6)
+        # Checkpoints: single writer, canonical per-layer params that
+        # reload into a strategy-free Trainer.
+        from snnimageclassification_tpu.train.checkpoint import (
+            CheckpointManager,
+            LoadCheckpointMode,
+        )
+        from snnimageclassification_tpu.train.trainer import Trainer
+
+        mgr = CheckpointManager(ckpt)
+        assert os.path.exists(mgr.checkpoints_meta_path)
+        tr = Trainer(
+            multihost_driver.make_cfg(), checkpoint_folder=ckpt, seed=0
+        )
+        tr.load_checkpoint(LoadCheckpointMode.BEST_EPOCH)
+
+
+class TestEnsembleCluster:
+    """EnsembleTrainer across the 2-process cluster, both replica
+    layouts: batch-sharded (DP: every device trains every seed on its
+    batch shard) and seed-sharded (each device owns one replica -- a
+    multi-host run trains each host's replicas with zero cross-host
+    collectives beyond the per-epoch stat fetches)."""
+
+    @pytest.mark.parametrize("mode", ["ens", "ens_sharded"])
+    def test_ensemble_cluster_matches_single_process(self, tmp_path, mode):
+        from snnimageclassification_tpu.parallel.ensemble import (
+            EnsembleTrainer,
+        )
+
+        res, _ = _run_cluster(tmp_path, mode=mode)
+        assert res["process_count"] == 2
+        shard = mode == "ens_sharded"
+        mesh = multihost.make_multihost_mesh()
+        ens = EnsembleTrainer(
+            multihost_driver.make_cfg(),
+            multihost_driver.ensemble_seeds(shard),
+            mesh=mesh,
+            checkpoint_folder=str(tmp_path / "single-ckpt"),
+            shard_seeds=shard,
+        )
+        tl, vl = multihost_driver.make_loaders()
+        hists = ens.fit(
+            tl, vl, nb_epochs=3, force_overwrite=True, verbose=False,
+            epoch_block=1,
+        )
+        np.testing.assert_allclose(
+            res["train"],
+            [[float(v) for v in h["train"]] for h in hists],
+            rtol=2e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            res["val"],
+            [[float(v) for v in h["val"]] for h in hists],
+            rtol=2e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            res["accs"], np.asarray(ens.accuracies(vl)), atol=1e-6
+        )
+        assert res["ens_acc"] == pytest.approx(
+            float(ens.ensemble_accuracy(vl)), abs=1e-6
+        )
