@@ -1012,6 +1012,12 @@ class EnsembleTrainer:
                         shutil.rmtree(self.ckpt.checkpoint_folder)
                     barrier("ensemble-fit-overwrite")
             return 0
+        if self._multiproc:
+            # Non-zero ranks must not read files process 0 may still be
+            # writing from a previous fit on this cluster.
+            from .multihost import barrier
+
+            barrier("ensemble-checkpoint-load")
         try:
             return self._restore_from_checkpoint(load_checkpoint_mode)
         except FileNotFoundError:

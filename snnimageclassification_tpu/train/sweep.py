@@ -59,7 +59,13 @@ def hash_params(params: Dict[str, Any]) -> int:
 
 
 def save_params(params: Dict[str, Any], save_path: str) -> None:
-    """Pickle the params dict into the run folder (training.py:81-87)."""
+    """Pickle the params dict into the run folder (training.py:81-87).
+    No-op on non-zero ranks of a multi-host run (every process executes
+    the sweep SPMD; shared files belong to process 0)."""
+    from .checkpoint import _is_writer
+
+    if not _is_writer():
+        return
     with open(save_path, "wb") as f:
         pickle.dump(params, f)
 
@@ -271,7 +277,10 @@ def train_all_params(
                     [df, pd.DataFrame(_result_rows(result, params))],
                     ignore_index=True,
                 )
-                df.to_csv(results_path)
+                from .checkpoint import _is_writer
+
+                if _is_writer():  # multi-host: CSV belongs to process 0
+                    df.to_csv(results_path)
                 import numpy as _np
 
                 p_bar.set_postfix(

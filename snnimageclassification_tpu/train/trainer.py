@@ -422,6 +422,16 @@ class Trainer:
             self._ckpt_thread.join()
             self._ckpt_thread = None
 
+    def _barrier_before_load(self):
+        """Multi-process: non-zero ranks must not read checkpoint files
+        process 0's (async) writer may still be flushing; every rank
+        reaches this point only after process 0 joined its writer thread
+        (``_join_pending_save`` runs before the barrier on every rank)."""
+        if self._multiproc:
+            from ..parallel.multihost import barrier
+
+            barrier("checkpoint-load")
+
     def _save_checkpoint(self, epoch: int, epoch_loss, is_best: bool):
         self._join_pending_save()
         if not self.async_checkpointing:
@@ -848,6 +858,7 @@ class Trainer:
                     barrier("fit-overwrite")
         else:
             self._join_pending_save()
+            self._barrier_before_load()
             try:
                 checkpoint = self.ckpt.load_checkpoint(load_checkpoint_mode)
                 self._restore_placed(checkpoint)
@@ -1309,6 +1320,7 @@ class Trainer:
     ) -> dict:
         """Load and install a checkpoint (snn.py:474-483)."""
         self._join_pending_save()
+        self._barrier_before_load()
         self._ensure_optimizer_any()
         checkpoint = self.ckpt.load_checkpoint(load_checkpoint_mode)
         self._restore_placed(checkpoint)

@@ -87,6 +87,8 @@ def main() -> None:
     if mode.startswith("ens"):
         result = run_ensemble(mesh, ckpt_dir, epoch_block,
                               shard_seeds=(mode == "ens_sharded"))
+    elif mode == "resume":
+        result = run_resume(mesh, ckpt_dir, epoch_block)
     else:
         from snnimageclassification_tpu.train.trainer import Trainer
 
@@ -123,6 +125,33 @@ def main() -> None:
 def ensemble_seeds(shard_seeds: bool):
     """8 seeds under seed sharding (divisible by the 8 global devices)."""
     return list(range(8)) if shard_seeds else [0, 1, 2, 3]
+
+
+def run_resume(mesh, ckpt_dir, epoch_block):
+    """Interrupted-fit resume across the cluster: fit 2 epochs, then a
+    second fit resumes from LAST_EPOCH for 2 more.  Exercises the
+    cross-process load barrier and the sharded restore placement; the
+    reused loader's rng stream makes the result equal a straight 4-epoch
+    fit."""
+    from snnimageclassification_tpu.train.checkpoint import (
+        LoadCheckpointMode,
+    )
+    from snnimageclassification_tpu.train.trainer import Trainer
+
+    tl, vl = make_loaders()
+    tr = Trainer(make_cfg(), checkpoint_folder=ckpt_dir, seed=7, mesh=mesh)
+    tr.fit(tl, vl, nb_epochs=2, force_overwrite=True, verbose=False,
+           epoch_block=epoch_block)
+    hist = tr.fit(
+        tl, vl, nb_epochs=4,
+        load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH,
+        verbose=False, epoch_block=epoch_block,
+    )
+    return {
+        "train": [float(v) for v in hist["train"]],
+        "val": [float(v) for v in hist["val"]],
+        "acc": float(tr.compute_classification_accuracy(vl)),
+    }
 
 
 def run_ensemble(mesh, ckpt_dir, epoch_block, shard_seeds):

@@ -263,6 +263,41 @@ class TestShardedClusters:
         tr.load_checkpoint(LoadCheckpointMode.BEST_EPOCH)
 
 
+class TestClusterResume:
+    def test_resume_tp_cluster_equals_straight_single_process(
+        self, tmp_path
+    ):
+        """A 2-epoch fit + LAST_EPOCH-resumed 2-epoch fit across the
+        cluster (TP mesh: sharded restore placement + the cross-process
+        load barrier) must equal a straight 4-epoch single-process fit:
+        the reused loader's rng stream makes the trajectories identical.
+        """
+        from snnimageclassification_tpu.train.trainer import Trainer
+
+        res, _ = _run_cluster(tmp_path, n_model=2, mode="resume")
+        mesh = multihost.make_multihost_mesh(n_model=2)
+        tr = Trainer(
+            multihost_driver.make_cfg(),
+            checkpoint_folder=str(tmp_path / "straight"),
+            seed=7,
+            mesh=mesh,
+        )
+        tl, vl = multihost_driver.make_loaders()
+        hist = tr.fit(
+            tl, vl, nb_epochs=4, force_overwrite=True, verbose=False,
+            epoch_block=1,
+        )
+        assert len(res["train"]) == 4
+        np.testing.assert_allclose(
+            res["train"], [float(v) for v in hist["train"]],
+            rtol=2e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            res["val"], [float(v) for v in hist["val"]],
+            rtol=2e-5, atol=1e-6,
+        )
+
+
 class TestEnsembleCluster:
     """EnsembleTrainer across the 2-process cluster, both replica
     layouts: batch-sharded (DP: every device trains every seed on its
