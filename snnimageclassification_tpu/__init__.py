@@ -30,3 +30,4 @@ from .train import (  # noqa: F401
 from .utils import LossHistory, mapping_update_recursively  # noqa: F401
 from .parallel import make_mesh  # noqa: F401
 from .parallel.ensemble import EnsembleTrainer  # noqa: F401
+from .serve import InferenceServer  # noqa: F401

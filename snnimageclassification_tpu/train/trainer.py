@@ -77,6 +77,7 @@ def make_optimizer(
     b2: float = 0.999,
     eps: float = 1e-8,
     max_grad_norm: Optional[float] = None,
+    grad_accum: Optional[int] = None,
 ) -> optax.GradientTransformation:
     """Adam + L2 matching ``torch.optim.Adam(lr, weight_decay)``
     (snn.py:299), with dead-gradient leaves (label "beta") frozen.
@@ -93,10 +94,21 @@ def make_optimizer(
     if max_grad_norm is not None:
         steps.insert(0, optax.clip_by_global_norm(float(max_grad_norm)))
     weight_tx = optax.chain(*steps)
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"weight": weight_tx, "beta": optax.set_to_zero()},
         param_labels,
     )
+    if grad_accum is not None and int(grad_accum) > 1:
+        # Gradient accumulation (beyond-reference production knob):
+        # average grads over K consecutive micro-batches and apply ONE
+        # Adam update -- with uniform sample weights and equal micro-batch
+        # sizes this reproduces a K-times-larger batch exactly (the mean
+        # of per-micro-batch mean grads IS the big-batch mean grad), at
+        # 1/K the activation memory.  MultiSteps keeps the accumulator
+        # and a step counter in opt_state, so it scans/checkpoints/
+        # restores like any other optimizer state.
+        tx = optax.MultiSteps(tx, every_k_schedule=int(grad_accum))
+    return tx
 
 
 @jax.jit
@@ -738,7 +750,8 @@ class Trainer:
         return self._step_cache[key]
 
     def _ensure_optimizer(self, lr: float, weight_decay: float,
-                          max_grad_norm: Optional[float] = None):
+                          max_grad_norm: Optional[float] = None,
+                          grad_accum: Optional[int] = None):
         """Build (or rebuild) the optimizer for these hyperparameters.
 
         A changed (lr, weight_decay) rebuilds the transform but keeps the
@@ -748,7 +761,7 @@ class Trainer:
         defaults, and a second fit can change the learning rate.
         """
         if self._tx is not None and self._opt_hparams == (
-            lr, weight_decay, max_grad_norm,
+            lr, weight_decay, max_grad_norm, grad_accum,
         ):
             return
         if self._pp:
@@ -759,18 +772,18 @@ class Trainer:
             labels = model_lib.param_labels(self.cfg, self.params)
         self._tx = make_optimizer(
             labels, lr=lr, weight_decay=weight_decay,
-            max_grad_norm=max_grad_norm,
+            max_grad_norm=max_grad_norm, grad_accum=grad_accum,
         )
-        self._opt_hparams = (lr, weight_decay, max_grad_norm)
+        self._opt_hparams = (lr, weight_decay, max_grad_norm, grad_accum)
         if self.opt_state is not None:
-            # Toggling clipping changes the chain-state structure; Adam
-            # moments can't carry over in that case.
+            # Toggling clipping/accumulation changes the chain-state
+            # structure; Adam moments can't carry over in that case.
             fresh = jax.eval_shape(self._tx.init, self.params)
             if (jax.tree_util.tree_structure(self.opt_state)
                     != jax.tree_util.tree_structure(fresh)):
                 logger.warning(
-                    "Optimizer structure changed (max_grad_norm toggled); "
-                    "resetting optimizer state."
+                    "Optimizer structure changed (max_grad_norm or "
+                    "grad_accum toggled); resetting optimizer state."
                 )
                 self.opt_state = None
         if self.opt_state is None:
@@ -800,6 +813,7 @@ class Trainer:
         p_bar_leave: Optional[bool] = None,
         epoch_block: Optional[int] = None,
         checkpoint_every: int = 1,
+        grad_accum: Optional[int] = None,
     ) -> LossHistory:
         """Train with per-epoch train+val phases, best-val checkpointing,
         optional plateau early stopping (snn.py:280-350).
@@ -832,8 +846,17 @@ class Trainer:
         exist differs (resume from LAST_EPOCH restarts from the newest
         file on disk, with the reconstructed loss history covering only
         saved epochs; the global-best file appears at fit end).
+
+        ``grad_accum``: average gradients over K consecutive batches and
+        apply ONE Adam update (optax.MultiSteps; beyond-reference
+        production knob).  With uniform sample weights and equal batch
+        sizes this reproduces a K-times-larger batch exactly at 1/K the
+        activation memory; default ``None`` is the reference's
+        every-batch update.  Changing it across fits resets the
+        optimizer state (the accumulator changes the opt_state
+        structure).
         """
-        self._ensure_optimizer(lr, weight_decay, max_grad_norm)
+        self._ensure_optimizer(lr, weight_decay, max_grad_norm, grad_accum)
         every = max(int(checkpoint_every), 1)
         if self._multiproc:
             # Progress display and file writes belong to process 0; the

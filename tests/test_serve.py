@@ -1,0 +1,190 @@
+"""Dynamic-batching inference server (serve.py).
+
+The reference has no serving layer; this pins the contract that makes
+one: coalesced fixed-shape batches (no recompiles), padding invisible to
+callers, chunking of oversized requests, thread-safe submission, drain
+semantics on close, and numerics equal to the direct
+``forward_logits_pixels`` call.
+"""
+import threading
+
+import numpy as np
+import pytest
+
+import snnimageclassification_tpu as st
+from snnimageclassification_tpu import models
+from snnimageclassification_tpu.data.datasets import EncodeConfig
+from snnimageclassification_tpu.models import snn as model_lib
+from snnimageclassification_tpu.serve import InferenceServer
+
+N_F, N_O = 20, 10
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return st.SNNConfig(
+        input_size=N_F, output_size=N_O, n_hidden_neurons=16,
+        hidden_layer_type=st.LayerType.ALIF,
+        use_recurrent_connection=False, int_time_steps=3,
+    )
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    import jax
+
+    return models.init(cfg, jax.random.PRNGKey(0))
+
+
+def _pixels(rng, n):
+    return rng.random((n, N_F), dtype=np.float32) if n > 1 else rng.random(
+        (N_F,), dtype=np.float32
+    )
+
+
+def _oracle(cfg, params, rows):
+    enc = EncodeConfig(n_steps=cfg.int_time_steps)
+    return np.asarray(
+        model_lib.forward_logits_pixels(cfg, params, rows, enc)
+    )
+
+
+class TestCorrectness:
+    def test_single_row_matches_direct(self, cfg, params):
+        rng = np.random.default_rng(0)
+        x = _pixels(rng, 1)
+        with InferenceServer(cfg, params, batch_size=8) as srv:
+            got = srv.submit(x).result(timeout=60)
+        assert got.shape == (N_O,)
+        np.testing.assert_allclose(
+            got, _oracle(cfg, params, x[None])[0], rtol=1e-5, atol=1e-6
+        )
+
+    def test_block_request_matches_direct(self, cfg, params):
+        rng = np.random.default_rng(1)
+        x = _pixels(rng, 5)
+        with InferenceServer(cfg, params, batch_size=8) as srv:
+            got = srv.submit(x).result(timeout=60)
+        assert got.shape == (5, N_O)
+        np.testing.assert_allclose(
+            got, _oracle(cfg, params, x), rtol=1e-5, atol=1e-6
+        )
+
+    def test_oversized_request_chunks(self, cfg, params):
+        """A request larger than the compiled batch spans several batches
+        and re-assembles in order."""
+        rng = np.random.default_rng(2)
+        x = _pixels(rng, 19)  # 3 chunks at batch_size=8
+        with InferenceServer(cfg, params, batch_size=8) as srv:
+            got = srv.submit(x).result(timeout=60)
+            assert srv.stats.batches >= 3
+        np.testing.assert_allclose(
+            got, _oracle(cfg, params, x), rtol=1e-5, atol=1e-6
+        )
+
+    def test_padding_rows_invisible(self, cfg, params):
+        """A partial batch (flushed by max_delay) returns exactly the
+        same logits as the same rows inside a full direct batch: padding
+        rows are zero pixels whose compute never leaks into real rows."""
+        rng = np.random.default_rng(3)
+        x = _pixels(rng, 3)
+        with InferenceServer(
+            cfg, params, batch_size=8, max_delay_s=0.01
+        ) as srv:
+            got = srv.submit(x).result(timeout=60)
+        padded = np.zeros((8, N_F), np.float32)
+        padded[:3] = x
+        np.testing.assert_array_equal(
+            got, _oracle(cfg, params, padded)[:3]
+        )
+
+    def test_classify(self, cfg, params):
+        rng = np.random.default_rng(4)
+        x = _pixels(rng, 4)
+        with InferenceServer(cfg, params, batch_size=8) as srv:
+            labels = srv.classify(x)
+        np.testing.assert_array_equal(
+            labels, np.argmax(_oracle(cfg, params, x), axis=-1)
+        )
+
+
+class TestConcurrency:
+    def test_many_threads_all_correct(self, cfg, params):
+        rng = np.random.default_rng(5)
+        reqs = [_pixels(rng, int(n)) for n in rng.integers(1, 7, size=24)]
+        results = [None] * len(reqs)
+        with InferenceServer(
+            cfg, params, batch_size=16, max_delay_s=0.005
+        ) as srv:
+            def worker(i):
+                results[i] = srv.submit(reqs[i]).result(timeout=60)
+
+            threads = [
+                threading.Thread(target=worker, args=(i,))
+                for i in range(len(reqs))
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            snap = srv.stats.snapshot()
+        assert snap["requests"] == len(reqs)
+        assert snap["rows"] == sum(
+            1 if r.ndim == 1 else r.shape[0] for r in reqs
+        )
+        assert 0.0 < snap["occupancy"] <= 1.0
+        assert snap["latency_p99_s"] >= snap["latency_p50_s"] >= 0.0
+        for req, got in zip(reqs, results):
+            rows = req[None] if req.ndim == 1 else req
+            want = _oracle(cfg, params, rows)
+            np.testing.assert_allclose(
+                got if got.ndim == 2 else got[None], want,
+                rtol=1e-5, atol=1e-6,
+            )
+
+    def test_coalescing_fills_batches(self, cfg, params):
+        """Rows submitted together coalesce: far fewer batches than
+        requests."""
+        rng = np.random.default_rng(6)
+        with InferenceServer(
+            cfg, params, batch_size=16, max_delay_s=0.05
+        ) as srv:
+            futs = [srv.submit(_pixels(rng, 2)) for _ in range(16)]
+            for f in futs:
+                f.result(timeout=60)
+            assert srv.stats.batches <= 4  # 32 rows / 16-row batches (+slack)
+
+
+class TestLifecycle:
+    def test_submit_after_close_raises(self, cfg, params):
+        srv = InferenceServer(cfg, params, batch_size=4)
+        srv.close()
+        with pytest.raises(RuntimeError):
+            srv.submit(np.zeros(N_F, np.float32))
+
+    def test_close_drains_pending(self, cfg, params):
+        rng = np.random.default_rng(7)
+        srv = InferenceServer(cfg, params, batch_size=4, max_delay_s=5.0)
+        fut = srv.submit(_pixels(rng, 2))
+        srv.close(drain=True)  # must not wait the 5 s delay
+        assert fut.result(timeout=1).shape == (2, N_O)
+
+    def test_close_without_drain_fails_pending(self, cfg, params):
+        rng = np.random.default_rng(8)
+        srv = InferenceServer(cfg, params, batch_size=64, max_delay_s=30.0)
+        fut = srv.submit(_pixels(rng, 2))
+        srv.close(drain=False)
+        with pytest.raises(RuntimeError):
+            fut.result(timeout=1)
+
+    def test_close_idempotent(self, cfg, params):
+        srv = InferenceServer(cfg, params, batch_size=4)
+        srv.close()
+        srv.close()
+
+    def test_bad_shape_rejected(self, cfg, params):
+        with InferenceServer(cfg, params, batch_size=4) as srv:
+            with pytest.raises(ValueError):
+                srv.submit(np.zeros((2, N_F + 1), np.float32))
+            with pytest.raises(ValueError):
+                srv.submit(np.zeros((1, 2, 3), np.float32))

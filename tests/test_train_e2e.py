@@ -55,6 +55,60 @@ class TestFit:
         # config) separates the toy prototypes far above 10-class chance.
         assert acc > 0.6
 
+    def test_grad_accum_matches_bigger_batch(self, tmp_path):
+        """fit(grad_accum=K) at batch B must equal fit at batch K*B: with
+        uniform weights and equal micro-batch sizes the accumulated mean
+        grad IS the big-batch mean grad, so the Adam trajectories match
+        to float rounding (MultiSteps' running mean vs one reduction)."""
+        cfg = _mk_cfg(tmp_path)
+        # shuffle=False so both runs see identical sample order.
+        rng = np.random.default_rng(5)
+        protos = rng.random((10, 64)).astype(np.float32)
+        y = (np.arange(64) % 10).astype(np.int32)
+        x = np.clip(
+            protos[y] + 0.1 * rng.standard_normal((64, 64)).astype(np.float32),
+            0, 1,
+        )
+        enc = EncodeConfig(n_steps=2)
+        mk = lambda bs: ArrayDataLoader(
+            x, y, bs, shuffle=False, encode_config=enc, seed=0
+        )
+        val = ArrayDataLoader(
+            x[:32], y[:32], 32, shuffle=False, encode_config=enc, seed=0
+        )
+        t_acc = Trainer(cfg, checkpoint_folder=str(tmp_path / "a"), seed=3)
+        t_acc.fit(mk(16), val, nb_epochs=2, grad_accum=2,
+                  force_overwrite=True, verbose=False)
+        t_big = Trainer(cfg, checkpoint_folder=str(tmp_path / "b"), seed=3)
+        t_big.fit(mk(32), val, nb_epochs=2,
+                  force_overwrite=True, verbose=False)
+        import jax
+
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(t_acc.params),
+            jax.tree_util.tree_leaves(t_big.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-6
+            )
+
+    def test_grad_accum_checkpoint_roundtrip(self, tmp_path):
+        """MultiSteps opt_state (accumulator + counter) must survive the
+        packed checkpoint round trip and resume mid-accumulation."""
+        cfg = _mk_cfg(tmp_path)
+        folder = str(tmp_path / "ck")
+        train, val = _toy_loaders()
+        t1 = Trainer(cfg, checkpoint_folder=folder, seed=0)
+        t1.fit(train, val, nb_epochs=2, grad_accum=2,
+               force_overwrite=True, verbose=False)
+        t2 = Trainer(cfg, checkpoint_folder=folder, seed=1)
+        hist = t2.fit(
+            train, val, nb_epochs=4, grad_accum=2,
+            load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH,
+            verbose=False,
+        )
+        assert len(hist["train"]) == 4
+
     def test_beta_frozen_during_fit(self, tmp_path):
         cfg = _mk_cfg(tmp_path, learn_beta=True)
         trainer = Trainer(cfg, checkpoint_folder=str(tmp_path / "ck"), seed=0)
@@ -313,7 +367,7 @@ class TestOptimizerHyperparams:
         trainer.compute_classification_accuracy(val)  # builds default opt
         trainer.fit(train, val, lr=0.5, nb_epochs=1,
                     force_overwrite=True, verbose=False)
-        assert trainer._opt_hparams == (0.5, 1e-5, None)
+        assert trainer._opt_hparams == (0.5, 1e-5, None, None)
 
     def test_second_fit_can_change_lr(self, tmp_path):
         cfg = _mk_cfg(tmp_path)
@@ -324,7 +378,7 @@ class TestOptimizerHyperparams:
         trainer.fit(train, val, lr=1e-4, nb_epochs=2,
                     load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH,
                     verbose=False)
-        assert trainer._opt_hparams == (1e-4, 1e-5, None)
+        assert trainer._opt_hparams == (1e-4, 1e-5, None, None)
 
     def test_eval_does_not_stomp_fit_hparams(self, tmp_path):
         cfg = _mk_cfg(tmp_path)
@@ -333,7 +387,7 @@ class TestOptimizerHyperparams:
         trainer.fit(train, val, lr=5e-4, nb_epochs=1,
                     force_overwrite=True, verbose=False)
         trainer.compute_classification_accuracy(val)
-        assert trainer._opt_hparams == (5e-4, 1e-5, None)
+        assert trainer._opt_hparams == (5e-4, 1e-5, None, None)
 
 
 class TestFacadeConfigKnobs:
