@@ -158,6 +158,12 @@ class InferenceServer:
     encode_config:
         Spike encoding applied on device inside the compiled program
         (default: TTFS at ``cfg.int_time_steps``, the production config).
+    mesh:
+        Optional ``jax.sharding.Mesh`` with a "data" axis: params are
+        replicated and every batch is sharded over the axis, so one
+        server instance serves a whole chip slice (``batch_size`` must
+        divide the mesh size).  Single-process meshes only -- multi-host
+        serving routes requests per host instead.
 
     Usage::
 
@@ -178,6 +184,7 @@ class InferenceServer:
         batch_size: int = 256,
         max_delay_s: float = 0.002,
         encode_config: Optional[EncodeConfig] = None,
+        mesh=None,
     ):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
@@ -185,10 +192,24 @@ class InferenceServer:
         self.batch_size = int(batch_size)
         self.max_delay_s = float(max_delay_s)
         self.enc = encode_config or EncodeConfig(n_steps=cfg.int_time_steps)
-        self.params = jax.device_put(params)
-        self._fn = jax.jit(
-            lambda p, x: model_lib.forward_logits_pixels(cfg, p, x, self.enc)
-        )
+        fwd = lambda p, x: model_lib.forward_logits_pixels(cfg, p, x, self.enc)
+        if mesh is not None:
+            from .parallel.mesh import batch_sharded, replicated
+
+            if self.batch_size % mesh.size:
+                raise ValueError(
+                    f"batch_size {self.batch_size} must divide the "
+                    f"{mesh.size}-device mesh"
+                )
+            self.params = jax.device_put(params, replicated(mesh))
+            self._fn = jax.jit(
+                fwd,
+                in_shardings=(replicated(mesh), batch_sharded(mesh)),
+                out_shardings=batch_sharded(mesh),
+            )
+        else:
+            self.params = jax.device_put(params)
+            self._fn = jax.jit(fwd)
         self.stats = ServerStats(self.batch_size)
         self._queue: deque = deque()
         self._queued_rows = 0

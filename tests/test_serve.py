@@ -155,6 +155,29 @@ class TestConcurrency:
             assert srv.stats.batches <= 4  # 32 rows / 16-row batches (+slack)
 
 
+class TestMeshServing:
+    def test_mesh_server_matches_single_device(self, cfg, params):
+        """A DP-mesh server (batch sharded over the conftest's 8 virtual
+        devices) returns the same logits as the unsharded server."""
+        from snnimageclassification_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(9)
+        x = _pixels(rng, 6)
+        with InferenceServer(
+            cfg, params, batch_size=16, mesh=make_mesh()
+        ) as srv:
+            got = srv.submit(x).result(timeout=60)
+        np.testing.assert_allclose(
+            got, _oracle(cfg, params, x), rtol=1e-5, atol=1e-6
+        )
+
+    def test_mesh_batch_divisibility_enforced(self, cfg, params):
+        from snnimageclassification_tpu.parallel import make_mesh
+
+        with pytest.raises(ValueError, match="divide"):
+            InferenceServer(cfg, params, batch_size=6, mesh=make_mesh())
+
+
 class TestLifecycle:
     def test_submit_after_close_raises(self, cfg, params):
         srv = InferenceServer(cfg, params, batch_size=4)
