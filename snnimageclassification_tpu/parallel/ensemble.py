@@ -81,6 +81,7 @@ class EnsembleTrainer:
         model_name: str = "snn_ensemble",
         fused_replicas=None,
         shard_seeds: bool = False,
+        grad_accum: Optional[int] = None,
     ):
         """``shard_seeds``: ensemble parallelism -- partition the *seed*
         axis over the mesh devices instead of the batch axis.  Replicas
@@ -107,7 +108,12 @@ class EnsembleTrainer:
           graph; measured a few percent slower steady-state than
           unrolled (extra weight-block DMA turnover), so unrolled stays
           the default; LIF/ALIF only.
-        * ``False``: force the vmapped XLA path."""
+        * ``False``: force the vmapped XLA path.
+
+        ``grad_accum``: average grads over K consecutive batches per
+        replica and apply one Adam update (same contract as
+        ``Trainer.fit(grad_accum=...)``; the MultiSteps accumulator is
+        vmapped over the seed axis like the rest of the opt state)."""
         self.cfg = cfg
         self.seeds = tuple(seeds)
         self.mesh = mesh
@@ -135,7 +141,8 @@ class EnsembleTrainer:
         self.best_epoch = np.full(len(self.seeds), -1, dtype=int)
         labels = model_lib.param_labels(cfg, jax.tree.map(lambda x: x[0], self.params))
         self.tx = make_optimizer(labels, lr=lr, weight_decay=weight_decay,
-                                 max_grad_norm=max_grad_norm)
+                                 max_grad_norm=max_grad_norm,
+                                 grad_accum=grad_accum)
         self.opt_state = jax.vmap(self.tx.init)(self.params)
         if mesh is not None:
             from .mesh import replicated

@@ -109,6 +109,44 @@ class TestFit:
         )
         assert len(hist["train"]) == 4
 
+    def test_lr_schedule(self, tmp_path):
+        """fit(lr=<optax schedule>) threads the callable through to Adam
+        (beyond-reference production knob); training still learns and the
+        schedule state survives the packed checkpoint."""
+        import optax
+
+        cfg = _mk_cfg(tmp_path)
+        trainer = Trainer(cfg, checkpoint_folder=str(tmp_path / "ck"), seed=0)
+        train, val = _toy_loaders()
+        sched = optax.exponential_decay(
+            init_value=1e-3, transition_steps=10, decay_rate=0.5
+        )
+        hist = trainer.fit(train, val, nb_epochs=6, lr=sched,
+                           force_overwrite=True, verbose=False)
+        assert hist["train"][-1] < hist["train"][0]
+        t2 = Trainer(cfg, checkpoint_folder=str(tmp_path / "ck"), seed=1)
+        h2 = t2.fit(
+            train, val, nb_epochs=8, lr=sched,
+            load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH,
+            verbose=False,
+        )
+        assert len(h2["train"]) == 8
+
+    def test_ensemble_grad_accum_runs(self, tmp_path):
+        from snnimageclassification_tpu.parallel.ensemble import (
+            EnsembleTrainer,
+        )
+
+        cfg = _mk_cfg(tmp_path)
+        train, val = _toy_loaders(n=128)
+        ens = EnsembleTrainer(
+            cfg, seeds=[0, 1], grad_accum=2,
+            checkpoint_folder=str(tmp_path / "ens"),
+        )
+        hists = ens.fit(train, val, nb_epochs=2, force_overwrite=True,
+                        verbose=False)
+        assert all(len(h["train"]) == 2 for h in hists)
+
     def test_beta_frozen_during_fit(self, tmp_path):
         cfg = _mk_cfg(tmp_path, learn_beta=True)
         trainer = Trainer(cfg, checkpoint_folder=str(tmp_path / "ck"), seed=0)
