@@ -17,7 +17,8 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def worker(process_id: int, num_processes: int, port: int, out_json: str):
+def worker(process_id: int, num_processes: int, port: int, out_json: str,
+           ckpt_dir: str):
     from snnimageclassification_tpu.parallel import multihost
 
     multihost.initialize(
@@ -53,11 +54,13 @@ def worker(process_id: int, num_processes: int, port: int, out_json: str):
         hidden_layer_type=st.LayerType.ALIF,
         use_recurrent_connection=True, int_time_steps=4,
     )
-    with tempfile.TemporaryDirectory() as ckpt:
-        tr = Trainer(cfg, checkpoint_folder=ckpt, seed=1, mesh=mesh)
-        hist = tr.fit(train, val, nb_epochs=12, force_overwrite=True,
-                      verbose=False)
-        acc = float(tr.compute_classification_accuracy(val))
+    # The checkpoint folder MUST be shared by every process (on a real
+    # pod: a network filesystem) -- process 0 writes the files, all
+    # processes read them back on resume.
+    tr = Trainer(cfg, checkpoint_folder=ckpt_dir, seed=1, mesh=mesh)
+    hist = tr.fit(train, val, nb_epochs=12, force_overwrite=True,
+                  verbose=False)
+    acc = float(tr.compute_classification_accuracy(val))
     if multihost.is_main():  # shared files belong to process 0
         with open(out_json, "w") as f:
             json.dump({"train": [float(v) for v in hist["train"]],
@@ -71,10 +74,11 @@ def main():
     ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--port", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--out", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--ckpt", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.worker is not None:
-        worker(args.worker, 2, args.port, args.out)
+        worker(args.worker, 2, args.port, args.out, args.ckpt)
         return
 
     with socket.socket() as s:
@@ -83,17 +87,19 @@ def main():
     out = tempfile.mktemp(suffix=".json")
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__),
-             "--worker", str(pid), "--port", str(port), "--out", out],
-            env=env,
-        )
-        for pid in range(2)
-    ]
-    for p in procs:
-        p.wait()
-        assert p.returncode == 0, "cluster process failed"
+    with tempfile.TemporaryDirectory() as ckpt:  # SHARED by both workers
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--worker", str(pid), "--port", str(port), "--out", out,
+                 "--ckpt", ckpt],
+                env=env,
+            )
+            for pid in range(2)
+        ]
+        for p in procs:
+            p.wait()
+            assert p.returncode == 0, "cluster process failed"
     with open(out) as f:
         res = json.load(f)
     os.unlink(out)

@@ -1001,7 +1001,15 @@ class EnsembleTrainer:
         if self.ckpt is None:
             return 0
         if load_checkpoint_mode is None:
-            if os.path.exists(self.ckpt.checkpoints_meta_path):
+            meta_exists = os.path.exists(self.ckpt.checkpoints_meta_path)
+            if self._multiproc:
+                # Rank 0's filesystem view decides for every rank (a
+                # per-rank exists() races against rank 0's delete and can
+                # diverge the barrier entry -- cluster deadlock).
+                from .multihost import broadcast_flag
+
+                meta_exists = broadcast_flag(meta_exists)
+            if meta_exists:
                 if not force_overwrite:
                     raise AssertionError(
                         f"{self.ckpt.checkpoints_meta_path} already exists. "

@@ -57,6 +57,7 @@ __all__ = [
     "process_local_rows",
     "is_main",
     "barrier",
+    "broadcast_flag",
     "process_count",
 ]
 
@@ -132,6 +133,27 @@ def barrier(name: str = "barrier") -> None:
     multihost_utils.sync_global_devices(name)
 
 
+def broadcast_flag(value: bool) -> bool:
+    """Process 0's view of ``value``, on every process.
+
+    Control-flow decisions derived from shared-filesystem state (e.g.
+    "does the checkpoint meta file exist?") MUST NOT be re-derived per
+    rank: ranks can sample the filesystem at different moments (or
+    through stale NFS attribute caches) and diverge -- one rank enters a
+    barrier the other skips, deadlocking the cluster.  Broadcasting rank
+    0's decision makes the branch identical everywhere.  Identity in
+    single-process runs."""
+    import jax
+
+    if jax.process_count() == 1:
+        return bool(value)
+    from jax.experimental import multihost_utils
+
+    return bool(
+        multihost_utils.broadcast_one_to_all(np.asarray(bool(value)))
+    )
+
+
 def _sorted_global_devices():
     import jax
 
@@ -164,7 +186,7 @@ def make_multihost_mesh(n_model: int = 1, n_pipe: int = 1):
     n_local = len(jax.local_devices())
     if inner > 1 and n_local % inner != 0:
         raise ValueError(
-            f"model x pipe axes ({n_pipe} x {n_model}) must divide each "
+            f"model x pipe axes ({n_model} x {n_pipe}) must divide each "
             f"process's local device count ({n_local}) so their per-step "
             f"collectives stay on ICI; got remainder {n_local % inner}"
         )

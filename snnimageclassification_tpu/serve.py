@@ -132,12 +132,23 @@ class _Aggregator:
                 if len(self._parts) == 1
                 else np.concatenate(self._parts, axis=0)
             )
-            self.future.set_result(out[0] if self.single else out)
+            try:
+                # A caller may have cancelled the (pending) future after a
+                # result timeout; set_result would raise InvalidStateError
+                # and kill the completion thread -- wedging every later
+                # request behind the dispatcher's backpressure window.
+                if not self.future.cancelled():
+                    self.future.set_result(out[0] if self.single else out)
+            except Exception:
+                pass
         return done
 
     def fail(self, exc: BaseException) -> None:
-        if not self.future.done():
-            self.future.set_exception(exc)
+        try:
+            if not self.future.done():
+                self.future.set_exception(exc)
+        except Exception:  # cancelled between the check and the set
+            pass
 
 
 class InferenceServer:
@@ -198,8 +209,8 @@ class InferenceServer:
 
             if self.batch_size % mesh.size:
                 raise ValueError(
-                    f"batch_size {self.batch_size} must divide the "
-                    f"{mesh.size}-device mesh"
+                    f"batch_size {self.batch_size} must be a multiple of "
+                    f"the mesh size ({mesh.size} devices)"
                 )
             self.params = jax.device_put(params, replicated(mesh))
             self._fn = jax.jit(
@@ -382,7 +393,10 @@ class InferenceServer:
                 continue
             t_done = time.monotonic()
             for p, start, n in spans:
-                if p.agg.deliver(p.slot, logits[start:start + n]):
-                    self.stats._record_request(
-                        p.agg.n_rows, t_done - p.t_submit
-                    )
+                try:
+                    if p.agg.deliver(p.slot, logits[start:start + n]):
+                        self.stats._record_request(
+                            p.agg.n_rows, t_done - p.t_submit
+                        )
+                except Exception:  # one bad request must not kill the loop
+                    p.agg.fail(RuntimeError("delivery failed"))

@@ -164,16 +164,29 @@ def host_snapshot(tree, mesh=None):
     if not arrays:
         return jax.device_get(tree)
     if mesh is not None and jax.process_count() > 1:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        pack = jax.jit(
-            _pack_leaves,
-            out_shardings=NamedSharding(mesh, PartitionSpec()),
-        )
-        flat = np.asarray(pack(arrays))
+        flat = np.asarray(_replicated_pack_for(mesh)(arrays))
     else:
         flat = np.asarray(_pack_leaves(arrays))  # the single transfer
     return _unpack_flat(flat, tree)
+
+
+_REPL_PACK_CACHE: dict = {}
+
+
+def _replicated_pack_for(mesh):
+    """Cached jitted pack with a fully-replicated out-sharding (a fresh
+    jax.jit wrapper per call would re-trace the pack program on every
+    checkpoint save)."""
+    fn = _REPL_PACK_CACHE.get(mesh)
+    if fn is None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        fn = jax.jit(
+            _pack_leaves,
+            out_shardings=NamedSharding(mesh, PartitionSpec()),
+        )
+        _REPL_PACK_CACHE[mesh] = fn
+    return fn
 
 
 def _encode_on_device(x: jax.Array, enc: EncodeConfig) -> jax.Array:
@@ -764,6 +777,9 @@ class Trainer:
             lr, weight_decay, max_grad_norm, grad_accum,
         ):
             return
+        prev_accum = (
+            self._opt_hparams[3] if self._opt_hparams is not None else None
+        )
         if self._pp:
             from ..parallel.pp import pp_param_labels
 
@@ -775,6 +791,17 @@ class Trainer:
             max_grad_norm=max_grad_norm, grad_accum=grad_accum,
         )
         self._opt_hparams = (lr, weight_decay, max_grad_norm, grad_accum)
+        if self.opt_state is not None and prev_accum != grad_accum:
+            # K -> K' between two accumulating fits keeps an identical
+            # MultiStepsState STRUCTURE, so the structural check below
+            # would silently carry a half-filled accumulator/counter from
+            # the old K into the new schedule.  Any change of grad_accum
+            # resets the optimizer state (as the fit docstring promises).
+            logger.warning(
+                "grad_accum changed (%s -> %s); resetting optimizer state.",
+                prev_accum, grad_accum,
+            )
+            self.opt_state = None
         if self.opt_state is not None:
             # Toggling clipping/accumulation changes the chain-state
             # structure; Adam moments can't carry over in that case.
@@ -867,17 +894,28 @@ class Trainer:
 
         start_epoch = 0
         if load_checkpoint_mode is None:
-            if os.path.exists(self.ckpt.checkpoints_meta_path) and not force_overwrite:
+            meta_exists = os.path.exists(self.ckpt.checkpoints_meta_path)
+            if self._multiproc:
+                # Rank 0's view of the filesystem decides for everyone --
+                # per-rank re-derivation races against rank 0's delete
+                # below and can diverge the branch (deadlock: one rank in
+                # the barrier, another already dispatching collectives).
+                from ..parallel.multihost import broadcast_flag
+
+                meta_exists = broadcast_flag(meta_exists)
+            if meta_exists and not force_overwrite:
                 raise AssertionError(
                     f"{self.ckpt.checkpoints_meta_path} already exists. "
                     "Set force_overwrite flag to True to overwrite existing saves."
                 )
-            if os.path.exists(self.ckpt.checkpoints_meta_path) and force_overwrite:
+            if meta_exists and force_overwrite:
                 if not self._multiproc or is_main():
                     shutil.rmtree(self.ckpt.checkpoint_folder)
                 if self._multiproc:
                     # Nobody may start writing epoch files into the folder
-                    # process 0 is still deleting.
+                    # process 0 is still deleting.  Every rank enters this
+                    # branch (meta_exists is rank-0-broadcast), so the
+                    # barrier is collective-safe.
                     barrier("fit-overwrite")
         else:
             self._join_pending_save()

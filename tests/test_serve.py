@@ -174,7 +174,7 @@ class TestMeshServing:
     def test_mesh_batch_divisibility_enforced(self, cfg, params):
         from snnimageclassification_tpu.parallel import make_mesh
 
-        with pytest.raises(ValueError, match="divide"):
+        with pytest.raises(ValueError, match="multiple"):
             InferenceServer(cfg, params, batch_size=6, mesh=make_mesh())
 
 
@@ -204,6 +204,21 @@ class TestLifecycle:
         srv = InferenceServer(cfg, params, batch_size=4)
         srv.close()
         srv.close()
+
+    def test_cancelled_future_does_not_wedge_server(self, cfg, params):
+        """A caller cancelling a pending Future must not kill the
+        completion thread: later requests still resolve."""
+        rng = np.random.default_rng(10)
+        with InferenceServer(
+            cfg, params, batch_size=4, max_delay_s=0.2
+        ) as srv:
+            fut = srv.submit(_pixels(rng, 2))
+            assert fut.cancel()  # pending (dispatcher still coalescing)
+            x = _pixels(rng, 3)
+            got = srv.submit(x).result(timeout=60)
+        np.testing.assert_allclose(
+            got, _oracle(cfg, params, x), rtol=1e-5, atol=1e-6
+        )
 
     def test_bad_shape_rejected(self, cfg, params):
         with InferenceServer(cfg, params, batch_size=4) as srv:

@@ -109,6 +109,25 @@ class TestFit:
         )
         assert len(hist["train"]) == 4
 
+    def test_grad_accum_change_resets_opt_state(self, tmp_path, caplog):
+        """K -> K' keeps an identical MultiStepsState STRUCTURE, so the
+        structural check alone would silently carry a half-filled
+        accumulator between fits; any grad_accum change must reset."""
+        import logging
+
+        cfg = _mk_cfg(tmp_path)
+        trainer = Trainer(cfg, checkpoint_folder=str(tmp_path / "ck"), seed=0)
+        train, val = _toy_loaders(n=96)  # 3 batches: K=2 ends mid-window
+        trainer.fit(train, val, nb_epochs=1, grad_accum=2,
+                    force_overwrite=True, verbose=False)
+        with caplog.at_level(logging.WARNING):
+            trainer.fit(
+                train, val, nb_epochs=2, grad_accum=4,
+                load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH,
+                verbose=False,
+            )
+        assert any("grad_accum changed" in r.message for r in caplog.records)
+
     def test_lr_schedule(self, tmp_path):
         """fit(lr=<optax schedule>) threads the callable through to Adam
         (beyond-reference production knob); training still learns and the
