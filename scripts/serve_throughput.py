@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--reqs", type=int, default=64)
     ap.add_argument("--req-rows", type=int, default=512)
     ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument(
+        "--uint8", action="store_true",
+        help="uint8 wire format: raw bytes over the relay, normalize-by-"
+        "255 on device (4x fewer wire bytes on the transfer-bound path)",
+    )
     args = ap.parse_args()
 
     from snnimageclassification_tpu.utils.compile_cache import (
@@ -49,18 +54,21 @@ def main():
     params = models.init(cfg, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
 
+    if args.uint8:
+        def make(shape):
+            return rng.integers(0, 256, size=shape, dtype=np.uint8)
+    else:
+        def make(shape):
+            return rng.random(shape, dtype=np.float32)
+
     with st.InferenceServer(
-        cfg, params, batch_size=args.batch, max_delay_s=0.02
+        cfg, params, batch_size=args.batch, max_delay_s=0.02,
+        input_dtype=np.uint8 if args.uint8 else np.float32,
     ) as srv:
         # Warm the compile (cached across processes via the XLA cache).
-        srv.submit(
-            rng.random((args.batch, 784), dtype=np.float32)
-        ).result(timeout=3600)
+        srv.submit(make((args.batch, 784))).result(timeout=3600)
 
-        reqs = [
-            rng.random((args.req_rows, 784), dtype=np.float32)
-            for _ in range(args.reqs)
-        ]
+        reqs = [make((args.req_rows, 784)) for _ in range(args.reqs)]
         futs, lock = [], threading.Lock()
 
         def worker(chunk):

@@ -175,6 +175,25 @@ class InferenceServer:
         server instance serves a whole chip slice (``batch_size`` must
         divide the mesh size).  Single-process meshes only -- multi-host
         serving routes requests per host instead.
+    forward_fn:
+        Optional override of the compiled per-batch program: a pure
+        ``(params, x_f32) -> (batch, n_out)`` function (applied AFTER the
+        wire normalization below).  Default is the single-model
+        pixels->logits forward (``models/snn.py:forward_logits_pixels``);
+        ``EnsembleTrainer.serve`` passes the seed-averaged soft-voting
+        probability forward over its stacked replicas.
+    input_dtype, input_scale:
+        Wire format.  Host-streamed serving is TRANSFER-bound on
+        relay-attached TPUs (the f32 pixel upload dominates the batch),
+        and the MNIST-family sources are natively uint8 -- so
+        ``input_dtype=np.uint8`` accepts raw bytes and normalizes ON
+        DEVICE as ``x.astype(f32) / input_scale`` (default 255.0, the
+        torchvision ``ToTensor`` contract, reference datasets.py:120-126)
+        inside the compiled program.  One f32 division rounds identically
+        on host and device, so logits are bit-equal to a float32 server
+        fed ``x / 255`` -- at a quarter of the wire bytes.  uint8 servers
+        reject float submissions (a silent float->uint8 truncation would
+        corrupt pixels); submit the raw integer bytes.
 
     Usage::
 
@@ -196,6 +215,9 @@ class InferenceServer:
         max_delay_s: float = 0.002,
         encode_config: Optional[EncodeConfig] = None,
         mesh=None,
+        forward_fn=None,
+        input_dtype=np.float32,
+        input_scale: Optional[float] = None,
     ):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
@@ -203,7 +225,29 @@ class InferenceServer:
         self.batch_size = int(batch_size)
         self.max_delay_s = float(max_delay_s)
         self.enc = encode_config or EncodeConfig(n_steps=cfg.int_time_steps)
-        fwd = lambda p, x: model_lib.forward_logits_pixels(cfg, p, x, self.enc)
+        self._in_dtype = np.dtype(input_dtype)
+        if self._in_dtype not in (np.dtype(np.float32), np.dtype(np.uint8)):
+            raise ValueError(
+                f"input_dtype must be float32 or uint8, got {self._in_dtype}"
+            )
+        if input_scale is None:
+            input_scale = 255.0 if self._in_dtype == np.uint8 else 1.0
+        self.input_scale = float(input_scale)
+        enc, scale, in_f32 = self.enc, self.input_scale, (
+            self._in_dtype == np.dtype(np.float32) and self.input_scale == 1.0
+        )
+        inner = forward_fn or (
+            lambda p, x: model_lib.forward_logits_pixels(cfg, p, x, enc)
+        )
+
+        def fwd(p, x):
+            if not in_f32:
+                # Normalize on device: the uint8 wire bytes become the
+                # f32 pixels the model was trained on inside the compiled
+                # program (one exact f32 division -- bit-equal to host
+                # normalization) instead of on the host side of the wire.
+                x = x.astype(jnp.float32) / scale
+            return inner(p, x)
         if mesh is not None:
             from .parallel.mesh import batch_sharded, replicated
 
@@ -249,7 +293,23 @@ class InferenceServer:
     def submit(self, x) -> Future:
         """Enqueue pixels ``(F,)`` or ``(B, F)``; returns a Future whose
         result is the logits ``(O,)`` / ``(B, O)``.  Thread-safe."""
-        x = np.asarray(x, dtype=np.float32)
+        if self._in_dtype == np.uint8:
+            x = np.asarray(x)
+            if x.dtype.kind not in "ui":
+                raise ValueError(
+                    "this server's wire format is uint8 raw bytes; got "
+                    f"dtype {x.dtype} (normalize-by-{self.input_scale:g} "
+                    "happens on device -- submit the unnormalized "
+                    "integer pixels)"
+                )
+            if x.dtype != np.uint8:
+                if x.size and (x.min() < 0 or x.max() > 255):
+                    raise ValueError(
+                        "integer pixels out of uint8 range [0, 255]"
+                    )
+                x = x.astype(np.uint8)
+        else:
+            x = np.asarray(x, dtype=np.float32)
         single = x.ndim == 1
         rows = x[None] if single else x
         if rows.ndim != 2 or rows.shape[1] != self.cfg.input_size:
@@ -350,7 +410,7 @@ class InferenceServer:
             spans = [(taken[0], 0, n_real)]
         else:
             batch = np.zeros(
-                (self.batch_size, self.cfg.input_size), np.float32
+                (self.batch_size, self.cfg.input_size), self._in_dtype
             )
             off = 0
             spans = []

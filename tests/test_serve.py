@@ -108,6 +108,70 @@ class TestCorrectness:
         )
 
 
+class TestUint8Wire:
+    """uint8 wire format: raw bytes in, on-device normalize-by-255."""
+
+    def test_uint8_matches_float_server_bitwise(self, cfg, params):
+        rng = np.random.default_rng(7)
+        raw = rng.integers(0, 256, size=(5, N_F), dtype=np.uint8)
+        with InferenceServer(
+            cfg, params, batch_size=8, input_dtype=np.uint8
+        ) as srv:
+            got = srv.submit(raw).result(timeout=60)
+        # The on-device x.astype(f32)/255.0 is one exact-rounding f32
+        # division -- identical to host normalization, so the logits
+        # must be BITWISE equal to the float32 path fed raw/255.
+        want = _oracle(
+            cfg, params, raw.astype(np.float32) / np.float32(255.0)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_uint8_single_row_and_padding(self, cfg, params):
+        rng = np.random.default_rng(8)
+        raw = rng.integers(0, 256, size=(N_F,), dtype=np.uint8)
+        with InferenceServer(
+            cfg, params, batch_size=8, input_dtype=np.uint8
+        ) as srv:
+            got = srv.submit(raw).result(timeout=60)
+        assert got.shape == (N_O,)
+        want = _oracle(
+            cfg, params, raw[None].astype(np.float32) / np.float32(255.0)
+        )[0]
+        np.testing.assert_array_equal(got, want)
+
+    def test_uint8_accepts_wider_ints(self, cfg, params):
+        raw = np.arange(N_F, dtype=np.int64) % 256
+        with InferenceServer(
+            cfg, params, batch_size=8, input_dtype=np.uint8
+        ) as srv:
+            got = srv.submit(raw).result(timeout=60)
+        assert got.shape == (N_O,)
+
+    def test_uint8_rejects_floats_and_out_of_range(self, cfg, params):
+        with InferenceServer(
+            cfg, params, batch_size=8, input_dtype=np.uint8
+        ) as srv:
+            with pytest.raises(ValueError, match="uint8 raw bytes"):
+                srv.submit(np.zeros(N_F, dtype=np.float32))
+            with pytest.raises(ValueError, match="out of uint8 range"):
+                srv.submit(np.full(N_F, 300, dtype=np.int32))
+
+    def test_custom_scale_float_server(self, cfg, params):
+        """input_scale also works for float servers (e.g. 0-16 DIGITS)."""
+        rng = np.random.default_rng(9)
+        x = (16.0 * rng.random((3, N_F))).astype(np.float32)
+        with InferenceServer(
+            cfg, params, batch_size=8, input_scale=16.0
+        ) as srv:
+            got = srv.submit(x).result(timeout=60)
+        want = _oracle(cfg, params, x / np.float32(16.0))
+        np.testing.assert_array_equal(got, want)
+
+    def test_bad_input_dtype_rejected(self, cfg, params):
+        with pytest.raises(ValueError, match="input_dtype"):
+            InferenceServer(cfg, params, input_dtype=np.float64)
+
+
 class TestConcurrency:
     def test_many_threads_all_correct(self, cfg, params):
         rng = np.random.default_rng(5)
