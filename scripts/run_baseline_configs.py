@@ -109,20 +109,29 @@ def baseline_configs(epochs, digits=False):
 
 
 def run(args) -> list:
+    import time
+
     from snnimageclassification_tpu.data.datasets import DatasetId
-    from snnimageclassification_tpu.train.sweep import train_with_params
+    from snnimageclassification_tpu.train.sweep import (
+        _result_rows,
+        train_with_params,
+    )
 
     seeds = [int(s) for s in args.seeds.split(",") if s] or None
     only = {int(c) for c in args.configs.split(",") if c} or None
     rows = []
+    csv_rows = []
     for name, params in baseline_configs(args.epochs, digits=args.digits):
         if only and int(name.split("-", 1)[0]) not in only:
             continue
+        t0 = time.monotonic()
         out = train_with_params(
             params, data_folder=args.data_folder, verbose=args.verbose,
             batch_size=args.batch_size, seeds=seeds,
             data_dir=args.data_dir, allow_synthetic=False,
         )
+        wall_s = time.monotonic() - t0
+        csv_rows.extend(_result_rows(out, params))
         accs = {
             k: (v.tolist() if hasattr(v, "tolist") else float(v))
             for k, v in out["accuracies"].items()
@@ -135,13 +144,23 @@ def run(args) -> list:
         )
         test = accs["test"]
         best_test = max(test) if isinstance(test, list) else test
+        n_train = out["n_samples"]["train"]
+        epochs = params.get("nb_epochs", 15)
         row = {
             "config": name,
             "dataset": dataset,
+            "data_source": out["data_source"],
+            "n_samples": out["n_samples"],
             "accuracies": accs,
             "published_test_acc": published,
             "delta_vs_published": (
                 round(best_test - published, 4) if published else None
+            ),
+            # End-to-end wall clock for the whole config: loader read,
+            # fit (incl. first compiles), BEST reload, 3 accuracy evals.
+            "wall_s": round(wall_s, 1),
+            "train_img_per_s_incl_compile": round(
+                epochs * n_train / wall_s
             ),
         }
         if args.digits:
@@ -151,6 +170,33 @@ def run(args) -> list:
             )
         rows.append(row)
         print(json.dumps(row))
+    if args.csv and csv_rows:
+        # Sweep-CSV + analysis-figure leg of the rehearsal: the same
+        # results.csv schema train_all_params writes (reference
+        # training.py:182-191), fed through analysis/results.py to produce
+        # the bar/box figures -- proving the offline-analysis subsystem at
+        # this scale too.
+        import pandas as pd
+
+        os.makedirs(os.path.dirname(args.csv) or ".", exist_ok=True)
+        pd.DataFrame(csv_rows).to_csv(args.csv)
+        from snnimageclassification_tpu.analysis import results as R
+
+        res = R.load_results(args.csv)
+        figdir = os.path.join(os.path.dirname(args.csv) or ".", "figures")
+        os.makedirs(figdir, exist_ok=True)
+        for ds in {r["dataset"] for r in rows}:
+            try:
+                R.plot_bar_result(
+                    res, ds, ["test_accuracy", "val_accuracy"],
+                    save_path=os.path.join(figdir, f"{ds}_precision.png"),
+                )
+                R.box_plot_accuracy(
+                    res, ds,
+                    save_path=os.path.join(figdir, f"boxplot_{ds}.png"),
+                )
+            except Exception as e:  # figures are best-effort reporting
+                print(f"figure generation for {ds} failed: {e}")
     return rows
 
 
@@ -169,6 +215,9 @@ def main() -> None:
                     help="substitute the sklearn DIGITS dataset (no real "
                          "MNIST/FMNIST files needed)")
     ap.add_argument("--out", type=str, default="")
+    ap.add_argument("--csv", type=str, default="",
+                    help="also write a results.csv in the sweep schema and "
+                         "render the analysis figures next to it")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 

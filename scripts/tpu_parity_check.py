@@ -182,6 +182,69 @@ def main():
             ok &= check(f"{name} infer==train logits", infer_logits,
                         fwd_logits, atol=0.0, rtol=0.0)
 
+    # Head+counts kernels (ops/pallas_fused.py _counts variants): the
+    # fused-path spike-regularization carrier.  Regularized loss + grads
+    # through forward_logits_counts_pixels (whole-network kernel pair with
+    # a counts output) vs the XLA trace path (use_pallas=False,
+    # return_hidden + masked traces) -- the Trainer's two reg routes.
+    from snnimageclassification_tpu.train import losses as losses_mod
+
+    w_ones = jnp.ones((64,), jnp.float32)
+    for vname, vkw in (
+        ("alif-rec", dict(hidden_layer_type="ALIF",
+                          use_recurrent_connection=True)),
+        ("lif-ff", dict(hidden_layer_type="LIF",
+                        use_recurrent_connection=False)),
+    ):
+        for reg_name, reg_obj in (
+            ("l1", losses_mod.L1TotalSpikeCount(1e-4)),
+            ("l2", losses_mod.L2SpikesPerNeuron(1e-4)),
+        ):
+            for n_steps in (12, 24):
+                cfg = SNNConfig(
+                    input_size=784, output_size=10, n_hidden_neurons=128,
+                    int_time_steps=n_steps, **vkw,
+                )
+                cfg_xla = SNNConfig(
+                    input_size=784, output_size=10, n_hidden_neurons=128,
+                    int_time_steps=n_steps, use_pallas=False, **vkw,
+                )
+                params = M.init(cfg, jax.random.PRNGKey(4))
+                enc = EncodeConfig(n_steps=n_steps, use_periods=True)
+
+                def loss_counts(p, cfg=cfg, enc=enc, reg=reg_obj):
+                    logits, counts = M.forward_logits_counts_pixels(
+                        cfg, p, x, enc
+                    )
+                    nll = -jnp.mean(
+                        jax.nn.log_softmax(logits)[jnp.arange(64), y]
+                    )
+                    return nll + reg.from_counts(counts, w_ones)
+
+                def loss_traces(p, cfg=cfg_xla, enc=enc, reg=reg_obj):
+                    trace, hidden = M.apply_pixels(
+                        cfg, p, x, enc, return_hidden=True
+                    )
+                    logits = M.prediction_logits(cfg, trace)
+                    nll = -jnp.mean(
+                        jax.nn.log_softmax(logits)[jnp.arange(64), y]
+                    )
+                    return nll + reg(hidden)
+
+                name = f"head_counts {vname} {reg_name} T={n_steps}"
+                ok &= check(f"{name} loss", jax.jit(loss_counts)(params),
+                            jax.jit(loss_traces)(params), atol=1e-5)
+                gc_ = jax.jit(jax.grad(loss_counts))(params)
+                gt_ = jax.jit(jax.grad(loss_traces))(params)
+                for path, gp in jax.tree_util.tree_leaves_with_path(gc_):
+                    gx = gt_
+                    for kk in path:
+                        gx = gx[kk.key]
+                    ok &= check(
+                        f"{name} grad {jax.tree_util.keystr(path)}", gp, gx,
+                        atol=1e-4,
+                    )
+
     # Fused encode+Izhikevich layer-0 (ops/pallas_fused_izh.py): the
     # model routes Izhikevich first layers through apply_pixels'
     # layer0_fused path; compare against encode-then-apply like above.
@@ -283,6 +346,29 @@ def main():
                 gx = gx[k.key]
             ok &= check(f"{name} grad {jax.tree_util.keystr(path)}", gp, gx,
                         atol=1e-5)
+
+    # uint8 wire parity (serve.py): a uint8 server normalizing on device
+    # (x.astype(f32)/255 inside the compiled program) must produce logits
+    # BIT-equal to a float32 server fed host-normalized x/255 -- the
+    # native leg of the serve.py docstring claim.
+    from snnimageclassification_tpu.serve import InferenceServer
+
+    cfg = SNNConfig(
+        input_size=784, output_size=10, n_hidden_neurons=128,
+        int_time_steps=12, hidden_layer_type="ALIF",
+        use_recurrent_connection=True,
+    )
+    params = M.init(cfg, jax.random.PRNGKey(3))
+    enc = EncodeConfig(n_steps=12)
+    px_u8 = np.asarray(rng.integers(0, 256, (64, 784)), np.uint8)
+    with InferenceServer(cfg, params, batch_size=64,
+                         encode_config=enc) as s_f32:
+        ref_logits = s_f32.submit(px_u8.astype(np.float32) / 255.0).result()
+    with InferenceServer(cfg, params, batch_size=64, encode_config=enc,
+                         input_dtype=np.uint8) as s_u8:
+        u8_logits = s_u8.submit(px_u8).result()
+    ok &= check("uint8 wire == f32/255 server logits", u8_logits, ref_logits,
+                atol=0.0, rtol=0.0)
 
     print("PARITY", "PASS" if ok else "FAIL")
     return 0 if ok else 1

@@ -43,6 +43,7 @@ __all__ = [
     "prediction_logits",
     "forward_logits",
     "forward_logits_pixels",
+    "forward_logits_counts_pixels",
     "param_labels",
 ]
 
@@ -137,6 +138,7 @@ def apply(
     initial_state: Optional[Tuple] = None,
     first_layer_currents: Optional[jax.Array] = None,
     first_layer_output: Optional[jax.Array] = None,
+    return_spike_counts: bool = False,
 ):
     """Simulate the network for ``cfg.int_time_steps`` steps.
 
@@ -144,6 +146,16 @@ def apply(
     the readout trace ``(B, T, output_size)`` (snn.py:218) and
     ``hidden_states`` is ``{layer_name: tuple of (B, T, width) arrays}``
     (snn.py:186-199) when ``return_hidden`` else ``None``.
+
+    ``return_spike_counts`` appends a third return value: a dict
+    ``{layer_name: (B, width) float32}`` of per-sample per-neuron spike
+    counts (``sum_t z_t``) for LIF/ALIF layers -- the reference's
+    ``isinstance(layer, LIFLayer)`` filter (snn.py:268), which excludes
+    Izhikevich and the readout.  Every spiking layer's z trace is already
+    materialized on this path (it feeds the next layer), so the counts
+    are a cheap time reduction, differentiable through the layer kernels'
+    z cotangent; fused whole-network heads get their counts from the
+    dedicated kernel variants instead (forward_logits_counts_pixels).
 
     Schedule: because the reference's ordering is layer-then-time
     (snn.py:209-214), layer ``l``'s input at step ``t`` is layer ``l-1``'s
@@ -186,6 +198,15 @@ def apply(
 
     x_tm = None  # layer outputs are time-major; the raw input is (B, T, F)
     hidden_states = {} if return_hidden else None
+    counts = {} if return_spike_counts else None
+
+    def _collect_counts(name, lcfg, z_tm):
+        if counts is None:
+            return
+        from ..ops.cells import ALIFConfig, LIFConfig
+
+        if type(lcfg) in (LIFConfig, ALIFConfig):
+            counts[name] = jnp.sum(z_tm.astype(jnp.float32), axis=0)
 
     def mm(a, w):
         """a @ w with cfg.matmul_dtype operands, accumulating in the
@@ -203,6 +224,7 @@ def apply(
             # Keep the kernel's trace dtype (possibly bf16): mm() below
             # handles operand dtypes for the next layer's matmul.
             x_tm = first_layer_output
+            _collect_counts(name, lcfg, x_tm)
             continue
         lparams = cparams[name]
         step_fn = STEP_FNS[type(lcfg)]
@@ -225,6 +247,7 @@ def apply(
             x_tm = _fused_mid_layer(
                 cfg, lcfg, lparams, x_tm, w_rec_eff, matmul_dtype
             )
+            _collect_counts(name, lcfg, x_tm)
             continue
         # Input currents for ALL time steps in one MXU matmul.  The
         # readout bias is added per-step inside the cell (snn.py:407).
@@ -243,6 +266,7 @@ def apply(
             # (a caller-supplied initial_state must flow through the XLA
             # scan path: the fused kernels hard-zero their state at t=0)
             x_tm = _pallas_layer_scan(cfg, lcfg, lparams, currents, w_rec_eff)
+            _collect_counts(name, lcfg, x_tm)
             continue
 
         def step(state, i_t, _lcfg=lcfg, _lparams=lparams, _step_fn=step_fn,
@@ -262,8 +286,11 @@ def apply(
                 jnp.swapaxes(leaf, 0, 1).astype(jnp.float32) for leaf in states_tm
             )
         x_tm = out_tm  # next layer consumes this layer's full output trace
+        _collect_counts(name, lcfg, x_tm)
 
     outputs_trace = jnp.swapaxes(x_tm, 0, 1).astype(jnp.float32)  # (B, T, out)
+    if return_spike_counts:
+        return outputs_trace, hidden_states, counts
     return outputs_trace, hidden_states
 
 
@@ -369,6 +396,7 @@ def apply_pixels(
     enc,
     *,
     return_hidden: bool = False,
+    return_spike_counts: bool = False,
 ):
     """Simulate directly from raw pixels ``(B, F)`` with the spike encoding
     inside the model graph.
@@ -391,7 +419,8 @@ def apply_pixels(
     from ..ops.pallas_fused_izh import fused_encode_izh_scan, fused_izh_supported
 
     if not enc.as_timeseries:
-        return apply(cfg, params, pixels, return_hidden=return_hidden)
+        return apply(cfg, params, pixels, return_hidden=return_hidden,
+                     return_spike_counts=return_spike_counts)
 
     first_name, first_cfg = cfg.layer_configs[0]
     encode_on_device_ok = (
@@ -461,6 +490,7 @@ def apply_pixels(
                 return apply(
                     cfg, params, None,
                     return_hidden=return_hidden,
+                    return_spike_counts=return_spike_counts,
                     first_layer_output=z0,
                 )
             alif = type(first_cfg) is ALIFConfig
@@ -483,6 +513,7 @@ def apply_pixels(
             return apply(
                 cfg, params, None,
                 return_hidden=return_hidden,
+                return_spike_counts=return_spike_counts,
                 first_layer_output=z0,
             )
         currents0 = encoded_input_matmul(
@@ -494,6 +525,7 @@ def apply_pixels(
         return apply(
             cfg, params, None,
             return_hidden=return_hidden,
+            return_spike_counts=return_spike_counts,
             first_layer_currents=currents0,
         )
     spikes = encode_spikes(
@@ -509,7 +541,8 @@ def apply_pixels(
     # gemm ~4x slower than paying the HBM round-trip once (profiled on
     # v5e: 93k -> 145k img/s on the flagship).
     spikes = jax.lax.optimization_barrier(spikes)
-    return apply(cfg, params, spikes, return_hidden=return_hidden)
+    return apply(cfg, params, spikes, return_hidden=return_hidden,
+                 return_spike_counts=return_spike_counts)
 
 
 def _head_fusible(cfg: SNNConfig, enc) -> bool:
@@ -616,16 +649,22 @@ def forward_logits_pixels(
 
 
 def _lif_alif_head_call(cfg, first_cfg, last_cfg, lparams0, latencies, w0,
-                        w_out, b_out, enc):
+                        w_out, b_out, enc, counts=False):
     """Dispatch to the LIF/ALIF whole-network head kernel pair.  Every
     array op broadcasts over an optional leading replica axis, so this
     single tail serves both :func:`forward_logits_pixels` (2-D weights)
     and :func:`forward_logits_pixels_stacked` ((S, ...) weights) -- the
-    static ``common`` tuple cannot drift between the two paths."""
+    static ``common`` tuple cannot drift between the two paths.
+
+    ``counts=True`` selects the ``_counts`` kernel variants, returning
+    ``(logits, spike_counts (B, H))`` -- the fused carrier for the spike
+    regularizers (train/losses.py)."""
     from ..ops.cells import ALIFConfig
     from ..ops.pallas_fused import (
         fused_encode_ff_scan_head,
+        fused_encode_ff_scan_head_counts,
         fused_encode_rec_scan_head,
+        fused_encode_rec_scan_head_counts,
     )
 
     matmul_dtype = jnp.dtype(cfg.matmul_dtype_eff)
@@ -644,10 +683,61 @@ def _lif_alif_head_call(cfg, first_cfg, last_cfg, lparams0, latencies, w0,
     w_rec_eff = masked_recurrent(first_cfg, lparams0)
     if w_rec_eff is not None:
         w_rec_eff = w_rec_eff.astype(matmul_dtype)
-        return fused_encode_rec_scan_head(
-            latencies, w0, w_rec_eff, beta, w_out, b_out, *common
+        fn = fused_encode_rec_scan_head_counts if counts \
+            else fused_encode_rec_scan_head
+        return fn(latencies, w0, w_rec_eff, beta, w_out, b_out, *common)
+    fn = fused_encode_ff_scan_head_counts if counts \
+        else fused_encode_ff_scan_head
+    return fn(latencies, w0, beta, w_out, b_out, *common)
+
+
+def forward_logits_counts_pixels(
+    cfg: SNNConfig, params: Params, pixels: jax.Array, enc
+):
+    """Raw pixels ``(B, F)`` -> ``(logits, spike_counts)`` with the
+    encoding inside the graph.
+
+    ``spike_counts`` is ``{layer_name: (B, width) float32}`` of per-sample
+    per-neuron spike counts for LIF/ALIF layers (the reference's
+    ``isinstance(layer, LIFLayer)`` filter, snn.py:268) -- everything the
+    sketched spike regularizers (snn.py:401-408, train/losses.py) need,
+    WITHOUT materializing the (B, T, H) hidden traces.  Head-fusible
+    single-hidden-layer LIF/ALIF models keep the whole-network Pallas
+    kernel pair (the ``_counts`` variants); everything else composes
+    :func:`apply_pixels` with ``return_spike_counts=True`` (the z trace
+    already exists on those paths, so counts are a free time reduction).
+    """
+    from ..ops.cells import IzhikevichConfig
+    from ..ops.encoding import pixels_to_firing_periods
+
+    first_cfg = cfg.layer_configs[0][1]
+    if _head_fusible(cfg, enc) and type(first_cfg) is not IzhikevichConfig:
+        (first_name, first_cfg), (last_name, last_cfg) = cfg.layer_configs
+        latencies = pixels_to_firing_periods(
+            jnp.asarray(pixels, jnp.float32),
+            t_max=float(cfg.int_time_steps),
+            tau=enc.tau,
+            thr=enc.thr,
+            epsilon=enc.epsilon,
         )
-    return fused_encode_ff_scan_head(latencies, w0, beta, w_out, b_out, *common)
+        matmul_dtype = jnp.dtype(cfg.matmul_dtype_eff)
+        lparams0 = params[first_name]
+        w0 = lparams0["w_in"].astype(matmul_dtype)
+        w_out = params[last_name]["w_in"].astype(matmul_dtype)
+        b_out = params[last_name]["b"]
+        logits, counts = _lif_alif_head_call(
+            cfg, first_cfg, last_cfg, lparams0, latencies, w0, w_out, b_out,
+            enc, counts=True,
+        )
+        return logits, {first_name: counts}
+    # Izhikevich-first-layer head configs land here too: the layer-0 fused
+    # Izhikevich kernel materializes z, and the reference's count filter
+    # excludes Izhikevich anyway (its counts dict entry simply never
+    # exists, matching get_spikes_count_per_neuron's isinstance filter).
+    trace, _, counts = apply_pixels(
+        cfg, params, pixels, enc, return_spike_counts=True
+    )
+    return prediction_logits(cfg, trace), counts
 
 
 def stacked_head_fusible(cfg: SNNConfig, enc) -> bool:

@@ -57,6 +57,8 @@ __all__ = [
     "fused_encode_ff_scan",
     "fused_encode_rec_scan_head",
     "fused_encode_ff_scan_head",
+    "fused_encode_rec_scan_head_counts",
+    "fused_encode_ff_scan_head_counts",
     "fused_supported",
     "fused_head_supported",
 ]
@@ -163,12 +165,14 @@ def _spike_row(lat, step, n_steps: int, use_periods: bool):
 # ---------------------------------------------------------------------------
 def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
                       alpha, rho, threshold, store_delta, head=False,
-                      kappa=0.0, ilv=1, t_axis=1, store_traces=True):
+                      kappa=0.0, ilv=1, t_axis=1, store_traces=True,
+                      store_counts=False):
     if has_w:
         lat_ref, w_in_ref, w_rec_ref, beta_ref, *rest = refs
     else:
         lat_ref, w_in_ref, beta_ref, *rest = refs
         w_rec_ref = None
+    cnt_ref = None
     if head:
         w_out_ref, b_out_ref, *rest = rest
         # The head writes NO z trace (no next layer consumes it; the
@@ -186,6 +190,13 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
         out_refs = rest[:n_trace]
         rest = rest[n_trace:]
         logits_ref, tstar_ref, *rest = rest
+        if store_counts:
+            # Per-sample per-neuron spike counts (sum_t z): the fused-path
+            # carrier for the reference's sketched spike regularizers
+            # (snn.py:401-408) -- z is already in VMEM, so emitting the
+            # (B, H) count costs one add per step, no extra HBM traffic
+            # beyond the count tile itself.
+            cnt_ref, *rest = rest
         v_scr, a_scr, z_scr, vr_scr, m_scr, ts_scr = rest
         z_ref = v_ref = None
         if not store_traces:
@@ -225,6 +236,8 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
             vr_scr[:] = jnp.zeros_like(vr_scr)
             m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
             ts_scr[:] = jnp.zeros_like(ts_scr)
+        if cnt_ref is not None:
+            cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
     lat = lat_ref[:]
     w_in = w_in_ref[:]
@@ -321,6 +334,12 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
     v_scr[:] = v_c
     a_scr[:] = a_c
     z_scr[:] = z_prev
+    if cnt_ref is not None:
+        # f32 accumulation: counts reach T (<= a few hundred) exactly.
+        acc = zs[0].astype(jnp.float32)
+        for zr in zs[1:]:
+            acc = acc + zr.astype(jnp.float32)
+        cnt_ref[:] += acc
     if head:
         # Readout leaky integrator + running first-argmax max-over-time
         # (spiking_layers.py:402-408; snn.py:228 with torch.max tie
@@ -433,7 +452,7 @@ def _shapes(B, w_in, F, K, head=False, recurrent=True, n_out=0):
 def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
                     alpha, rho, threshold, store_delta, interpret,
                     lat_prepadded=None, w_out=None, b_out=None, kappa=0.0,
-                    store_traces=True):
+                    store_traces=True, store_counts=False):
     has_w = w_rec is not None
     head = w_out is not None
     stacked = w_in.ndim == 3  # leading replica axis (see _stack_spec)
@@ -485,6 +504,7 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
         alif=alif, has_w=has_w, alpha=alpha, rho=rho, threshold=threshold,
         store_delta=store_delta, head=head, kappa=kappa, ilv=_ilv_for(bb),
         t_axis=2 if stacked else 1, store_traces=store_traces,
+        store_counts=store_counts,
     )
     in_specs = [lat_spec, w_in_spec] + ([w_rec_spec] if has_w else []) + [beta_spec]
     args = [lat, w_in_p] + ([_pad2(w_rec, h_pad, h_pad)] if has_w else []) + [beta_s]
@@ -509,6 +529,12 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
             jax.ShapeDtypeStruct((Bp, o_pad), jnp.float32),
             jax.ShapeDtypeStruct((Bp, o_pad), jnp.int32),
         ]
+        if store_counts:
+            out_specs += [
+                pl.BlockSpec((bb, h_pad), lambda b, t: (b, 0),
+                             memory_space=pltpu.VMEM)
+            ]
+            out_shape += [jax.ShapeDtypeStruct((Bp, h_pad), jnp.float32)]
         scratch += [
             pltpu.VMEM((bb, o_pad), jnp.float32),
             pltpu.VMEM((bb, o_pad), jnp.float32),
@@ -542,6 +568,9 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
         O = w_out.shape[-1]
         logits = outs[n_trace][..., :B, :O]
         tstar = outs[n_trace + 1][..., :B, :O]
+        if store_counts:
+            counts = outs[n_trace + 2][..., :B, :H]
+            return traces, lat, logits, tstar, counts
         return traces, lat, logits, tstar
     return traces, lat
 
@@ -551,12 +580,19 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
 # ---------------------------------------------------------------------------
 def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
                       alpha, rho, threshold, gamma, spike_func,
-                      store_delta, head=False, kappa=0.0, ilv=1, t_axis=1):
+                      store_delta, head=False, kappa=0.0, ilv=1, t_axis=1,
+                      has_gcnt=False):
     n_res = 1 if (store_delta or not alif) else 2
     i = 0
+    gcnt_ref = None
     if head:
         g_ref = refs[i]; i += 1
         ts_ref = refs[i]; i += 1
+        if has_gcnt:
+            # Cotangent of the per-sample spike-count output: counts =
+            # sum_t z_t, so d(counts)/dz_t == I and the (bb, h) count
+            # cotangent adds to dz at EVERY step of the block.
+            gcnt_ref = refs[i]; i += 1
         gz_ref = None
     else:
         gz_ref = refs[i]; i += 1
@@ -636,6 +672,8 @@ def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=f32,
         ).reshape(K_, bb_, H_)
+        if gcnt_ref is not None:
+            dz_all = dz_all + gcnt_ref[:].astype(f32)[None]
         # z recomputed from the delta residual (sign-exact in bf16).
         z_res = (res_refs[0][:].astype(f32) >= 0).astype(f32)
         zb_row = jnp.where(
@@ -766,7 +804,8 @@ def _fused_bwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
 def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
                     use_periods, alif, alpha, rho, threshold, gamma,
                     spike_func, store_delta, interpret,
-                    g_logits=None, tstar=None, w_out=None, kappa=0.0):
+                    g_logits=None, tstar=None, w_out=None, kappa=0.0,
+                    g_counts=None):
     has_w = w_rec is not None
     head = w_out is not None
     stacked = w_in.ndim == 3  # leading replica axis (see _stack_spec)
@@ -828,7 +867,7 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
         alif=alif, has_w=has_w, alpha=alpha, rho=rho, threshold=threshold,
         gamma=gamma, spike_func=spike_func, store_delta=store_delta,
         head=head, kappa=kappa, ilv=_ilv_for(bb),
-        t_axis=2 if stacked else 1,
+        t_axis=2 if stacked else 1, has_gcnt=g_counts is not None,
     )
     in_specs = (
         [rev] * len(operands) + [zb, lat_spec, w_in_spec]
@@ -860,8 +899,15 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
         ]
         gl = jnp.pad(g_logits.astype(jnp.float32), pad_bo)
         ts_p = jnp.pad(tstar, pad_bo)
-        in_specs = [head_spec, head_spec] + in_specs
-        args = [gl, ts_p] + args
+        if g_counts is not None:
+            gcnt_spec = pl.BlockSpec((bb, h_pad), lambda b, t: (b, 0),
+                                     memory_space=pltpu.VMEM)
+            # Zero-padded rows/cols contribute zero count cotangent.
+            in_specs = [head_spec, head_spec, gcnt_spec] + in_specs
+            args = [gl, ts_p, padbh(g_counts.astype(jnp.float32))] + args
+        else:
+            in_specs = [head_spec, head_spec] + in_specs
+            args = [gl, ts_p] + args
         w_out_spec = pl.BlockSpec((h_pad, o_pad), lambda b, t: (0, 0),
                                   memory_space=pltpu.VMEM)
         in_specs.append(w_out_spec)
@@ -1177,3 +1223,154 @@ def _fused_ff_head_bwd(n_steps, use_periods, alif, alpha, rho, threshold,
 
 
 fused_encode_ff_scan_head.defvjp(_fused_ff_head_fwd, _fused_ff_head_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Head + spike-count variants: (logits, counts) in one kernel pair
+# ---------------------------------------------------------------------------
+# The reference's sketched spike regularizers (snn.py:401-408) need only
+# per-neuron spike COUNTS, not the full (B, T, H) z trace -- so the fused
+# whole-network path stays available under regularized training: the
+# forward emits counts[b, h] = sum_t z_t[b, h] alongside the logits (z is
+# already in VMEM; the count costs one add per step), and the backward
+# adds the count cotangent to dz at every step (d counts / d z_t == I).
+# Without these, reg_fn forced return_hidden=True -> the XLA trace path,
+# measured 7.9x slower than the fused path on the flagship.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=HEAD_REC_STATICS)
+def fused_encode_rec_scan_head_counts(
+    latencies: jax.Array,
+    w_in: jax.Array,
+    w_rec: jax.Array,
+    beta,
+    w_out: jax.Array,
+    b_out: jax.Array,
+    n_steps: int,
+    use_periods: bool,
+    alif: bool,
+    alpha: float,
+    rho: float,
+    threshold: float,
+    gamma: float,
+    kappa: float,
+    spike_func: SpikeFuncType = SpikeFuncType.FastSigmoid,
+    interpret: bool = False,
+):
+    """Like :func:`fused_encode_rec_scan_head` but returns
+    ``(logits (B, O), spike_counts (B, H))`` where
+    ``spike_counts[b, h] = sum_t z_t[b, h]`` (float32, exact integers).
+
+    Differentiable in both outputs: the counts cotangent feeds the same
+    surrogate-BPTT chain as the logits cotangent (quirk Q3's dead
+    threshold/beta cotangents included)."""
+    _, _, logits, _, counts = _fused_fwd_call(
+        latencies, w_in, w_rec, beta, T=n_steps, use_periods=use_periods,
+        alif=alif, alpha=alpha, rho=rho, threshold=threshold,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret, w_out=w_out, b_out=b_out, kappa=kappa,
+        store_traces=False, store_counts=True,
+    )
+    return logits, counts
+
+
+def _fused_rec_head_cnt_fwd(latencies, w_in, w_rec, beta, w_out, b_out,
+                            n_steps, use_periods, alif, alpha, rho,
+                            threshold, gamma, kappa, spike_func, interpret):
+    traces, lat, logits, tstar, counts = _fused_fwd_call(
+        latencies, w_in, w_rec, beta, T=n_steps, use_periods=use_periods,
+        alif=alif, alpha=alpha, rho=rho, threshold=threshold,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret, w_out=w_out, b_out=b_out, kappa=kappa,
+        store_counts=True,
+    )
+    return (logits, counts), (traces, lat, latencies.shape, w_in, w_rec,
+                              beta, w_out, tstar)
+
+
+def _fused_rec_head_cnt_bwd(n_steps, use_periods, alif, alpha, rho,
+                            threshold, gamma, kappa, spike_func, interpret,
+                            res, g):
+    g_logits, g_counts = g
+    traces, lat, lat_shape, w_in, w_rec, beta, w_out, tstar = res
+    g_w_in, g_w_rec, g_w_out, g_b = _fused_bwd_call(
+        None, tuple(traces), None, lat, w_in, w_rec, beta, T=n_steps,
+        use_periods=use_periods, alif=alif, alpha=alpha, rho=rho,
+        threshold=threshold, gamma=gamma, spike_func=spike_func,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret, g_logits=g_logits, tstar=tstar, w_out=w_out,
+        kappa=kappa, g_counts=g_counts,
+    )
+    g_lat = np.zeros(lat_shape, dtype=jax.dtypes.float0)
+    return (g_lat, g_w_in, g_w_rec, jnp.zeros_like(jnp.asarray(beta)),
+            g_w_out, g_b)
+
+
+fused_encode_rec_scan_head_counts.defvjp(
+    _fused_rec_head_cnt_fwd, _fused_rec_head_cnt_bwd
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=HEAD_FF_STATICS)
+def fused_encode_ff_scan_head_counts(
+    latencies: jax.Array,
+    w_in: jax.Array,
+    beta,
+    w_out: jax.Array,
+    b_out: jax.Array,
+    n_steps: int,
+    use_periods: bool,
+    alif: bool,
+    alpha: float,
+    rho: float,
+    threshold: float,
+    gamma: float,
+    kappa: float,
+    spike_func: SpikeFuncType = SpikeFuncType.FastSigmoid,
+    interpret: bool = False,
+):
+    """Feedforward head+counts variant: no recurrent weights."""
+    _, _, logits, _, counts = _fused_fwd_call(
+        latencies, w_in, None, beta, T=n_steps, use_periods=use_periods,
+        alif=alif, alpha=alpha, rho=rho, threshold=threshold,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret, w_out=w_out, b_out=b_out, kappa=kappa,
+        store_traces=False, store_counts=True,
+    )
+    return logits, counts
+
+
+def _fused_ff_head_cnt_fwd(latencies, w_in, beta, w_out, b_out, n_steps,
+                           use_periods, alif, alpha, rho, threshold, gamma,
+                           kappa, spike_func, interpret):
+    traces, lat, logits, tstar, counts = _fused_fwd_call(
+        latencies, w_in, None, beta, T=n_steps, use_periods=use_periods,
+        alif=alif, alpha=alpha, rho=rho, threshold=threshold,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret, w_out=w_out, b_out=b_out, kappa=kappa,
+        store_counts=True,
+    )
+    return (logits, counts), (traces, lat, latencies.shape, w_in, beta,
+                              w_out, tstar)
+
+
+def _fused_ff_head_cnt_bwd(n_steps, use_periods, alif, alpha, rho,
+                           threshold, gamma, kappa, spike_func, interpret,
+                           res, g):
+    g_logits, g_counts = g
+    traces, lat, lat_shape, w_in, beta, w_out, tstar = res
+    g_w_in, _, g_w_out, g_b = _fused_bwd_call(
+        None, tuple(traces), None, lat, w_in, None, beta, T=n_steps,
+        use_periods=use_periods, alif=alif, alpha=alpha, rho=rho,
+        threshold=threshold, gamma=gamma, spike_func=spike_func,
+        store_delta=alif and _use_delta_residual(spike_func),
+        interpret=interpret, g_logits=g_logits, tstar=tstar, w_out=w_out,
+        kappa=kappa, g_counts=g_counts,
+    )
+    g_lat = np.zeros(lat_shape, dtype=jax.dtypes.float0)
+    return (g_lat, g_w_in, jnp.zeros_like(jnp.asarray(beta)), g_w_out, g_b)
+
+
+fused_encode_ff_scan_head_counts.defvjp(
+    _fused_ff_head_cnt_fwd, _fused_ff_head_cnt_bwd
+)

@@ -710,6 +710,49 @@ class EnsembleTrainer:
             total += len(np.asarray(y))
         return correct / max(total, 1)
 
+    def serve(self, *, encode_config: Optional[EncodeConfig] = None,
+              **server_kwargs):
+        """An :class:`~..serve.InferenceServer` over the whole ensemble.
+
+        The server's compiled per-batch program is the soft-voting forward:
+        every replica's logits (ONE stacked Pallas kernel pair where the
+        config fuses, unrolled fused calls elsewhere -- the same dispatch
+        logic as :meth:`predict_logits`), softmaxed and seed-averaged on
+        device.  Each request's result rows are therefore the ensemble's
+        ``(B, n_classes)`` mean class PROBABILITIES (not raw logits);
+        ``classify`` argmaxes them exactly like :meth:`predict`'s default
+        ``mean_proba`` method.
+
+        ``server_kwargs`` pass through to ``InferenceServer`` (batch_size,
+        max_delay_s, input_dtype, ...).  Call after ``load_best()`` to
+        serve the per-seed best snapshots.
+        """
+        from ..serve import InferenceServer
+
+        cfg = self.cfg
+        enc = encode_config or EncodeConfig(n_steps=cfg.int_time_steps)
+        n_rep = len(self.seeds)
+        use_stacked = model_lib.stacked_head_fusible(cfg, enc)
+
+        def soft_voting_forward(params, x):
+            if use_stacked:
+                logits = model_lib.forward_logits_pixels_stacked(
+                    cfg, params, x, enc
+                )
+            else:
+                logits = jnp.stack([
+                    model_lib.forward_logits_pixels(
+                        cfg, jax.tree.map(lambda a, i=i: a[i], params), x, enc
+                    )
+                    for i in range(n_rep)
+                ])
+            return jnp.mean(jax.nn.softmax(logits, axis=-1), axis=0)
+
+        return InferenceServer(
+            cfg, self.params, encode_config=enc,
+            forward_fn=soft_voting_forward, **server_kwargs,
+        )
+
     # -- fit -------------------------------------------------------------------
     def fit(
         self,

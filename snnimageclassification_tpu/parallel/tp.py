@@ -178,13 +178,20 @@ def _local_init_state(lcfg, batch: int, dtype):
     return INIT_STATE_FNS[type(lcfg)](local_cfg, batch, dtype)
 
 
-def _tp_forward_local(cfg: SNNConfig, params, x: jax.Array, enc) -> jax.Array:
+def _tp_forward_local(cfg: SNNConfig, params, x: jax.Array, enc,
+                      collect_counts: bool = False):
     """Shard-local forward: local batch x local neurons -> full logits.
 
     Runs INSIDE shard_map.  ``x`` is the local (B_loc, F) pixel / (B_loc,
     T, F) input shard; ``params`` leaves are the local shards per
     :func:`tp_param_specs`.  Returns (B_loc, n_out) logits, identical on
     every model shard.
+
+    ``collect_counts``: additionally return ``{layer: (B_loc, H_loc)}``
+    per-sample spike counts of the LOCAL neuron shard for LIF/ALIF layers
+    (the spike-regularizer carrier; reference filter snn.py:268 excludes
+    Izhikevich) -- summed from the pre-gather local z trace, so no extra
+    communication.
     """
     if enc is not None:
         x = encode_spikes(
@@ -198,6 +205,7 @@ def _tp_forward_local(cfg: SNNConfig, params, x: jax.Array, enc) -> jax.Array:
     x = model_lib.format_inputs(cfg, x, jnp.float32)  # (B_loc, T, F)
     batch = x.shape[0]
 
+    counts = {}
     z_full_tm = None  # previous layer's gathered (T, B_loc, H_prev) trace
     for name, lcfg in cfg.layer_configs:
         lparams = params[name]
@@ -211,7 +219,8 @@ def _tp_forward_local(cfg: SNNConfig, params, x: jax.Array, enc) -> jax.Array:
             state0 = _local_init_state_full(lcfg, batch, x.dtype)
             _, out_tm = jax.lax.scan(ro_step, state0, cur_tm)
             trace = jnp.swapaxes(out_tm, 0, 1)  # (B_loc, T, n_out)
-            return model_lib.prediction_logits(cfg, trace)
+            logits = model_lib.prediction_logits(cfg, trace)
+            return (logits, counts) if collect_counts else logits
 
         # Hidden layer: column-sharded input matmul for all steps at once.
         if z_full_tm is None:
@@ -245,6 +254,8 @@ def _tp_forward_local(cfg: SNNConfig, params, x: jax.Array, enc) -> jax.Array:
         _, z_tm_loc = jax.lax.scan(
             step, _local_init_state(lcfg, batch, x.dtype), cur_tm
         )
+        if collect_counts and type(lcfg) in (LIFConfig, ALIFConfig):
+            counts[name] = jnp.sum(z_tm_loc.astype(jnp.float32), axis=0)
         # Next layer's columns contract every input row: gather the trace.
         z_full_tm = jax.lax.all_gather(z_tm_loc, MODEL_AXIS, axis=2, tiled=True)
 
@@ -277,15 +288,59 @@ def make_tp_forward(cfg: SNNConfig, mesh: Mesh, enc=None):
     return jax.jit(fwd)
 
 
-def _tp_loss_logits_local(cfg: SNNConfig, params, x, y, w, enc):
-    logits = _tp_forward_local(cfg, params, x, enc)
+def _tp_loss_logits_local(cfg: SNNConfig, params, x, y, w, enc, reg=None):
+    if reg is not None:
+        logits, counts = _tp_forward_local(
+            cfg, params, x, enc, collect_counts=True
+        )
+    else:
+        logits = _tp_forward_local(cfg, params, x, enc)
     per = optax.softmax_cross_entropy_with_integer_labels(logits, y)
     # psum over BOTH axes: the model-axis double count cancels in the
     # ratio, and it keeps the global function (hence autodiff cotangents
     # for every replicated leaf) well-defined under check_vma=False.
     num = jax.lax.psum(jnp.sum(per * w), (DATA_AXIS, MODEL_AXIS))
     den = jax.lax.psum(jnp.sum(w), (DATA_AXIS, MODEL_AXIS))
-    return num / jnp.maximum(den, 1.0), logits
+    loss = num / jnp.maximum(den, 1.0)
+    if reg is not None:
+        loss = loss + _tp_reg_term(cfg, reg, counts, w)
+    return loss, logits
+
+
+def _tp_reg_term(cfg: SNNConfig, reg, counts, w):
+    """Shard-aware spike regularizer (losses.L1TotalSpikeCount /
+    L2SpikesPerNeuron semantics) from shard-local counts.
+
+    Every (sample, neuron) count element lives on exactly one (data,
+    model) shard, so:
+
+    * l1 = scale * sum_{b,h} w_b c[b,h]  -> psum the local partial over
+      BOTH axes (no double counting);
+    * l2 = scale * mean_h (sum_b w_b c[b,h])^2 -> the per-neuron global-
+      batch count needs a psum over "data" BEFORE squaring; the neuron
+      mean is sum over local h, psum'd over "model", / H_global.
+
+    Both reductions are identical on every shard, so the loss stays
+    replicated (out_specs P()).
+    """
+    if reg.kind == "l1":
+        local = sum(
+            jnp.sum(w @ c.astype(jnp.float32)) for c in counts.values()
+        ) if counts else jnp.asarray(0.0)
+        return reg.scale * jax.lax.psum(local, (DATA_AXIS, MODEL_AXIS))
+    if reg.kind != "l2":
+        raise ValueError(
+            f"unsupported count regularizer kind {reg.kind!r} under tensor "
+            "parallelism (use losses.L1TotalSpikeCount / L2SpikesPerNeuron)"
+        )
+    widths = {name: lcfg.output_size for name, lcfg in cfg.layer_configs}
+    term = jnp.asarray(0.0)
+    for name, c in counts.items():
+        c_h = jax.lax.psum(w @ c.astype(jnp.float32), DATA_AXIS)  # (H_loc,)
+        term = term + jax.lax.psum(
+            jnp.sum(c_h ** 2), MODEL_AXIS
+        ) / widths[name]
+    return reg.scale * term
 
 
 def _tp_loss_local(cfg: SNNConfig, params, x, y, w, enc) -> jax.Array:
@@ -309,7 +364,7 @@ def make_tp_loss_fn(cfg: SNNConfig, mesh: Mesh, enc=None):
     )
 
 
-def make_tp_loss_logits_fn(cfg: SNNConfig, mesh: Mesh, enc=None):
+def make_tp_loss_logits_fn(cfg: SNNConfig, mesh: Mesh, enc=None, reg=None):
     """``(params, x, y, w) -> (loss, logits)`` under shard_map.
 
     Same weighted-NLL loss as :func:`make_tp_loss_fn` (exactly the
@@ -317,10 +372,16 @@ def make_tp_loss_logits_fn(cfg: SNNConfig, mesh: Mesh, enc=None):
     ``(B, n_out)`` logits for prediction/accuracy -- the Trainer's eval
     path needs both from one forward.  Differentiable via ``has_aux=True``
     (the loss output carries the gradient; logits are aux).
+
+    ``reg``: optional count-based spike regularizer object
+    (``losses.L1TotalSpikeCount`` / ``L2SpikesPerNeuron``); its term is
+    computed shard-aware from the local spike counts (:func:`_tp_reg_term`)
+    and added to the loss -- equal to the single-device
+    ``reg.from_counts`` value.
     """
     _validate(cfg, mesh)
     return jax.shard_map(
-        partial(_tp_loss_logits_local, cfg, enc=enc),
+        partial(_tp_loss_logits_local, cfg, enc=enc, reg=reg),
         mesh=mesh,
         in_specs=_in_specs(cfg, 3),
         out_specs=(P(), P(DATA_AXIS)),

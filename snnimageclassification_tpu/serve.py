@@ -180,8 +180,9 @@ class InferenceServer:
         ``(params, x_f32) -> (batch, n_out)`` function (applied AFTER the
         wire normalization below).  Default is the single-model
         pixels->logits forward (``models/snn.py:forward_logits_pixels``);
-        ``EnsembleTrainer.serve`` passes the seed-averaged soft-voting
-        probability forward over its stacked replicas.
+        ``EnsembleTrainer.serve`` (parallel/ensemble.py) passes the
+        seed-averaged soft-voting probability forward over its stacked
+        replicas; any pure function with the same signature works.
     input_dtype, input_scale:
         Wire format.  Host-streamed serving is TRANSFER-bound on
         relay-attached TPUs (the f32 pixel upload dominates the batch),
@@ -232,7 +233,14 @@ class InferenceServer:
             )
         if input_scale is None:
             input_scale = 255.0 if self._in_dtype == np.uint8 else 1.0
-        self.input_scale = float(input_scale)
+        input_scale = float(input_scale)
+        if not np.isfinite(input_scale) or input_scale <= 0.0:
+            # A zero/negative/NaN scale would compile fine and silently
+            # produce inf/NaN logits on every request; fail at construction.
+            raise ValueError(
+                f"input_scale must be finite and > 0, got {input_scale}"
+            )
+        self.input_scale = input_scale
         enc, scale, in_f32 = self.enc, self.input_scale, (
             self._in_dtype == np.dtype(np.float32) and self.input_scale == 1.0
         )

@@ -145,6 +145,8 @@ def train_with_params(
             for k in dataloaders
         },
         checkpoints_name=checkpoints_name,
+        n_samples={k: dataloaders[k].n_samples for k in dataloaders},
+        data_source=dataloaders["train"].source,
     )
 
 
@@ -193,6 +195,8 @@ def _train_ensemble_with_params(
         },
         checkpoints_name=checkpoints_name,
         seeds=tuple(seeds),
+        n_samples={k: dataloaders[k].n_samples for k in dataloaders},
+        data_source=dataloaders["train"].source,
     )
 
 

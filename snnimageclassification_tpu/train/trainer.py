@@ -323,16 +323,34 @@ class Trainer:
         self.async_checkpointing = True
         self._ckpt_thread = None
 
+    def _reg_count_based(self) -> bool:
+        """A reg_fn exposing ``from_counts`` (train/losses.py
+        L1TotalSpikeCount / L2SpikesPerNeuron) trains on per-neuron spike
+        counts instead of full hidden traces -- the fused-kernel path."""
+        return self.reg_fn is not None and hasattr(self.reg_fn, "from_counts")
+
     def _check_inside_shardmap_loss(self):
         """TP/PP compute the weighted-NLL loss inside shard_map
         (parallel/tp.py, parallel/pp.py); custom criteria and trace-based
-        regularizers need a data-only mesh."""
+        regularizers need a data-only mesh.  COUNT-based regularizers
+        (losses.L1TotalSpikeCount / L2SpikesPerNeuron) are supported under
+        tensor parallelism: the TP forward emits shard-local spike counts
+        and the reg term is psum'd over the mesh (parallel/tp.py)."""
         if self.reg_fn is not None:
-            raise ValueError(
-                "reg_fn needs the full hidden traces, which the tensor-/"
-                "pipeline-parallel paths keep sharded; use a data-only "
-                "mesh for spike regularization"
+            tp_reg_ok = (
+                self._tp
+                and not self._pp
+                and self._reg_count_based()
+                and getattr(self.reg_fn, "kind", None) in ("l1", "l2")
             )
+            if not tp_reg_ok:
+                raise ValueError(
+                    "trace-based reg_fn needs the full hidden traces, which "
+                    "the tensor-/pipeline-parallel paths keep sharded; use "
+                    "a data-only mesh, or (under TP) a count-based "
+                    "regularizer (losses.L1TotalSpikeCount / "
+                    "L2SpikesPerNeuron)"
+                )
         if self.criterion is not default_criterion:
             raise ValueError(
                 "tensor/pipeline parallelism computes the weighted-NLL "
@@ -494,10 +512,26 @@ class Trainer:
         "data" axis; the gradient all-reduce is inserted by GSPMD.
         """
         cfg, criterion, reg_fn = self.cfg, self.criterion, self.reg_fn
+        count_based = self._reg_count_based()
 
         def loss_fn(params, x, y, w):
-            return_hidden = reg_fn is not None
-            if return_hidden:
+            if reg_fn is not None and count_based:
+                # Count-based regularizers (train/losses.py
+                # L1TotalSpikeCount / L2SpikesPerNeuron) need only the
+                # per-sample per-neuron spike counts -- the count-emitting
+                # forward keeps the fused Pallas kernels engaged (the
+                # trace path below is ~8x slower on the flagship).
+                # Padding-row exactness: from_counts weighs by w.
+                logits, spike_counts = model_lib.forward_logits_counts_pixels(
+                    cfg, params, x, enc
+                )
+                return (
+                    criterion(logits, y, w) + reg_fn.from_counts(
+                        spike_counts, w
+                    ),
+                    logits,
+                )
+            if reg_fn is not None:
                 trace, hidden = model_lib.apply_pixels(
                     cfg, params, x, enc, return_hidden=True
                 )
@@ -540,7 +574,8 @@ class Trainer:
             # enc=None path IS that semantics (format_inputs repeats 2-D
             # inputs over T), so drop the encoder instead of spike-encoding.
             loss_fn = make_tp_loss_logits_fn(
-                cfg, self.mesh, enc if enc.as_timeseries else None
+                cfg, self.mesh, enc if enc.as_timeseries else None,
+                reg=reg_fn if count_based else None,
             )
         elif self._pp:
             # Pipeline parallelism: GPipe schedule inside shard_map, one
@@ -690,6 +725,79 @@ class Trainer:
             )
             return params, opt_state, host_repl(outs)
 
+        # Early-stopping block: the plateau decision (quirk Q6,
+        # snn.py:272-278 -- all successive |diffs| of the last `patience`
+        # val losses < tol, INCLUDING the underfull-window behavior where
+        # fewer than 2 recorded losses yield an empty diff and np.all([])
+        # == True) runs ON DEVICE inside the scan.  Once stopped, the
+        # remaining epochs of the block take a lax.cond skip branch
+        # (params/opt frozen, ~zero compute) and are flagged so the host
+        # writes neither history nor checkpoint files for them.  This
+        # lifts the round-3 restriction that early stopping forced the
+        # per-epoch fit path (one dispatch + ~2 host syncs per epoch).
+        #
+        # `win` is the rolling (patience,) window of the last val losses
+        # (host-initialized from the existing history, so resume
+        # semantics match); `nv` counts how many slots are real.
+        # patience is encoded in win's SHAPE, so a different
+        # early_stopping_patience just compiles a new program.
+        def train_block_es_fn(params, opt_state, win, nv, x_tr, y_tr,
+                              ti, tw, x_va, y_va, vi, vw):
+            patience = win.shape[0]
+            tol = 1e-2  # _check_early_stopping's default (snn.py:272)
+
+            def epoch_body(carry, xs):
+                p, o, win, nv, stopped = carry
+                eti, etw, evi, evw = xs
+
+                def run(operand):
+                    p, o = operand
+                    p2, o2, tr_losses = train_epoch_fn(
+                        p, o, x_tr, y_tr, eti, etw
+                    )
+                    va_losses, corr, tot = eval_epoch_fn(
+                        p2, x_va, y_va, evi, evw
+                    )
+                    return (p2, o2, jnp.mean(tr_losses),
+                            jnp.mean(va_losses), corr, tot)
+
+                def skip(operand):
+                    p, o = operand
+                    zero = jnp.zeros((), jnp.float32)
+                    return p, o, zero, zero, zero, zero
+
+                p, o, trm, vam, corr, tot = jax.lax.cond(
+                    stopped, skip, run, (p, o)
+                )
+                ran = jnp.logical_not(stopped)
+                win = jnp.where(
+                    stopped, win, jnp.concatenate([win[1:], vam[None]])
+                )
+                nv = jnp.where(stopped, nv,
+                               jnp.minimum(nv + 1, patience))
+                # Pair (i, i+1) of the window is real iff slot i is real
+                # (slots >= patience - nv hold recorded losses); an
+                # underfull window has no real pairs -> all([]) == True.
+                pair_real = jnp.arange(patience - 1) >= (patience - nv)
+                plateau = jnp.all(
+                    (jnp.abs(jnp.diff(win)) < tol) | ~pair_real
+                )
+                stopped = stopped | (ran & plateau)
+                snap = _pack_leaves(
+                    [l for l in jax.tree_util.tree_leaves((p, o)) if l.size]
+                )
+                return (p, o, win, nv, stopped), (
+                    trm, vam, corr, tot, ran.astype(jnp.float32),
+                    stopped.astype(jnp.float32), snap,
+                )
+
+            (params, opt_state, *_), outs = jax.lax.scan(
+                epoch_body,
+                (params, opt_state, win, nv, jnp.asarray(False)),
+                (ti, tw, vi, vw),
+            )
+            return params, opt_state, host_repl(outs)
+
         if self.mesh is None or self._tp or self._pp:
             # TP/PP: params keep their strategy's param-spec shardings
             # through the scan (the shard_mapped step pins them); the
@@ -697,6 +805,7 @@ class Trainer:
             train_epoch = jax.jit(train_epoch_fn, donate_argnums=(0, 1))
             eval_epoch = jax.jit(eval_epoch_fn)
             train_block = jax.jit(train_block_fn, donate_argnums=(0, 1))
+            train_block_es = jax.jit(train_block_es_fn, donate_argnums=(0, 1))
         else:
             repl = replicated(self.mesh)
             train_epoch = jax.jit(
@@ -716,7 +825,14 @@ class Trainer:
                 out_shardings=(repl, repl, repl),
                 donate_argnums=(0, 1),
             )
-        return train_step, eval_step, train_epoch, eval_epoch, train_block
+            train_block_es = jax.jit(
+                train_block_es_fn,
+                in_shardings=(repl,) * 12,
+                out_shardings=(repl, repl, repl),
+                donate_argnums=(0, 1),
+            )
+        return (train_step, eval_step, train_epoch, eval_epoch, train_block,
+                train_block_es)
 
     def _prep_batch(self, x: np.ndarray, y: np.ndarray, target: int = 0):
         """Pad to ``target`` rows (the loader's nominal batch size) and to
@@ -854,10 +970,13 @@ class Trainer:
         ``epoch_block``: run K train+val epochs per device dispatch (the
         relay-latency amortization on top of the whole-epoch scan; see
         ``_build_steps``).  ``None`` auto-picks 8 when the dataset is
-        device-resident and early stopping is off; pass 1 to force the
-        per-epoch path.  Identical math, batch order, loss history, and
-        per-epoch checkpoint files; early stopping needs a per-epoch host
-        decision, so it always uses the per-epoch path.
+        device-resident; pass 1 to force the per-epoch path.  Identical
+        math, batch order, loss history, and per-epoch checkpoint files.
+        Early stopping composes with the block: the plateau decision
+        (quirk Q6, incl. the underfull-window stop) is computed ON DEVICE
+        inside the block scan and post-stop epochs take a frozen skip
+        branch, so the stop epoch, history, and checkpoint files are
+        identical to the per-epoch path (tests/test_epoch_block.py).
 
         ``checkpoint_every``: write checkpoint files only for every Nth
         epoch, the final epoch, and the global-best epoch (whose packed
@@ -935,7 +1054,6 @@ class Trainer:
         block = 8 if epoch_block is None else int(epoch_block)
         if (
             block > 1
-            and not early_stopping
             and self._epoch_eligible(train_dataloader)
             and self._epoch_eligible(val_dataloader)
             # The block program bakes ONE encode config for both phases;
@@ -943,9 +1061,16 @@ class Trainer:
             # train_epochs), so mixed-config fits must use it.
             and train_dataloader.encode_config == val_dataloader.encode_config
         ):
+            # Early stopping runs blocked too: the plateau flag is
+            # computed on device inside the block scan (train_block_es in
+            # _build_steps) and post-stop epochs take a frozen skip
+            # branch -- identical stop epoch and history to the per-epoch
+            # path at blocked-fit throughput.
             return self._fit_blocked(
                 train_dataloader, val_dataloader, start_epoch, nb_epochs,
                 block, verbose, p_bar_position, p_bar_leave, every,
+                early_stopping=early_stopping,
+                patience=early_stopping_patience,
             )
 
         best_loss = self.loss_history.min("val")
@@ -1008,8 +1133,18 @@ class Trainer:
         self.plot_loss_history(show=False)
         return self.loss_history
 
+    def _es_window(self, patience: int):
+        """Device init of the early-stopping window: the last ``patience``
+        recorded val losses (resume-aware) + how many are real."""
+        tail = [float(v) for v in self.loss_history["val"][-patience:]]
+        win = np.zeros(patience, np.float32)
+        if tail:
+            win[-len(tail):] = tail
+        return jnp.asarray(win), jnp.asarray(len(tail), jnp.int32)
+
     def _fit_blocked(self, train_loader, val_loader, start_epoch, nb_epochs,
-                     block, verbose, p_bar_position, p_bar_leave, every=1):
+                     block, verbose, p_bar_position, p_bar_leave, every=1,
+                     early_stopping=False, patience=5):
         """K-epochs-per-dispatch fit loop (see ``fit(epoch_block=...)``).
 
         Per block: ONE device dispatch (train+val scans for K epochs with a
@@ -1021,9 +1156,16 @@ class Trainer:
         trajectory are identical.  A remainder block (nb_epochs % block)
         compiles a second program; the persistent compilation cache makes
         that a one-time cost per shape.
+
+        ``early_stopping``: the plateau flag is evaluated on device after
+        every scanned epoch (train_block_es in ``_build_steps``); epochs
+        after the stop take a frozen skip branch and are excluded from
+        history/checkpoints, so stop epoch and history are identical to
+        the per-epoch path.
         """
         best_loss = self.loss_history.min("val")
-        train_block = self._steps_for(train_loader.encode_config)[4]
+        steps = self._steps_for(train_loader.encode_config)
+        train_block, train_block_es = steps[4], steps[5]
         # checkpoint_every > 1: the global-best epoch's packed snapshot is
         # tracked as a DEVICE slice of the block's snaps stack (free) and
         # fetched exactly once at fit end -- best-so-far epochs improve
@@ -1043,25 +1185,45 @@ class Trainer:
         x_tr, y_tr = self.device_data.arrays(train_loader, self.mesh)
         x_va, y_va = self.device_data.arrays(val_loader, self.mesh)
         epoch = start_epoch
+        stop_epoch = None
         while epoch < nb_epochs:
             k = min(block, nb_epochs - epoch)
             ti, tw = zip(*(self._epoch_index_matrix(train_loader)
                            for _ in range(k)))
             vi, vw = zip(*(self._epoch_index_matrix(val_loader)
                            for _ in range(k)))
-            self.params, self.opt_state, outs = train_block(
-                self.params, self.opt_state,
+            data_args = (
                 x_tr, y_tr, jnp.asarray(np.stack(ti)),
                 jnp.asarray(np.stack(tw)),
                 x_va, y_va, jnp.asarray(np.stack(vi)),
                 jnp.asarray(np.stack(vw)),
             )
-            trm, vam, corr, tot, snaps = outs
-            # ONE host sync for the whole block's scalar stats.
-            stats = np.asarray(jnp.stack([trm, vam, corr, tot]))
+            if early_stopping:
+                win, nv = self._es_window(patience)
+                self.params, self.opt_state, outs = train_block_es(
+                    self.params, self.opt_state, win, nv, *data_args
+                )
+                trm, vam, corr, tot, ran_f, stop_f, snaps = outs
+                stats = np.asarray(
+                    jnp.stack([trm, vam, corr, tot, ran_f, stop_f])
+                )
+                # Epochs after the on-device stop took the skip branch:
+                # no history entries, no checkpoint files (identical to
+                # the per-epoch path's break).
+                k_eff = int(np.sum(stats[4, :k] > 0.5))
+                if k_eff and stats[5, k_eff - 1] > 0.5:
+                    stop_epoch = epoch + k_eff - 1
+            else:
+                self.params, self.opt_state, outs = train_block(
+                    self.params, self.opt_state, *data_args
+                )
+                trm, vam, corr, tot, snaps = outs
+                # ONE host sync for the whole block's scalar stats.
+                stats = np.asarray(jnp.stack([trm, vam, corr, tot]))
+                k_eff = k
             prev_best = best_loss
             ep_losses, flags = [], []
-            for i in range(k):
+            for i in range(k_eff):
                 el = dict(train=float(stats[0, i]), val=float(stats[1, i]))
                 self.loss_history.concat(el)
                 is_best = el["val"] < best_loss
@@ -1080,11 +1242,12 @@ class Trainer:
                     )
             if every == 1:
                 self._save_checkpoint_block(
-                    range(epoch, epoch + k), ep_losses, flags, snaps
+                    range(epoch, epoch + k_eff), ep_losses, flags, snaps,
+                    sel=list(range(k_eff)) if k_eff < k else None,
                 )
             else:
                 sel = [
-                    i for i in range(k)
+                    i for i in range(k_eff)
                     if checkpoint_selected(epoch + i, nb_epochs, every)
                 ]
                 self._save_checkpoint_block(
@@ -1094,12 +1257,20 @@ class Trainer:
                     snaps,
                     sel=sel,
                 )
-                block_best = float(np.min(stats[1, :k]))
-                if block_best < prev_best:
-                    i_best = int(np.argmin(stats[1, :k]))
-                    best_snap_dev = snaps[i_best]  # device slice, no fetch
-                    best_snap_meta = (epoch + i_best, ep_losses[i_best])
+                if k_eff:
+                    block_best = float(np.min(stats[1, :k_eff]))
+                    if block_best < prev_best:
+                        i_best = int(np.argmin(stats[1, :k_eff]))
+                        best_snap_dev = snaps[i_best]  # device slice
+                        best_snap_meta = (epoch + i_best, ep_losses[i_best])
             epoch += k
+            if stop_epoch is not None:
+                if verbose:
+                    logger.info(
+                        f"Early stopping stopped the training at epoch "
+                        f"{stop_epoch}."
+                    )
+                break
         if pbar is not None:
             pbar.close()
         self._join_pending_save()

@@ -131,18 +131,71 @@ def test_blocked_resume_last_epoch(tmp_path):
                                [float(v) for v in h["train"]], rtol=1e-6)
 
 
-def test_early_stopping_forces_per_epoch_path(tmp_path, monkeypatch):
-    """early_stopping needs a per-epoch host decision, so the blocked path
-    must never be taken even when epoch_block would otherwise engage."""
+def test_early_stopping_takes_blocked_path(tmp_path, monkeypatch):
+    """early_stopping now composes with the block (the plateau flag is
+    computed on device inside the block scan), so an ES fit with
+    epoch_block engaged must route through _fit_blocked."""
     called = []
     orig = Trainer._fit_blocked
     monkeypatch.setattr(
         Trainer, "_fit_blocked",
         lambda self, *a, **k: called.append(1) or orig(self, *a, **k))
     _fit(tmp_path, "es", epoch_block=8, nb_epochs=3, early_stopping=True)
-    assert not called
-    _fit(tmp_path, "no_es", epoch_block=8, nb_epochs=3)
     assert called
+
+
+def test_early_stopping_blocked_underfull_window_quirk(tmp_path):
+    """Quirk Q6's underfull window (np.all of an empty diff == True) stops
+    a fresh ES fit at epoch 0 -- the on-device plateau flag must reproduce
+    it exactly: identical single-epoch history and checkpoint files as
+    the per-epoch path."""
+    t_bl, h_bl = _fit(tmp_path, "es_bl", epoch_block=8, nb_epochs=8,
+                      early_stopping=True)
+    t_pe, h_pe = _fit(tmp_path, "es_pe", epoch_block=1, nb_epochs=8,
+                      early_stopping=True)
+    assert len(h_bl["train"]) == len(h_pe["train"]) == 1
+    np.testing.assert_allclose(
+        [float(v) for v in h_bl["train"]],
+        [float(v) for v in h_pe["train"]], rtol=1e-6,
+    )
+    t_bl._join_pending_save()
+    t_pe._join_pending_save()
+    files_bl = sorted(os.listdir(tmp_path / "es_bl"))
+    files_pe = sorted(os.listdir(tmp_path / "es_pe"))
+    assert files_bl == files_pe
+
+
+def test_early_stopping_blocked_matches_per_epoch_mid_run(tmp_path):
+    """A resumed ES fit (window pre-filled from the checkpoint history)
+    must stop at the SAME epoch with the SAME history on the blocked and
+    per-epoch paths -- the device plateau window is initialized from the
+    host loss history, so resume semantics carry over."""
+    t_pe, _ = _fit(tmp_path, "mid_pe", epoch_block=1, nb_epochs=4)
+    t_bl, _ = _fit(tmp_path, "mid_bl", epoch_block=3, nb_epochs=4)
+    tr_loader, va_loader = _loaders()
+    h_pe = t_pe.fit(tr_loader, va_loader, nb_epochs=20, epoch_block=1,
+                    early_stopping=True, early_stopping_patience=3,
+                    load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH,
+                    verbose=False)
+    tr_loader, va_loader = _loaders()
+    h_bl = t_bl.fit(tr_loader, va_loader, nb_epochs=20, epoch_block=4,
+                    early_stopping=True, early_stopping_patience=3,
+                    load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH,
+                    verbose=False)
+    assert len(h_bl["val"]) == len(h_pe["val"])  # same stop epoch
+    np.testing.assert_allclose(
+        [float(v) for v in h_bl["val"]],
+        [float(v) for v in h_pe["val"]], rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        [float(v) for v in h_bl["train"]],
+        [float(v) for v in h_pe["train"]], rtol=1e-6,
+    )
+    t_pe._join_pending_save()
+    t_bl._join_pending_save()
+    assert sorted(os.listdir(tmp_path / "mid_bl")) == sorted(
+        os.listdir(tmp_path / "mid_pe")
+    )
 
 
 def test_mixed_encode_configs_force_per_epoch_path(tmp_path, monkeypatch):

@@ -18,6 +18,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = [pytest.mark.slow, pytest.mark.cluster]
+
 from snnimageclassification_tpu.parallel import multihost
 
 import multihost_driver

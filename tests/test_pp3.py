@@ -16,6 +16,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import snnimageclassification_tpu as st
 from snnimageclassification_tpu.data.datasets import EncodeConfig
 from snnimageclassification_tpu.models import snn as model_lib

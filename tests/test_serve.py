@@ -290,3 +290,48 @@ class TestLifecycle:
                 srv.submit(np.zeros((2, N_F + 1), np.float32))
             with pytest.raises(ValueError):
                 srv.submit(np.zeros((1, 2, 3), np.float32))
+
+
+class TestForwardFnAndValidation:
+    def test_invalid_input_scale_rejected(self, cfg, params):
+        for bad in (0.0, -1.0, float("nan"), float("inf")):
+            with pytest.raises(ValueError, match="input_scale"):
+                InferenceServer(cfg, params, batch_size=4, input_scale=bad)
+
+    def test_custom_forward_fn(self, cfg, params):
+        """forward_fn overrides the compiled per-batch program (applied
+        after the wire normalization)."""
+        import jax
+
+        enc = EncodeConfig(n_steps=cfg.int_time_steps)
+
+        def fwd(p, x):  # softmax probabilities instead of logits
+            return jax.nn.softmax(
+                model_lib.forward_logits_pixels(cfg, p, x, enc), axis=-1
+            )
+
+        rng = np.random.default_rng(7)
+        x = _pixels(rng, 5)
+        with InferenceServer(cfg, params, batch_size=8, forward_fn=fwd) as srv:
+            got = srv.submit(x).result(timeout=60)
+        want = np.asarray(jax.nn.softmax(_oracle(cfg, params, x), axis=-1))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_ensemble_serve_soft_voting(self, cfg):
+        """EnsembleTrainer.serve returns the seed-averaged softmax --
+        identical to predict_proba on the same pixels."""
+        from snnimageclassification_tpu.parallel.ensemble import EnsembleTrainer
+
+        rng = np.random.default_rng(8)
+        x = _pixels(rng, 6)
+        ens = EnsembleTrainer(cfg, seeds=[0, 1, 2])
+        enc = EncodeConfig(n_steps=cfg.int_time_steps)
+        want = np.asarray(ens.predict_proba(x, enc))
+        with ens.serve(batch_size=8) as srv:
+            got = srv.submit(x).result(timeout=120)
+        assert got.shape == (6, N_O)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        # classify == the ensemble's mean_proba predictions
+        with ens.serve(batch_size=8) as srv:
+            labels = srv.classify(x)
+        np.testing.assert_array_equal(labels, ens.predict(x, enc))

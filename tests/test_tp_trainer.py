@@ -16,6 +16,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import snnimageclassification_tpu as st
 from snnimageclassification_tpu.data.datasets import ArrayDataLoader, EncodeConfig
 from snnimageclassification_tpu.parallel import tp
