@@ -39,6 +39,10 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=6)
     ap.add_argument("--n", type=int, default=16384)
     ap.add_argument("--rec", action="store_true")
+    ap.add_argument("--layer", choices=["alif", "lif", "izhikevich"],
+                    default="alif",
+                    help="hidden dynamics family (Izhikevich exercises the "
+                         "izh stacked-replica head kernel)")
     ap.add_argument("--fused", choices=["auto", "on", "off", "stacked",
                                         "unrolled"], default="auto")
     ap.add_argument("--epoch-block", type=int, default=0,
@@ -67,7 +71,9 @@ def main() -> None:
     val = ArrayDataLoader(x[:n_val], y[:n_val], args.batch, encode_config=enc)
     cfg = st.SNNConfig(
         input_size=784, output_size=10, n_hidden_neurons=128,
-        hidden_layer_type="ALIF", use_recurrent_connection=args.rec,
+        hidden_layer_type={"alif": "ALIF", "lif": "LIF",
+                           "izhikevich": "Izhikevich"}[args.layer],
+        use_recurrent_connection=args.rec,
         int_time_steps=args.t,
     )
     fused = {"auto": None, "on": True, "off": False,
@@ -102,7 +108,7 @@ def main() -> None:
         "metric": "ensemble seed-img/s (train+val epochs, steady state)",
         "seed_img_per_sec": round(seed_img_s, 1),
         "seeds": len(seeds), "t": args.t, "batch": args.batch,
-        "rec": args.rec, "fused": args.fused,
+        "rec": args.rec, "fused": args.fused, "layer": args.layer,
         "epochs": args.epochs, "wall_sec": round(wall, 2),
         **({"epoch_block": args.epoch_block} if args.epoch_block else {}),
         "final_loss_finite": bool(np.isfinite(losses).all()),

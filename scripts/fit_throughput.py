@@ -41,6 +41,20 @@ def main() -> None:
                     help="run data-parallel over an N-virtual-device CPU "
                          "mesh (dispatch-count validation for the mesh "
                          "epoch-scan path; real throughput needs chips)")
+    ap.add_argument("--early-stopping", action="store_true",
+                    help="measure fit(early_stopping=True) with the "
+                         "plateau disabled (SNN_TPU_ES_TOL=0 + a 2-epoch "
+                         "warm fit so the window holds >=2 real entries -- "
+                         "a fresh ES fit stops at epoch 0 by quirk Q6): "
+                         "times the ES block program's overhead vs the "
+                         "plain blocked fit")
+    ap.add_argument("--reg", type=str, default="",
+                    choices=["", "l1", "l2", "trace-l1"],
+                    help="train with a spike regularizer: l1/l2 = the "
+                         "count-based objects (fused path, train/losses.py); "
+                         "trace-l1 = the function form that forces the "
+                         "return_hidden XLA path (the round-3 behavior, for "
+                         "the A/B)")
     args = ap.parse_args()
 
     mesh = None
@@ -91,8 +105,40 @@ def main() -> None:
         learn_beta=True, int_time_steps=args.t,
         **({} if args.f32 else {"matmul_dtype": "bfloat16"}),
     )
+    reg_fn = None
+    if args.reg:
+        from snnimageclassification_tpu.train import losses as L
+
+        reg_fn = {
+            "l1": lambda: L.L1TotalSpikeCount(1e-7),
+            "l2": lambda: L.L2SpikesPerNeuron(1e-7),
+            "trace-l1": lambda: (
+                lambda hs: L.l1_total_spike_count(hs, scale=1e-7)
+            ),
+        }[args.reg]()
+
+    if args.early_stopping:
+        # Must be set before the trainer builds its block programs; 0.0
+        # disables the plateau once the window has >= 2 real entries.
+        import os as _os
+
+        if float(_os.environ.get("SNN_TPU_ES_TOL", "1e-2")) != 0.0:
+            print("NOTE: set SNN_TPU_ES_TOL=0 for a non-stopping ES "
+                  "measurement; re-exec with it set.")
+            _os.environ["SNN_TPU_ES_TOL"] = "0"
+            _os.execv(sys.executable, [sys.executable] + sys.argv)
+
     with tempfile.TemporaryDirectory() as folder:
-        tr = Trainer(cfg, checkpoint_folder=folder, mesh=mesh)
+        tr = Trainer(cfg, checkpoint_folder=folder, mesh=mesh, reg_fn=reg_fn)
+        if args.early_stopping:
+            from snnimageclassification_tpu.train.checkpoint import (
+                LoadCheckpointMode,
+            )
+
+            # Warm fit: fills >= 2 window slots (and compiles).
+            tr.fit(train, val, nb_epochs=2, force_overwrite=True,
+                   epoch_block=args.epoch_block,
+                   checkpoint_every=args.checkpoint_every)
         t0 = time.perf_counter()
         # Both fit paths concat one {train, val} dict per completed epoch
         # right after the stats fetch -- hook that for epoch marks (the
@@ -110,9 +156,16 @@ def main() -> None:
             return r
 
         tr.loss_history.concat = timed_concat
-        tr.fit(train, val, nb_epochs=args.epochs, force_overwrite=True,
-               epoch_block=args.epoch_block,
-               checkpoint_every=args.checkpoint_every)
+        if args.early_stopping:
+            tr.fit(train, val, nb_epochs=2 + args.epochs,
+                   epoch_block=args.epoch_block,
+                   checkpoint_every=args.checkpoint_every,
+                   early_stopping=True, early_stopping_patience=5,
+                   load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH)
+        else:
+            tr.fit(train, val, nb_epochs=args.epochs, force_overwrite=True,
+                   epoch_block=args.epoch_block,
+                   checkpoint_every=args.checkpoint_every)
         wall = time.perf_counter() - t0
     n_train = train.n_samples
     e2e = n_train * args.epochs / wall
@@ -139,6 +192,8 @@ def main() -> None:
         "checkpoint_every": args.checkpoint_every,
         "wall_sec": round(wall, 2),
         **({"mesh_devices": args.mesh} if args.mesh else {}),
+        **({"reg": args.reg} if args.reg else {}),
+        **({"early_stopping": True} if args.early_stopping else {}),
     }))
 
 

@@ -170,7 +170,7 @@ def run(args) -> list:
             )
         rows.append(row)
         print(json.dumps(row))
-    if args.csv and csv_rows:
+    if getattr(args, "csv", "") and csv_rows:
         # Sweep-CSV + analysis-figure leg of the rehearsal: the same
         # results.csv schema train_all_params writes (reference
         # training.py:182-191), fed through analysis/results.py to produce

@@ -347,6 +347,53 @@ def main():
             ok &= check(f"{name} grad {jax.tree_util.keystr(path)}", gp, gx,
                         atol=1e-5)
 
+    # Izhikevich stacked-replica head (ops/pallas_fused_izh.py stacked grid
+    # lifting): same one-kernel-pair-for-all-seeds contract as LIF/ALIF.
+    for rec, n_steps in ((True, 24), (False, 12)):
+        cfg = SNNConfig(
+            input_size=784, output_size=10, n_hidden_neurons=128,
+            int_time_steps=n_steps, hidden_layer_type="Izhikevich",
+            use_recurrent_connection=rec,
+        )
+        enc = EncodeConfig(n_steps=n_steps, use_periods=False)
+        plist = []
+        for i in range(S):
+            p = dict(M.init(cfg, jax.random.PRNGKey(20 + i)))
+            # Izhikevich needs ~1e6-scale currents to spike; scale W_in.
+            p["input"] = dict(p["input"], w_in=p["input"]["w_in"] * 3e6)
+            plist.append(p)
+        stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *plist)
+
+        def loss_stacked(p, cfg=cfg, enc=enc):
+            logits = M.forward_logits_pixels_stacked(cfg, p, x, enc)
+            return jnp.sum(jax.vmap(
+                lambda lg: -jnp.mean(
+                    jax.nn.log_softmax(lg)[jnp.arange(64), y]
+                )
+            )(logits))
+
+        def loss_unrolled(p, cfg=cfg, enc=enc):
+            tot = 0.0
+            for i in range(S):
+                p_i = jax.tree.map(lambda a, i=i: a[i], p)
+                lg = M.forward_logits_pixels(cfg, p_i, x, enc)
+                tot = tot - jnp.mean(
+                    jax.nn.log_softmax(lg)[jnp.arange(64), y]
+                )
+            return tot
+
+        name = f"stacked_izh rec={rec} T={n_steps}"
+        ok &= check(f"{name} loss", jax.jit(loss_stacked)(stacked),
+                    jax.jit(loss_unrolled)(stacked), atol=1e-5)
+        gs = jax.jit(jax.grad(loss_stacked))(stacked)
+        gu = jax.jit(jax.grad(loss_unrolled))(stacked)
+        for path, gp in jax.tree_util.tree_leaves_with_path(gs):
+            gx = gu
+            for k in path:
+                gx = gx[k.key]
+            ok &= check(f"{name} grad {jax.tree_util.keystr(path)}", gp, gx,
+                        atol=1e-4)
+
     # uint8 wire parity (serve.py): a uint8 server normalizing on device
     # (x.astype(f32)/255 inside the compiled program) must produce logits
     # BIT-equal to a float32 server fed host-normalized x/255 -- the

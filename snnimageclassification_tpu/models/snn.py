@@ -742,13 +742,9 @@ def forward_logits_counts_pixels(
 
 def stacked_head_fusible(cfg: SNNConfig, enc) -> bool:
     """Whether :func:`forward_logits_pixels_stacked` covers this config:
-    head-fusible (see :func:`_head_fusible`) LIF/ALIF — the Izhikevich
-    head kernel has no stacked grid variant yet."""
-    from ..ops.cells import IzhikevichConfig
-
-    if not _head_fusible(cfg, enc):
-        return False
-    return type(cfg.layer_configs[0][1]) is not IzhikevichConfig
+    any head-fusible single-hidden-layer model (LIF/ALIF/Izhikevich --
+    both head kernel families carry the stacked-replica grid lifting)."""
+    return _head_fusible(cfg, enc)
 
 
 def forward_logits_pixels_stacked(
@@ -790,6 +786,21 @@ def forward_logits_pixels_stacked(
     w0 = lparams0["w_in"].astype(matmul_dtype)           # (S, F, H)
     w_out = stacked_params[last_name]["w_in"].astype(matmul_dtype)
     b_out = stacked_params[last_name]["b"]               # (S, O)
+    from ..ops.cells import IzhikevichConfig
+
+    if type(first_cfg) is IzhikevichConfig:
+        from ..ops.pallas_fused_izh import fused_encode_izh_scan_head
+        from ..ops.pallas_izh import izh_kernel_params
+
+        w_rec_eff = masked_recurrent(first_cfg, lparams0)
+        if w_rec_eff is not None:
+            w_rec_eff = w_rec_eff.astype(matmul_dtype)
+        return fused_encode_izh_scan_head(
+            latencies, w0, w_rec_eff, w_out, b_out,
+            izh_kernel_params(first_cfg), cfg.int_time_steps,
+            enc.use_periods, first_cfg.gamma, last_cfg.kappa,
+            first_cfg.spike_func,
+        )
     return _lif_alif_head_call(
         cfg, first_cfg, last_cfg, lparams0, latencies, w0, w_out, b_out, enc
     )

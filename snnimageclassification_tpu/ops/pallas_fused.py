@@ -71,6 +71,13 @@ _MAX_BLOCK_B = 512
 # lets Mosaic overlap one row-group's VPU dynamics with another's MXU
 # recurrent matmul.  Env-overridable for A/B benchmarking.
 _ILV = int(os.environ.get("SNN_TPU_ILV", "1"))
+# EXPERIMENT flag (benchmarking only, NOT numerics-preserving): keep the
+# forward membrane state (v/a/z scratch) and the backward dcur chain in
+# bfloat16 instead of float32.  Probes whether halving the VPU vector
+# width on the serial dynamics chain moves the latency-bound kernels;
+# spikes stay exact (0/1) but v/a quantize, so logits shift -- never
+# enable outside an A/B measurement.  Default off = bitwise unchanged.
+_BF16_STATE = os.environ.get("SNN_TPU_BF16_STATE", "0") == "1"
 
 
 def _ilv_for(bb: int) -> int:
@@ -259,6 +266,11 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
         )
         for k in range(K)
     ]
+    if v_scr.dtype == jnp.bfloat16:
+        # _BF16_STATE experiment: run the serial VPU dynamics in bf16
+        # (state carries come from the bf16 scratch; casting the currents
+        # keeps the whole chain bf16).  Measurement-only -- see the flag.
+        curs = [c.astype(jnp.bfloat16) for c in curs]
     zs = []
     if ilv > 1:
         # Batch-half interleaving: split the tile into ``ilv`` independent
@@ -331,9 +343,9 @@ def _fused_fwd_kernel(refs, *, K, n_steps, use_periods, alif, has_w,
                     v_ref[k] = v_c.astype(trace_dtype)
                     if alif:
                         a_ref[k] = a_c.astype(trace_dtype)
-    v_scr[:] = v_c
-    a_scr[:] = a_c
-    z_scr[:] = z_prev
+    v_scr[:] = v_c.astype(v_scr.dtype)
+    a_scr[:] = a_c.astype(a_scr.dtype)
+    z_scr[:] = z_prev.astype(z_scr.dtype)
     if cnt_ref is not None:
         # f32 accumulation: counts reach T (<= a few hundred) exactly.
         acc = zs[0].astype(jnp.float32)
@@ -510,7 +522,8 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
     args = [lat, w_in_p] + ([_pad2(w_rec, h_pad, h_pad)] if has_w else []) + [beta_s]
     out_specs = [tr_spec] * n_trace
     out_shape = [jax.ShapeDtypeStruct((T, Bp, h_pad), trace_dtype)] * n_trace
-    scratch = [pltpu.VMEM((bb, h_pad), jnp.float32)] * 3
+    state_dtype = jnp.bfloat16 if _BF16_STATE else jnp.float32
+    scratch = [pltpu.VMEM((bb, h_pad), state_dtype)] * 3
     if head:
         o_pad = -(-w_out.shape[-1] // _LANE) * _LANE
         w_out_spec = pl.BlockSpec((h_pad, o_pad), lambda b, t: (0, 0),

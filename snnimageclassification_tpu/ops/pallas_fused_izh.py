@@ -30,7 +30,9 @@ from .pallas_fused import (
     _pad2,
     _pad_lat,
     _shapes,
+    _share_spec,
     _spike_row,
+    _stack_spec,
     fused_supported,
 )
 from .pallas_scan import _surrogate_grad, _time_block, _zprev_k
@@ -66,7 +68,7 @@ def fused_izh_head_supported(
 
 def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
                     v_th, k, a, b, c, d, v_peak, head=False, kappa=0.0,
-                    store_traces=True):
+                    store_traces=True, t_axis=1):
     if has_w:
         lat_ref, w_in_ref, w_rec_ref, *rest = refs
     else:
@@ -94,7 +96,7 @@ def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
         else:
             z_ref, v_scr, u_scr, z_scr = rest
             v_ref = None
-    t = pl.program_id(1)
+    t = pl.program_id(t_axis)
 
     @pl.when(t == 0)
     def _():
@@ -168,7 +170,7 @@ def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
         m_scr[:] = m_run
         ts_scr[:] = ts_run
 
-        @pl.when(t == pl.num_programs(1) - 1)
+        @pl.when(t == pl.num_programs(t_axis) - 1)
         def _():
             logits_ref[:] = m_run
             tstar_ref[:] = ts_run
@@ -176,7 +178,7 @@ def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
 
 def _izh_bwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
                     v_th, k, a, b, v_peak, gamma, spike_func, head=False,
-                    kappa=0.0):
+                    kappa=0.0, t_axis=1):
     i = 0
     if head:
         g_ref = refs[i]; i += 1
@@ -210,7 +212,7 @@ def _izh_bwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
     gi_blk = refs[i]; i += 1
     if head:
         s_scr, s_blk = refs[i], refs[i + 1]
-    t = pl.program_id(1)
+    t = pl.program_id(t_axis)
 
     @pl.when(t == 0)
     def _():
@@ -224,8 +226,8 @@ def _izh_bwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
             dwout_ref[0] = jnp.zeros_like(dwout_ref[0])
             db_ref[0] = jnp.zeros_like(db_ref[0])
 
-    is_first_block = t == pl.num_programs(1) - 1
-    fwd_blk = pl.num_programs(1) - 1 - t  # forward block this grid step
+    is_first_block = t == pl.num_programs(t_axis) - 1
+    fwd_blk = pl.num_programs(t_axis) - 1 - t  # forward block this grid step
     lat = lat_ref[:]
     w_in = w_in_ref[:]
     w_rec = w_rec_ref[:] if has_w else None
@@ -340,6 +342,10 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
                   store_traces=True):
     has_w = w_rec is not None
     head = w_out is not None
+    stacked = w_in.ndim == 3  # leading replica axis (pallas_fused._stack_spec)
+    S = w_in.shape[0] if stacked else None
+    if stacked and not head:
+        raise ValueError("stacked Izhikevich is head-only (ensemble path)")
     K = _time_block(T)
     B, F = latencies.shape
     H, f_pad, h_pad, bb = _shapes(B, w_in, F, K, head, recurrent=has_w,
@@ -367,7 +373,7 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
     kernel = functools.partial(
         _izh_fwd_kernel, K=K, n_steps=T, use_periods=use_periods,
         has_w=has_w, head=head, kappa=kappa, store_traces=store_traces,
-        **kp,
+        t_axis=2 if stacked else 1, **kp,
     )
     in_specs = [lat_spec, w_in_spec] + ([w_rec_spec] if has_w else [])
     args = [lat, _pad2(w_in, f_pad, h_pad)] + (
@@ -377,7 +383,7 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
     if head:
         from .pallas_fused import _LANE
 
-        o_pad = -(-w_out.shape[1] // _LANE) * _LANE
+        o_pad = -(-w_out.shape[-1] // _LANE) * _LANE
         w_out_spec = pl.BlockSpec((h_pad, o_pad), lambda bi, t: (0, 0),
                                   memory_space=pltpu.VMEM)
         b_out_spec = pl.BlockSpec((1, o_pad), lambda bi, t: (0, 0),
@@ -385,10 +391,10 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
         head_spec = pl.BlockSpec((bb, o_pad), lambda bi, t: (bi, 0),
                                  memory_space=pltpu.VMEM)
         in_specs += [w_out_spec, b_out_spec]
-        args += [
-            _pad2(w_out, h_pad, o_pad),
-            _pad2(jnp.asarray(b_out, jnp.float32).reshape(1, -1), 1, o_pad),
-        ]
+        b_out_2d = jnp.asarray(b_out, jnp.float32).reshape(
+            (S, 1, -1) if stacked else (1, -1)
+        )
+        args += [_pad2(w_out, h_pad, o_pad), _pad2(b_out_2d, 1, o_pad)]
         v_out = (
             [tr_spec], [jax.ShapeDtypeStruct((T, Bp, h_pad), trace_dtype)]
         ) if store_traces else ([], [])
@@ -402,6 +408,20 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
             pltpu.VMEM((bb, o_pad), jnp.float32),
             pltpu.VMEM((bb, o_pad), jnp.int32),
         ]
+        if stacked:
+            # Grid (tiles, S, time): replica axis INSIDE the tile axis so
+            # the shared latency tile keeps its block index across all S
+            # replicas (DMA'd once per tile -- see pallas_fused).
+            grid = (grid[0], S, grid[1])
+            in_specs = [
+                _share_spec(sp) if sp is lat_spec else _stack_spec(sp)
+                for sp in in_specs
+            ]
+            out_specs = [_stack_spec(sp) for sp in out_specs]
+            out_shape = [
+                jax.ShapeDtypeStruct((S, *os.shape), os.dtype)
+                for os in out_shape
+            ]
         outs = pl.pallas_call(
             lambda *refs: kernel(refs),
             grid=grid,
@@ -411,10 +431,10 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
             scratch_shapes=scratch,
             interpret=interpret,
         )(*args)
-        v = outs[0][:, :B, :H] if store_traces else None
+        v = outs[0][..., :B, :H] if store_traces else None
         logits, tstar = outs[-2], outs[-1]
-        O = w_out.shape[1]
-        return v, lat, logits[:B, :O], tstar[:B, :O]
+        O = w_out.shape[-1]
+        return v, lat, logits[..., :B, :O], tstar[..., :B, :O]
     n_out_traces = 2 if store_traces else 1
     outs = pl.pallas_call(
         lambda *refs: kernel(refs),
@@ -436,9 +456,11 @@ def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
                   g_logits=None, tstar=None, w_out=None, kappa=0.0):
     has_w = w_rec is not None
     head = w_out is not None
+    stacked = w_in.ndim == 3  # leading replica axis (pallas_fused._stack_spec)
+    S = w_in.shape[0] if stacked else None
     K = _time_block(T)
-    B, H = v.shape[1], v.shape[2]
-    F = w_in.shape[0]
+    B, H = v.shape[-2], v.shape[-1]
+    F = w_in.shape[-2]
     f_pad = lat.shape[1]
     # Same batch tile as the forward (lat is padded to a multiple of it).
     _, _, h_pad, bb = _shapes(B, w_in, F, K, head, recurrent=has_w,
@@ -446,10 +468,11 @@ def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
     Bp = lat.shape[0]
 
     def padbh(x):
-        pb = Bp - x.shape[1]
-        ph = h_pad - x.shape[2]
+        pb = Bp - x.shape[-2]
+        ph = h_pad - x.shape[-1]
         if pb or ph:
-            x = jnp.pad(x, ((0, 0), (0, pb), (0, ph)))
+            pad = [(0, 0)] * (x.ndim - 2) + [(0, pb), (0, ph)]
+            x = jnp.pad(x, pad)
         return x
 
     # head: only the v trace is materialized; z and the boundary row are
@@ -481,7 +504,7 @@ def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
     kernel = functools.partial(
         _izh_bwd_kernel, K=K, n_steps=T, use_periods=use_periods,
         has_w=has_w, gamma=gamma, spike_func=spike_func, head=head,
-        kappa=kappa, **bwd_kp,
+        kappa=kappa, t_axis=2 if stacked else 1, **bwd_kp,
     )
     in_specs = (
         [rev] * len(operands) + [zb, lat_spec, w_in_spec]
@@ -505,17 +528,15 @@ def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
     if head:
         from .pallas_fused import _LANE
 
-        o_pad = -(-w_out.shape[1] // _LANE) * _LANE
-        O = w_out.shape[1]
+        o_pad = -(-w_out.shape[-1] // _LANE) * _LANE
+        O = w_out.shape[-1]
         head_spec = pl.BlockSpec((bb, o_pad), lambda bi, t: (bi, 0),
                                  memory_space=pltpu.VMEM)
-        gl = jnp.pad(
-            g_logits.astype(jnp.float32),
-            ((0, Bp - g_logits.shape[0]), (0, o_pad - g_logits.shape[1])),
-        )
-        ts_p = jnp.pad(
-            tstar, ((0, Bp - tstar.shape[0]), (0, o_pad - tstar.shape[1]))
-        )
+        pad_bo = [(0, 0)] * (g_logits.ndim - 2) + [
+            (0, Bp - g_logits.shape[-2]), (0, o_pad - g_logits.shape[-1])
+        ]
+        gl = jnp.pad(g_logits.astype(jnp.float32), pad_bo)
+        ts_p = jnp.pad(tstar, pad_bo)
         in_specs = [head_spec, head_spec] + in_specs
         args = [gl, ts_p] + args
         w_out_spec = pl.BlockSpec((h_pad, o_pad), lambda bi, t: (0, 0),
@@ -535,6 +556,16 @@ def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
             pltpu.VMEM((bb, o_pad), jnp.float32),
             pltpu.VMEM((K, bb, o_pad), jnp.float32),
         ]
+    if stacked:
+        grid = (grid[0], S, grid[1])
+        in_specs = [
+            _share_spec(sp) if sp is lat_spec else _stack_spec(sp)
+            for sp in in_specs
+        ]
+        out_specs = [_stack_spec(sp) for sp in out_specs]
+        out_shape = [
+            jax.ShapeDtypeStruct((S, *os.shape), os.dtype) for os in out_shape
+        ]
     outs = pl.pallas_call(
         lambda *refs: kernel(refs),
         grid=grid,
@@ -544,14 +575,17 @@ def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
-    g_w_in = jnp.sum(outs[0], axis=0)[:F, :H].astype(w_in.dtype)
+    tile_ax = 1 if stacked else 0  # reduce the batch-tile partials only
+    g_w_in = jnp.sum(outs[0], axis=tile_ax)[..., :F, :H].astype(w_in.dtype)
     g_w_rec = (
-        jnp.sum(outs[1], axis=0)[:H, :H].astype(w_rec.dtype) if has_w else None
+        jnp.sum(outs[1], axis=tile_ax)[..., :H, :H].astype(w_rec.dtype)
+        if has_w
+        else None
     )
     if head:
         j = 2 if has_w else 1
-        g_w_out = jnp.sum(outs[j], axis=0)[:H, :O].astype(w_out.dtype)
-        g_b = jnp.sum(outs[j + 1], axis=0)[0, :O]
+        g_w_out = jnp.sum(outs[j], axis=tile_ax)[..., :H, :O].astype(w_out.dtype)
+        g_b = jnp.sum(outs[j + 1], axis=tile_ax)[..., 0, :O]
         return g_w_in, g_w_rec, g_w_out, g_b
     return g_w_in, g_w_rec
 

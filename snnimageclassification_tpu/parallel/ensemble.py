@@ -59,6 +59,7 @@ class EnsembleSteps(NamedTuple):
     eval_epoch: callable   # whole-epoch eval scan
     train_block: callable  # K-epoch block scan (fit(epoch_block=K))
     predict: callable      # per-seed logits (S, B, O) from pixels
+    train_block_es: callable  # K-epoch block with on-device early stopping
 
 
 class EnsembleTrainer:
@@ -104,10 +105,10 @@ class EnsembleTrainer:
           ONE jitted step; each call runs at full single-model kernel
           efficiency and the (T, B, F) spike tensor never exists in HBM.
         * ``"stacked"``: ONE kernel pair for all replicas via the
-          stacked-replica grid (ops/pallas_fused.py) -- smallest XLA
-          graph; measured a few percent slower steady-state than
-          unrolled (extra weight-block DMA turnover), so unrolled stays
-          the default; LIF/ALIF only.
+          stacked-replica grid (ops/pallas_fused.py /
+          pallas_fused_izh.py) -- smallest XLA graph; measured a few
+          percent slower steady-state than unrolled (extra weight-block
+          DMA turnover), so unrolled stays the default.
         * ``False``: force the vmapped XLA path.
 
         ``grad_accum``: average grads over K consecutive batches per
@@ -194,9 +195,9 @@ class EnsembleTrainer:
             # No silent substitution: the flag exists for A/B measurement.
             logger.warning(
                 "fused_replicas='stacked' requested but the config is not "
-                "stacked-head-fusible (Izhikevich / non-fusible shape / "
-                "non-TPU backend); falling back to the UNROLLED fused "
-                "path -- measurements are NOT the stacked variant."
+                "stacked-head-fusible (non-fusible shape / non-TPU "
+                "backend); falling back to the UNROLLED fused path -- "
+                "measurements are NOT the stacked variant."
             )
             want_stacked = False
 
@@ -426,6 +427,93 @@ class EnsembleTrainer:
             )
             return params, opt_state, best_params, best_val, outs
 
+        # Early-stopping block: the ensemble plateaus on the MEAN val loss
+        # across seeds (one stop decision for the vmapped step, the
+        # ensemble-level reading of quirk Q6 -- including the underfull-
+        # window stop).  The decision runs ON DEVICE inside the scan;
+        # post-stop epochs take a lax.cond skip branch (params / best
+        # merge frozen) and are flagged so the host writes neither
+        # histories nor files for them.  Mirrors Trainer's
+        # train_block_es_fn.
+        seed_pmean = self.shard_seeds
+
+        def block_es_fn(params, opt_state, best_params, best_val, win, nv,
+                        x_tr, y_tr, ti, tw, x_va, y_va, vi, vw):
+            from ..train.trainer import ES_TOL
+
+            patience = win.shape[0]
+            tol = ES_TOL
+            n_loc = best_val.shape[0]  # local seed count (shard or full)
+
+            def epoch_body(carry, xs):
+                p, o, bp, bv, win, nv, stopped = carry
+                eti, etw, evi, evw = xs
+
+                def run(operand):
+                    p, o, bp, bv = operand
+                    p2, o2, tr_losses = train_epoch_fn(
+                        p, o, x_tr, y_tr, eti, etw
+                    )
+                    va_losses, corr, tot = eval_epoch_fn(
+                        p2, x_va, y_va, evi, evw
+                    )
+                    tr_mean = jnp.mean(tr_losses, axis=0)  # (S,)
+                    va_mean = jnp.mean(va_losses, axis=0)  # (S,)
+                    improved = va_mean < bv
+
+                    def merge(b, c):
+                        m = improved.reshape((-1,) + (1,) * (c.ndim - 1))
+                        return jnp.where(m, c, b)
+
+                    bp = jax.tree.map(merge, bp, p2)
+                    bv = jnp.where(improved, va_mean, bv)
+                    return (p2, o2, bp, bv, tr_mean, va_mean, corr, tot,
+                            improved)
+
+                def skip(operand):
+                    p, o, bp, bv = operand
+                    z = jnp.zeros((n_loc,), jnp.float32)
+                    return (p, o, bp, bv, z, z, z,
+                            jnp.zeros((), jnp.float32),
+                            jnp.zeros((n_loc,), jnp.bool_))
+
+                (p, o, bp, bv, tr_mean, va_mean, corr, tot,
+                 improved) = jax.lax.cond(
+                    stopped, skip, run, (p, o, bp, bv)
+                )
+                ran = jnp.logical_not(stopped)
+                mval = jnp.mean(va_mean)
+                if seed_pmean:
+                    # Local shard mean -> global mean over equal-size seed
+                    # shards (the plateau must be one global decision).
+                    from .mesh import DATA_AXIS
+
+                    mval = jax.lax.pmean(mval, DATA_AXIS)
+                win = jnp.where(
+                    stopped, win, jnp.concatenate([win[1:], mval[None]])
+                )
+                nv = jnp.where(stopped, nv, jnp.minimum(nv + 1, patience))
+                pair_real = jnp.arange(patience - 1) >= (patience - nv)
+                plateau = jnp.all(
+                    (jnp.abs(jnp.diff(win)) < tol) | ~pair_real
+                )
+                stopped = stopped | (ran & plateau)
+                out = (tr_mean, va_mean, corr, tot, improved,
+                       ran.astype(jnp.float32), stopped.astype(jnp.float32))
+                if with_snaps:
+                    out = out + ((p, o),)
+                return (p, o, bp, bv, win, nv, stopped), out
+
+            (params, opt_state, best_params, best_val, *_), outs = (
+                jax.lax.scan(
+                    epoch_body,
+                    (params, opt_state, best_params, best_val, win, nv,
+                     jnp.asarray(False)),
+                    (ti, tw, vi, vw),
+                )
+            )
+            return params, opt_state, best_params, best_val, outs
+
         if self.shard_seeds:
             from jax.sharding import PartitionSpec as P
 
@@ -468,6 +556,21 @@ class EnsembleTrainer:
                 ),
                 donate_argnums=(0, 1, 2, 3),
             )
+            # ES block: + replicated (win, nv) inputs and (ran, stop)
+            # per-epoch flag outputs (the plateau is one global decision,
+            # pmean'd over the seed shards inside the body).
+            outs_es_spec = (SB, SB, SB, P(), SB, P(), P())
+            if with_snaps:
+                outs_es_spec = outs_es_spec + ((SB, SB),)
+            train_block_es = jax.jit(
+                jax.shard_map(
+                    block_es_fn, mesh=self.mesh,
+                    in_specs=(S, S, S, S, P(), P()) + (P(),) * 8,
+                    out_specs=(S, S, S, S, outs_es_spec),
+                    check_vma=False,
+                ),
+                donate_argnums=(0, 1, 2, 3),
+            )
             predict = jax.jit(
                 jax.shard_map(
                     predict_step, mesh=self.mesh,
@@ -479,6 +582,7 @@ class EnsembleTrainer:
             train_epoch = jax.jit(train_epoch_fn, donate_argnums=(0, 1))
             eval_epoch = jax.jit(eval_epoch_fn)
             train_block = jax.jit(block_fn, donate_argnums=(0, 1, 2, 3))
+            train_block_es = jax.jit(block_es_fn, donate_argnums=(0, 1, 2, 3))
             predict = jax.jit(predict_step)
         else:
             repl_e = replicated(self.mesh)
@@ -499,6 +603,12 @@ class EnsembleTrainer:
                 out_shardings=repl_e,
                 donate_argnums=(0, 1, 2, 3),
             )
+            train_block_es = jax.jit(
+                block_es_fn,
+                in_shardings=(repl_e,) * 14,
+                out_shardings=repl_e,
+                donate_argnums=(0, 1, 2, 3),
+            )
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from .mesh import DATA_AXIS, batch_sharded
@@ -510,7 +620,7 @@ class EnsembleTrainer:
                 out_shardings=NamedSharding(self.mesh, P(None, DATA_AXIS)),
             )
         return EnsembleSteps(train, evals, train_epoch, eval_epoch,
-                             train_block, predict)
+                             train_block, predict, train_block_es)
 
     def _steps_for(self, enc: EncodeConfig):
         if enc not in self._steps:
@@ -823,15 +933,19 @@ class EnsembleTrainer:
         block = 8 if epoch_block is None else int(epoch_block)
         if (
             block > 1
-            and not early_stopping
             and self._epoch_eligible(train_dataloader)
             and self._epoch_eligible(val_dataloader)
             # The block program bakes ONE encode config for both phases.
             and train_dataloader.encode_config == val_dataloader.encode_config
         ):
+            # Early stopping composes with the block: the mean-val plateau
+            # decision runs on device inside the block scan (block_es_fn);
+            # identical stop epoch/histories to the per-epoch path.
             return self._fit_blocked(
                 train_dataloader, val_dataloader, start_epoch, nb_epochs,
                 block, verbose, every,
+                early_stopping=early_stopping,
+                patience=early_stopping_patience,
             )
         epochs_iter = range(start_epoch, nb_epochs)
         if verbose:
@@ -882,8 +996,12 @@ class EnsembleTrainer:
             # faithfully replicated on both trainers (no reference entry
             # point ever enables early stopping, so this quirk is latent
             # there too).
+            from ..train.trainer import ES_TOL
+
             window = mean_val_history[-early_stopping_patience:]
-            if early_stopping and bool(np.all(np.abs(np.diff(window)) < 1e-2)):
+            if early_stopping and bool(
+                np.all(np.abs(np.diff(window)) < ES_TOL)
+            ):
                 if verbose:
                     logger.info(
                         f"Early stopping stopped the ensemble at epoch {epoch}."
@@ -909,8 +1027,23 @@ class EnsembleTrainer:
             {"best_epoch_per_seed": [int(e) for e in self.best_epoch]},
         )
 
+    def _es_window(self, patience: int):
+        """Device init of the mean-val early-stopping window (the
+        ensemble plateaus on the across-seed MEAN val loss): the last
+        ``patience`` recorded entries + how many are real."""
+        n_hist = min((len(h["val"]) for h in self.histories), default=0)
+        tail = [
+            float(np.mean([h["val"][e] for h in self.histories]))
+            for e in range(n_hist)
+        ][-patience:]
+        win = np.zeros(patience, np.float32)
+        if tail:
+            win[-len(tail):] = tail
+        return jnp.asarray(win), jnp.asarray(len(tail), jnp.int32)
+
     def _fit_blocked(self, train_loader, val_loader, start_epoch, nb_epochs,
-                     block, verbose, every=1):
+                     block, verbose, every=1, early_stopping=False,
+                     patience=5):
         """K-epochs-per-dispatch ensemble fit (see ``fit(epoch_block=...)``
         and ``Trainer._fit_blocked``).
 
@@ -919,10 +1052,16 @@ class EnsembleTrainer:
         checkpoint folder -- ONE packed snapshot fetch that writes the K
         per-epoch checkpoint files.  Index matrices come from the same
         ``iter_indices()`` rng sequence as the per-epoch path, so the
-        trajectories (and files) are identical."""
+        trajectories (and files) are identical.
+
+        ``early_stopping``: the mean-val plateau flag is evaluated on
+        device after every scanned epoch (block_es_fn); post-stop epochs
+        take a frozen skip branch and are excluded from histories/files,
+        so stop epoch and outputs match the per-epoch path."""
         from ..train.trainer import host_snapshot
 
-        train_block = self._steps_for(train_loader.encode_config)[4]
+        steps = self._steps_for(train_loader.encode_config)
+        train_block, train_block_es = steps[4], steps.train_block_es
         with_snaps = self.ckpt is not None
         n_seeds = len(self.seeds)
         pbar = None
@@ -942,26 +1081,49 @@ class EnsembleTrainer:
             best_params = self.best_params
         best_val_dev = jnp.asarray(self.best_val, dtype=jnp.float32)
         epoch = start_epoch
+        stop_epoch = None
         while epoch < nb_epochs:
             k = min(block, nb_epochs - epoch)
             ti, tw = zip(*(self._epoch_index_matrix(train_loader)
                            for _ in range(k)))
             vi, vw = zip(*(self._epoch_index_matrix(val_loader)
                            for _ in range(k)))
-            (self.params, self.opt_state, best_params, best_val_dev,
-             outs) = train_block(
-                self.params, self.opt_state, best_params, best_val_dev,
+            data_args = (
                 x_tr, y_tr, jnp.asarray(np.stack(ti)),
                 jnp.asarray(np.stack(tw)),
                 x_va, y_va, jnp.asarray(np.stack(vi)),
                 jnp.asarray(np.stack(vw)),
             )
-            trm, vam, corr, tot, improved = outs[:5]
-            # ONE host sync for the whole block's per-seed stats.
-            stats = np.asarray(self._host_fetch(jnp.concatenate(
-                [trm, vam, corr, improved.astype(jnp.float32), tot[:, None]],
-                axis=1,
-            )))
+            if early_stopping:
+                win, nv = self._es_window(patience)
+                (self.params, self.opt_state, best_params, best_val_dev,
+                 outs) = train_block_es(
+                    self.params, self.opt_state, best_params, best_val_dev,
+                    win, nv, *data_args,
+                )
+                trm, vam, corr, tot, improved, ran_f, stop_f = outs[:7]
+                stats = np.asarray(self._host_fetch(jnp.concatenate(
+                    [trm, vam, corr, improved.astype(jnp.float32),
+                     tot[:, None], ran_f[:, None], stop_f[:, None]],
+                    axis=1,
+                )))
+                k_eff = int(np.sum(stats[:k, -2] > 0.5))
+                if k_eff and stats[k_eff - 1, -1] > 0.5:
+                    stop_epoch = epoch + k_eff - 1
+            else:
+                (self.params, self.opt_state, best_params, best_val_dev,
+                 outs) = train_block(
+                    self.params, self.opt_state, best_params, best_val_dev,
+                    *data_args,
+                )
+                trm, vam, corr, tot, improved = outs[:5]
+                # ONE host sync for the whole block's per-seed stats.
+                stats = np.asarray(self._host_fetch(jnp.concatenate(
+                    [trm, vam, corr, improved.astype(jnp.float32),
+                     tot[:, None]],
+                    axis=1,
+                )))
+                k_eff = k
             # checkpoint_every > 1: gather only the selected epochs' rows
             # on device before the host fetch -- the stacked (K, S, ...)
             # snapshot transfer is the measured fit bottleneck (see
@@ -970,25 +1132,26 @@ class EnsembleTrainer:
             from ..train.trainer import checkpoint_selected
 
             sel = (
-                [i for i in range(k)
+                [i for i in range(k_eff)
                  if checkpoint_selected(epoch + i, nb_epochs, every)]
                 if every > 1
-                else list(range(k))
+                else list(range(k_eff))
             )
             snaps_h, sel_pos = None, {i: i for i in sel}
             if with_snaps and sel:
-                snaps_src = outs[5]
-                if every > 1 and len(sel) < k:
+                snaps_src = outs[7] if early_stopping else outs[5]
+                if len(sel) < k:
                     idx = jnp.asarray(np.asarray(sel, np.int32))
                     snaps_src = jax.tree.map(lambda a: a[idx], snaps_src)
                     sel_pos = {e: p for p, e in enumerate(sel)}
                 snaps_h = host_snapshot(snaps_src, self.mesh)
-            for i in range(k):
+            tot_col = 4 * n_seeds
+            for i in range(k_eff):
                 tl = stats[i, :n_seeds]
                 vl = stats[i, n_seeds:2 * n_seeds]
                 corr_i = stats[i, 2 * n_seeds:3 * n_seeds]
                 imp = stats[i, 3 * n_seeds:4 * n_seeds] > 0.5
-                tot_i = float(stats[i, -1])
+                tot_i = float(stats[i, tot_col])
                 for j, hist in enumerate(self.histories):
                     hist.concat(
                         dict(train=float(tl[j]), val=float(vl[j]))
@@ -1016,6 +1179,13 @@ class EnsembleTrainer:
                         val_acc=f"{np.mean(corr_i) / max(tot_i, 1.0):.5f}",
                     )
             epoch += k
+            if stop_epoch is not None:
+                if verbose:
+                    logger.info(
+                        f"Early stopping stopped the ensemble at epoch "
+                        f"{stop_epoch}."
+                    )
+                break
         self.best_params = best_params
         if pbar is not None:
             pbar.close()

@@ -298,6 +298,7 @@ class TestBaselineHarness:
             data_folder = str(tmp_path / "runs")
             digits = False
             verbose = False
+            csv = str(tmp_path / "runs" / "results.csv")
 
         # Shrink the T=100 config for CI speed; the data plumbing --
         # allow_synthetic=False against the fabricated folder -- is the
@@ -317,6 +318,9 @@ class TestBaselineHarness:
             assert 0.0 <= row["accuracies"]["test"] <= 1.0
             assert row["published_test_acc"] is not None
             assert row["delta_vs_published"] is not None
+        # The --csv leg writes the sweep-schema results.csv (and
+        # best-effort figures) alongside the run dirs.
+        assert (tmp_path / "runs" / "results.csv").exists()
 
     def test_fails_loudly_without_data(self, tmp_path):
         import sys

@@ -465,3 +465,60 @@ def test_tp_trainer_respects_as_timeseries_false(tmp_path):
     xb2, yb2, wb2 = t2._prep_batch(x[:16], y[:16])
     l2, _ = e2(t2.params, xb2, yb2, wb2)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_ensemble_early_stopping_blocked_underfull_quirk(tmp_path):
+    """Ensemble ES in the block: the underfull-window quirk stops a fresh
+    fit at epoch 0 on both paths with identical per-seed histories."""
+    e_bl, h_bl = _ens_fit(tmp_path, "ens_es_bl", epoch_block=8, nb_epochs=8,
+                          early_stopping=True)
+    e_pe, h_pe = _ens_fit(tmp_path, "ens_es_pe", epoch_block=1, nb_epochs=8,
+                          early_stopping=True)
+    for hb, hp in zip(h_bl, h_pe):
+        assert len(hb["train"]) == len(hp["train"]) == 1
+        np.testing.assert_allclose(
+            [float(v) for v in hb["train"]],
+            [float(v) for v in hp["train"]], rtol=1e-6,
+        )
+
+
+@pytest.mark.parametrize("mode", ["single", "shard_seeds"])
+def test_ensemble_early_stopping_blocked_matches_per_epoch(tmp_path, mode):
+    """A resumed ensemble ES fit (window pre-filled from restored
+    histories) stops at the same epoch with the same per-seed histories
+    and best snapshots on the blocked and per-epoch paths -- including
+    under seed sharding, where the mean-val plateau is a pmean over the
+    seed shards."""
+    import jax
+
+    mesh, shard_seeds, seeds = None, False, (0, 1, 2)
+    if mode == "shard_seeds":
+        from snnimageclassification_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs the 8-virtual-device conftest")
+        mesh, shard_seeds, seeds = make_mesh(), True, tuple(range(8))
+
+    runs = {}
+    for tag, blk in (("pe", 1), ("bl", 3)):
+        e, _ = _ens_fit(tmp_path, f"mid_{mode}_{tag}", epoch_block=blk,
+                        nb_epochs=4, seeds=seeds, mesh=mesh,
+                        shard_seeds=shard_seeds)
+        tr_loader, va_loader = _loaders()
+        h = e.fit(tr_loader, va_loader, nb_epochs=20, epoch_block=blk,
+                  early_stopping=True, early_stopping_patience=3,
+                  load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH,
+                  verbose=False)
+        runs[tag] = (e, h)
+    e_pe, h_pe = runs["pe"]
+    e_bl, h_bl = runs["bl"]
+    for hb, hp in zip(h_bl, h_pe):
+        assert len(hb["val"]) == len(hp["val"])  # same stop epoch
+        np.testing.assert_allclose(
+            [float(v) for v in hb["val"]],
+            [float(v) for v in hp["val"]], rtol=1e-6,
+        )
+    np.testing.assert_allclose(
+        np.asarray(e_bl.best_val), np.asarray(e_pe.best_val), rtol=1e-6
+    )
+    np.testing.assert_array_equal(e_bl.best_epoch, e_pe.best_epoch)

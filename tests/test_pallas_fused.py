@@ -874,3 +874,69 @@ class TestInferencePrimalMatchesTrainingForward:
             cfg.threshold, cfg.gamma, SpikeFuncType.FastSigmoid, True,
         )
         np.testing.assert_array_equal(np.asarray(z), np.asarray(z_trained))
+
+
+@pytest.mark.parametrize("n_steps", [12, 24], ids=["T12-1block", "T24-2blocks"])
+@pytest.mark.parametrize("rec", [True, False], ids=["rec", "ff"])
+def test_fused_izh_head_stacked_matches_unrolled(rec, n_steps):
+    """The Izhikevich head kernel's stacked-replica grid (leading S axis,
+    one pallas_call for the whole ensemble) must be BITWISE identical to
+    S unrolled head calls -- logits and every weight gradient, per
+    replica (the LIF/ALIF stacked contract, extended to Izhikevich)."""
+    from snnimageclassification_tpu.ops.cells import IzhikevichConfig
+    from snnimageclassification_tpu.ops.pallas_fused_izh import (
+        fused_encode_izh_scan_head,
+    )
+    from snnimageclassification_tpu.ops.pallas_izh import izh_kernel_params
+
+    S = 3
+    rng = np.random.default_rng(31)
+    pixels = rng.random((B, F)).astype(np.float32)
+    lat = pixels_to_firing_periods(jnp.asarray(pixels), t_max=float(n_steps))
+    w_in = jnp.asarray(
+        (3e6 * rng.standard_normal((S, F, H))).astype(np.float32)
+    )
+    w_rec = (
+        jnp.asarray(
+            (5e5 * rng.standard_normal((S, H, H))).astype(np.float32)
+            * (1 - np.eye(H, dtype=np.float32))
+        )
+        if rec
+        else None
+    )
+    w_out = jnp.asarray(rng.standard_normal((S, H, O)).astype(np.float32))
+    b_out = jnp.asarray(0.1 * rng.standard_normal((S, O)).astype(np.float32))
+    cfg = IzhikevichConfig(input_size=F, output_size=H,
+                           use_recurrent_connection=rec)
+    kp = izh_kernel_params(cfg)
+    y = jnp.asarray(rng.integers(0, O, B), jnp.int32)
+
+    def nll(logits):
+        return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(B), y])
+
+    def run(wi, wr, wo, bo):  # stacked or per-replica, same entry
+        return fused_encode_izh_scan_head(
+            lat, wi, wr, wo, bo, kp, n_steps, False, cfg.gamma, _KAPPA,
+            cfg.spike_func, True,
+        )
+
+    argn = (0, 1, 2, 3) if rec else (0, 2, 3)
+    loss_s = lambda wi, wr, wo, bo: jnp.sum(jax.vmap(nll)(run(wi, wr, wo, bo)))
+    lg_s = run(w_in, w_rec, w_out, b_out)
+    g_s = jax.grad(loss_s, argn)(w_in, w_rec, w_out, b_out)
+    assert lg_s.shape == (S, B, O)
+    for i in range(S):
+        wr_i = w_rec[i] if rec else None
+        lg_i = run(w_in[i], wr_i, w_out[i], b_out[i])
+        loss_i = lambda wi, wr, wo, bo: nll(run(wi, wr, wo, bo))
+        g_i = jax.grad(loss_i, argn)(w_in[i], wr_i, w_out[i], b_out[i])
+        np.testing.assert_array_equal(
+            np.asarray(lg_s[i]), np.asarray(lg_i),
+            err_msg=f"izh-stacked logits replica {i}",
+        )
+        for gs, gi, nm in zip(g_s, g_i, ("w_in", "w_rec", "w_out", "b_out")
+                              if rec else ("w_in", "w_out", "b_out")):
+            np.testing.assert_array_equal(
+                np.asarray(gs[i]), np.asarray(gi),
+                err_msg=f"izh-stacked grad {nm} replica {i}",
+            )
