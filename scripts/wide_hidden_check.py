@@ -24,7 +24,13 @@ def main() -> None:
     ap.add_argument("--widths", default="200,256,512")
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--t", type=int, default=50)
+    ap.add_argument("--matmul-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="bfloat16 halves the kernel's resident weight "
+                         "bytes: H=1024 recurrent stays FUSED under the "
+                         "bf16 recipe where f32 gates off to XLA")
     args = ap.parse_args()
+    bf16 = args.matmul_dtype == "bfloat16"
 
     from snnimageclassification_tpu.models import snn as M
     from snnimageclassification_tpu.models.config import SNNConfig
@@ -45,20 +51,25 @@ def main() -> None:
     yb = jnp.asarray(rng.integers(0, 10, args.batch), jnp.int32)
     ok = True
     for width in [int(w) for w in args.widths.split(",")]:
-        assert fused_head_supported(args.t, 784, width, 10), width
+        assert fused_head_supported(args.t, 784, width, 10,
+                                    itemsize=2 if bf16 else 4), width
         cfg = SNNConfig(
             input_size=784, output_size=10, n_hidden_neurons=width,
             hidden_layer_type="ALIF", use_recurrent_connection=True,
-            int_time_steps=args.t,
+            int_time_steps=args.t, matmul_dtype=args.matmul_dtype,
         )
         cfg_x = SNNConfig(
             input_size=784, output_size=10, n_hidden_neurons=width,
             hidden_layer_type="ALIF", use_recurrent_connection=True,
             int_time_steps=args.t, use_pallas=False,
+            matmul_dtype=args.matmul_dtype,
         )
         enc = EncodeConfig(n_steps=args.t)
         params = M.init(cfg, jax.random.PRNGKey(0))
-        _, _, _, bb = _shapes(args.batch, params["input"]["w_in"], 784,
+        w_in_k = params["input"]["w_in"].astype(
+            jnp.dtype(cfg.matmul_dtype_eff)
+        )
+        _, _, _, bb = _shapes(args.batch, w_in_k, 784,
                               _time_block(args.t), head=True,
                               recurrent=True, n_out=10)
 
@@ -106,10 +117,15 @@ def main() -> None:
                 jax.tree.leaves(grads["xla"][1]),
             )
         )
-        good = dl < 1e-5 and dg < 1e-4
+        # bf16: both paths quantize their matmuls/traces, but fusion
+        # reorders the rounding, so tolerances widen (spikes themselves
+        # stay bitwise per the bf16-recipe parity suite).
+        tol_l, tol_g = (5e-3, 2e-2) if bf16 else (1e-5, 1e-4)
+        good = dl < tol_l and dg < tol_g
         ok &= good
         print(json.dumps(dict(
-            width=width, tile=int(bb), rel_loss_diff=dl, rel_grad_diff=dg,
+            width=width, tile=int(bb), matmul_dtype=args.matmul_dtype,
+            rel_loss_diff=dl, rel_grad_diff=dg,
             parity="OK" if good else "FAIL",
             fused_img_s=res["fused"], xla_img_s=res["xla"],
             speedup=round(res["fused"] / res["xla"], 2),

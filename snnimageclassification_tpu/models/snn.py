@@ -304,7 +304,9 @@ def _mid_layer_fusible(cfg: SNNConfig, lcfg, return_hidden) -> bool:
     if type(lcfg) not in (LIFConfig, ALIFConfig):
         return False
     return fused_mid_supported(
-        cfg.int_time_steps, lcfg.input_size, lcfg.output_size
+        cfg.int_time_steps, lcfg.input_size, lcfg.output_size,
+        recurrent=lcfg.use_recurrent_connection,
+        itemsize=jnp.dtype(cfg.matmul_dtype_eff).itemsize,
     )
 
 
@@ -446,6 +448,7 @@ def apply_pixels(
         and supported_fn(
             cfg.int_time_steps, cfg.input_size, first_cfg.output_size,
             recurrent=first_cfg.use_recurrent_connection,
+            itemsize=jnp.dtype(cfg.matmul_dtype_eff).itemsize,
         )
     )
     if (
@@ -581,6 +584,9 @@ def _head_fusible(cfg: SNNConfig, enc) -> bool:
         cfg.int_time_steps, cfg.input_size, first_cfg.output_size,
         last_cfg.output_size,
         recurrent=first_cfg.use_recurrent_connection,
+        # bf16 matmul weights halve the kernel's resident bytes -- wide
+        # hidden layers (H=1024 recurrent) stay fused under the recipe.
+        itemsize=jnp.dtype(cfg.matmul_dtype_eff).itemsize,
     )
     if not ok and _on_tpu():
         _log_fused_fallback(

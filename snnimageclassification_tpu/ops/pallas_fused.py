@@ -115,13 +115,21 @@ def _wlat_fit_bb(bb: int, f_pad: int, w_bytes: int) -> int:
 
 def fused_supported(
     n_steps: int, n_features: int, hidden: int, recurrent: bool = True,
+    itemsize: int = 4,
 ) -> bool:
     """The weight blocks plus one (shrinkable) latency tile must fit
     VMEM.  ``recurrent`` defaults True (the conservative direction: a
-    feedforward caller passing the default only over-budgets)."""
+    feedforward caller passing the default only over-budgets).
+
+    ``itemsize``: bytes per weight element.  The kernels run bf16
+    weights natively (SNNConfig.matmul_dtype) and _shapes already sizes
+    the resident blocks by W's real itemsize -- passing 2 here admits
+    shapes the f32 budget rejects, e.g. H=1024 recurrent (8.2 MB of f32
+    weights vs 4.1 MB bf16), making wide hidden layers fusible under the
+    bf16 matmul recipe instead of silently falling back to XLA."""
     f_pad = -(-n_features // _LANE) * _LANE
     h_pad = -(-hidden // _LANE) * _LANE
-    w_bytes = _weight_bytes(f_pad, h_pad, recurrent, 0)
+    w_bytes = _weight_bytes(f_pad, h_pad, recurrent, 0, itemsize=itemsize)
     bb = _wlat_fit_bb(_MAX_BLOCK_B, f_pad, w_bytes)
     return (
         jax.default_backend() == "tpu"
@@ -132,14 +140,16 @@ def fused_supported(
 
 def fused_head_supported(
     n_steps: int, n_features: int, hidden: int, n_out: int,
-    recurrent: bool = True,
+    recurrent: bool = True, itemsize: int = 4,
 ) -> bool:
     """Head variant additionally keeps W_out and (bb, o_pad) readout
-    state resident; cheap for classification-sized outputs."""
+    state resident; cheap for classification-sized outputs.
+    ``itemsize``: see :func:`fused_supported`."""
     f_pad = -(-n_features // _LANE) * _LANE
     h_pad = -(-hidden // _LANE) * _LANE
     o_pad = -(-n_out // _LANE) * _LANE
-    w_bytes = _weight_bytes(f_pad, h_pad, recurrent, o_pad)
+    w_bytes = _weight_bytes(f_pad, h_pad, recurrent, o_pad,
+                            itemsize=itemsize)
     bb = _wlat_fit_bb(_MAX_BLOCK_B, f_pad, w_bytes)
     return (
         jax.default_backend() == "tpu"

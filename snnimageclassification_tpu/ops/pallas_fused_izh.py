@@ -48,21 +48,24 @@ __all__ = [
 
 def fused_izh_supported(
     n_steps: int, n_features: int, hidden: int, recurrent: bool = True,
+    itemsize: int = 4,
 ) -> bool:
     """Same VMEM footprint as the LIF/ALIF fused kernels."""
-    return fused_supported(n_steps, n_features, hidden, recurrent=recurrent)
+    return fused_supported(n_steps, n_features, hidden, recurrent=recurrent,
+                           itemsize=itemsize)
 
 
 def fused_izh_head_supported(
     n_steps: int, n_features: int, hidden: int, n_out: int,
-    recurrent: bool = True,
+    recurrent: bool = True, itemsize: int = 4,
 ) -> bool:
     """Head variant: W_out + (bb, o_pad) readout state resident like the
     LIF/ALIF head (pallas_fused.fused_head_supported)."""
     from .pallas_fused import fused_head_supported
 
     return fused_head_supported(
-        n_steps, n_features, hidden, n_out, recurrent=recurrent
+        n_steps, n_features, hidden, n_out, recurrent=recurrent,
+        itemsize=itemsize,
     )
 
 

@@ -38,12 +38,18 @@ from .surrogate import SpikeFuncType
 __all__ = ["fused_mid_rec_scan", "fused_mid_ff_scan", "fused_mid_supported"]
 
 
-def fused_mid_supported(n_steps: int, hidden_in: int, hidden: int) -> bool:
-    """The W_in block must fit VMEM alongside the revolving trace blocks
-    (same budget shape as the layer-0 gate, minus the latency tile)."""
+def fused_mid_supported(n_steps: int, hidden_in: int, hidden: int,
+                        recurrent: bool = True, itemsize: int = 4) -> bool:
+    """The W_in (+ W_rec when recurrent) blocks must fit VMEM alongside
+    the revolving trace blocks (same budget shape as the layer-0 gate,
+    minus the latency tile).  ``recurrent`` defaults True -- the
+    conservative direction; ``itemsize`` follows the matmul dtype (bf16
+    weights halve the resident cost, see pallas_fused.fused_supported)."""
     hin_pad = -(-hidden_in // _LANE) * _LANE
     h_pad = -(-hidden // _LANE) * _LANE
-    w_bytes = hin_pad * h_pad * 4
+    w_bytes = hin_pad * h_pad * itemsize
+    if recurrent:
+        w_bytes += h_pad * h_pad * itemsize
     return (
         jax.default_backend() == "tpu"
         and n_steps >= 1

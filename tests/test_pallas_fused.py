@@ -940,3 +940,58 @@ def test_fused_izh_head_stacked_matches_unrolled(rec, n_steps):
                 np.asarray(gs[i]), np.asarray(gi),
                 err_msg=f"izh-stacked grad {nm} replica {i}",
             )
+
+
+def test_bf16_itemsize_admits_wide_recurrent():
+    """bf16 matmul weights halve the kernel's resident bytes: recurrent
+    H=1024 -- gated OFF to XLA at f32 (8.4 MB of weights) -- is admitted
+    at itemsize=2 with an in-budget shrunk tile, so the TPU-natural
+    "grow the hidden dim" axis keeps the fused path under the bf16
+    recipe.  Covers the gate arithmetic (fused_supported /
+    fused_head_supported both route through it) and the kernel numerics
+    at the admitted shape: the bf16-recipe invariant (spikes bitwise
+    equal to an f32 run on the same bf16-representable weights) must
+    hold across MULTIPLE shrunk batch tiles."""
+    from snnimageclassification_tpu.ops.pallas_fused import (
+        _MAX_BLOCK_B,
+        _WLAT_BUDGET,
+        _weight_bytes,
+        _wlat_fit_bb,
+    )
+
+    f_pad = 896  # F=784 padded
+    for itemsize, o_pad, expect in (
+        (4, 128, False),  # f32 head: stays gated off (unchanged)
+        (2, 128, True),   # bf16 head: admitted
+        (4, 0, False),    # f32 layer-0: gated off
+        (2, 0, True),     # bf16 layer-0: admitted
+    ):
+        w_bytes = _weight_bytes(f_pad, 1024, True, o_pad, itemsize=itemsize)
+        bb = _wlat_fit_bb(_MAX_BLOCK_B, f_pad, w_bytes)
+        fits = w_bytes + 2 * bb * f_pad * 4 <= _WLAT_BUDGET
+        assert fits == expect, (itemsize, o_pad, bb)
+
+    H2, T2, B2 = 1024, 6, 256  # bb shrinks to 128 -> 2 tiles at B=256
+    rng = np.random.default_rng(77)
+    pixels2 = rng.random((B2, F)).astype(np.float32)
+    lat2 = pixels_to_firing_periods(jnp.asarray(pixels2), t_max=float(T2))
+    w_in16 = jnp.asarray(
+        0.5 * rng.standard_normal((F, H2)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    w_rec16 = jnp.asarray(
+        (0.3 * rng.standard_normal((H2, H2))).astype(np.float32)
+        * (1 - np.eye(H2, dtype=np.float32))
+    ).astype(jnp.bfloat16)
+    cfg = ALIFConfig(input_size=F, output_size=H2)
+    args = (1.6, T2, False, True, cfg.alpha, cfg.rho, cfg.threshold,
+            cfg.gamma, SpikeFuncType.FastSigmoid, True)
+
+    def run(wi, wr):
+        return fused_encode_rec_scan(lat2, wi, wr, *args)
+
+    z32 = run(w_in16.astype(jnp.float32), w_rec16.astype(jnp.float32))
+    z16 = run(w_in16, w_rec16)
+    assert z16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(z16.astype(jnp.float32)), np.asarray(z32)
+    )
