@@ -35,7 +35,12 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     try:
         path.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(path))
-        # Cache every program that takes noticeable compile time.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Cache EVERY program, including micro-programs (jit-dispatched
+        # slices/gathers around checkpoint snapshot fetches).  JAX's
+        # default 1 s threshold measures its local compile time, which
+        # misses the relay round trips that dominate on tunneled TPUs --
+        # measured ~3 s per first-use micro-program there (round 4),
+        # which poisons every fresh process's first fit block.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # pragma: no cover - unwritable FS: stay cold
         pass
