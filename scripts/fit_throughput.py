@@ -41,6 +41,11 @@ def main() -> None:
                     help="run data-parallel over an N-virtual-device CPU "
                          "mesh (dispatch-count validation for the mesh "
                          "epoch-scan path; real throughput needs chips)")
+    ap.add_argument("--warm", action="store_true",
+                    help="run a 2-epoch warm fit (compiles + dataset "
+                         "upload) before the timed fit and resume from it "
+                         "-- e2e then measures pure steady execution, the "
+                         "same basis the --early-stopping mode uses")
     ap.add_argument("--early-stopping", action="store_true",
                     help="measure fit(early_stopping=True) with the "
                          "plateau disabled (SNN_TPU_ES_TOL=0 + a 2-epoch "
@@ -130,12 +135,15 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as folder:
         tr = Trainer(cfg, checkpoint_folder=folder, mesh=mesh, reg_fn=reg_fn)
-        if args.early_stopping:
+        if args.early_stopping or args.warm:
             from snnimageclassification_tpu.train.checkpoint import (
                 LoadCheckpointMode,
             )
 
-            # Warm fit: fills >= 2 window slots (and compiles).
+            # Warm fit: compiles every program + uploads the dataset (and
+            # for ES fills >= 2 window slots), so the timed fit below is
+            # pure steady execution -- the fair basis for cross-mode e2e
+            # comparisons (the ES path always warms; --warm matches it).
             tr.fit(train, val, nb_epochs=2, force_overwrite=True,
                    epoch_block=args.epoch_block,
                    checkpoint_every=args.checkpoint_every)
@@ -161,6 +169,11 @@ def main() -> None:
                    epoch_block=args.epoch_block,
                    checkpoint_every=args.checkpoint_every,
                    early_stopping=True, early_stopping_patience=5,
+                   load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH)
+        elif args.warm:
+            tr.fit(train, val, nb_epochs=2 + args.epochs,
+                   epoch_block=args.epoch_block,
+                   checkpoint_every=args.checkpoint_every,
                    load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH)
         else:
             tr.fit(train, val, nb_epochs=args.epochs, force_overwrite=True,
@@ -194,6 +207,7 @@ def main() -> None:
         **({"mesh_devices": args.mesh} if args.mesh else {}),
         **({"reg": args.reg} if args.reg else {}),
         **({"early_stopping": True} if args.early_stopping else {}),
+        **({"warm": True} if args.warm else {}),
     }))
 
 
