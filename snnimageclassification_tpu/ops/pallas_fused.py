@@ -113,6 +113,61 @@ def _wlat_fit_bb(bb: int, f_pad: int, w_bytes: int) -> int:
     return max(_SUBLANE, bb)
 
 
+# Total scoped-VMEM budget for the WIDE-shape time-block shrink
+# (_wide_max_k).  v5e scoped VMEM is 16 MB; leave ~1.5 MB for kernel
+# scratch (state rows, readout tiles) and compiler temporaries.
+# Calibration point: H=1024 recurrent bf16 head measured 16.76 MB scoped
+# (OOM by 777 KB) at K=10 -- the f32 gradient accumulators the backward
+# keeps resident (8.4 MB) plus the bf16 weight blocks (4.2 MB) leave
+# room for only a few revolving trace blocks.
+_WIDE_VMEM_BUDGET = int(14.5 * 1024 * 1024)
+# Shapes whose weights + f32 grad accumulators stay under this use the
+# default K=16 time block -- every round-3-validated shape lands here,
+# so their compiled programs are bitwise unchanged.
+_WIDE_FIXED_THRESHOLD = 8 * 1024 * 1024
+
+
+def _wide_compiler_params(F, hidden, recurrent, head, n_out, itemsize):
+    """Raised scoped-VMEM limit for WIDE shapes, else None.
+
+    Mosaic's default scoped-VMEM budget is 16 MB -- a compiler split of
+    the chip's much larger physical VMEM, not a hardware ceiling.  Wide
+    shapes legitimately need more: the backward keeps the weight blocks
+    plus their f32 gradient accumulators resident (H=1024 recurrent bf16
+    measured 16.03 MB scoped even after the K-shrink).  Raising the
+    per-kernel limit keeps the revolving-window design unchanged and
+    costs nothing for the (unchanged) non-wide shapes."""
+    f_pad = -(-F // _LANE) * _LANE
+    h_pad = -(-hidden // _LANE) * _LANE
+    o_pad = -(-n_out // _LANE) * _LANE if n_out else 0
+    fixed = _weight_bytes(f_pad, h_pad, recurrent, o_pad,
+                          itemsize=itemsize) + _weight_bytes(
+        f_pad, h_pad, recurrent, o_pad, itemsize=4)
+    if fixed <= _WIDE_FIXED_THRESHOLD:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
+
+def _wide_max_k(F, hidden, recurrent, head, n_out, itemsize) -> int:
+    """Largest time-block size K whose revolving trace blocks fit VMEM
+    beside this shape's resident weights AND their f32 gradient
+    accumulators (the backward's fixed footprint).  Returns the default
+    16 for every non-wide shape; 0 means the shape cannot fuse at all."""
+    f_pad = -(-F // _LANE) * _LANE
+    h_pad = -(-hidden // _LANE) * _LANE
+    o_pad = -(-n_out // _LANE) * _LANE if n_out else 0
+    w_b = _weight_bytes(f_pad, h_pad, recurrent, o_pad, itemsize=itemsize)
+    g_b = _weight_bytes(f_pad, h_pad, recurrent, o_pad, itemsize=4)
+    fixed = w_b + g_b
+    if fixed <= _WIDE_FIXED_THRESHOLD:
+        return 16
+    bb = 16 if itemsize == 2 else _SUBLANE  # the floor tile these reach
+    lat = 2 * bb * f_pad * 4
+    n_blocks = _N_BLOCKS + (2 if head else 0)
+    per_k = 2 * n_blocks * bb * h_pad * itemsize  # traces follow W dtype
+    return max(0, min(16, (_WIDE_VMEM_BUDGET - fixed - lat) // per_k))
+
+
 def fused_supported(
     n_steps: int, n_features: int, hidden: int, recurrent: bool = True,
     itemsize: int = 4,
@@ -135,6 +190,8 @@ def fused_supported(
         jax.default_backend() == "tpu"
         and n_steps >= 1
         and w_bytes + 2 * bb * f_pad * 4 <= _WLAT_BUDGET
+        and _wide_max_k(n_features, hidden, recurrent, False, 0,
+                        itemsize) >= 1
     )
 
 
@@ -156,6 +213,8 @@ def fused_head_supported(
         and n_steps >= 1
         and o_pad <= 512
         and w_bytes + 2 * bb * f_pad * 4 <= _WLAT_BUDGET
+        and _wide_max_k(n_features, hidden, recurrent, True, n_out,
+                        itemsize) >= 1
     )
 
 
@@ -479,7 +538,14 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
     head = w_out is not None
     stacked = w_in.ndim == 3  # leading replica axis (see _stack_spec)
     S = w_in.shape[0] if stacked else None
-    K = _time_block(T)
+    K = _time_block(T, _wide_max_k(
+        w_in.shape[-2], w_in.shape[-1], has_w, head,
+        w_out.shape[-1] if head else 0, jnp.dtype(w_in.dtype).itemsize,
+    ))
+    cparams = _wide_compiler_params(
+        w_in.shape[-2], w_in.shape[-1], has_w, head,
+        w_out.shape[-1] if head else 0, jnp.dtype(w_in.dtype).itemsize,
+    )
     # store_traces=False is the inference mode (custom_vjp primal): only
     # what downstream consumers need leaves the kernel -- logits for the
     # head, the z spike trace otherwise.  Same arithmetic, no residual
@@ -585,6 +651,7 @@ def _fused_fwd_call(latencies, w_in, w_rec, beta, *, T, use_periods, alif,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=cparams,
     )(*args)
     traces = tuple(o[..., :B, :H] for o in outs[:n_trace])
     if head:
@@ -833,7 +900,14 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
     head = w_out is not None
     stacked = w_in.ndim == 3  # leading replica axis (see _stack_spec)
     S = w_in.shape[0] if stacked else None
-    K = _time_block(T)
+    K = _time_block(T, _wide_max_k(
+        w_in.shape[-2], w_in.shape[-1], has_w, head,
+        w_out.shape[-1] if head else 0, jnp.dtype(w_in.dtype).itemsize,
+    ))
+    cparams = _wide_compiler_params(
+        w_in.shape[-2], w_in.shape[-1], has_w, head,
+        w_out.shape[-1] if head else 0, jnp.dtype(w_in.dtype).itemsize,
+    )
     ref3d = residuals[0] if head else z
     B, H = ref3d.shape[-2], ref3d.shape[-1]
     F = w_in.shape[-2]
@@ -966,6 +1040,7 @@ def _fused_bwd_call(g_z, residuals, z, lat, w_in, w_rec, beta, *, T,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=cparams,
     )(*args)
     tile_ax = 1 if stacked else 0  # reduce the batch-tile partials only
     g_w_in = jnp.sum(outs[0], axis=tile_ax)[..., :F, :H].astype(w_in.dtype)

@@ -33,6 +33,8 @@ from .pallas_fused import (
     _share_spec,
     _spike_row,
     _stack_spec,
+    _wide_compiler_params,
+    _wide_max_k,
     fused_supported,
 )
 from .pallas_scan import _surrogate_grad, _time_block, _zprev_k
@@ -349,7 +351,14 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
     S = w_in.shape[0] if stacked else None
     if stacked and not head:
         raise ValueError("stacked Izhikevich is head-only (ensemble path)")
-    K = _time_block(T)
+    K = _time_block(T, _wide_max_k(
+        w_in.shape[-2], w_in.shape[-1], has_w, head,
+        w_out.shape[-1] if head else 0, jnp.dtype(w_in.dtype).itemsize,
+    ))
+    cparams = _wide_compiler_params(
+        w_in.shape[-2], w_in.shape[-1], has_w, head,
+        w_out.shape[-1] if head else 0, jnp.dtype(w_in.dtype).itemsize,
+    )
     B, F = latencies.shape
     H, f_pad, h_pad, bb = _shapes(B, w_in, F, K, head, recurrent=has_w,
         n_out=w_out.shape[-1] if head else 0)
@@ -433,6 +442,7 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
             out_shape=out_shape,
             scratch_shapes=scratch,
             interpret=interpret,
+            compiler_params=cparams,
         )(*args)
         v = outs[0][..., :B, :H] if store_traces else None
         logits, tstar = outs[-2], outs[-1]
@@ -448,6 +458,7 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
         * n_out_traces,
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=cparams,
     )(*args)
     z = outs[0][:, :B, :H]
     v = outs[1][:, :B, :H] if store_traces else None
@@ -461,7 +472,14 @@ def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
     head = w_out is not None
     stacked = w_in.ndim == 3  # leading replica axis (pallas_fused._stack_spec)
     S = w_in.shape[0] if stacked else None
-    K = _time_block(T)
+    K = _time_block(T, _wide_max_k(
+        w_in.shape[-2], w_in.shape[-1], has_w, head,
+        w_out.shape[-1] if head else 0, jnp.dtype(w_in.dtype).itemsize,
+    ))
+    cparams = _wide_compiler_params(
+        w_in.shape[-2], w_in.shape[-1], has_w, head,
+        w_out.shape[-1] if head else 0, jnp.dtype(w_in.dtype).itemsize,
+    )
     B, H = v.shape[-2], v.shape[-1]
     F = w_in.shape[-2]
     f_pad = lat.shape[1]
@@ -577,6 +595,7 @@ def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=cparams,
     )(*args)
     tile_ax = 1 if stacked else 0  # reduce the batch-tile partials only
     g_w_in = jnp.sum(outs[0], axis=tile_ax)[..., :F, :H].astype(w_in.dtype)

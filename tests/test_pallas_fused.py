@@ -995,3 +995,60 @@ def test_bf16_itemsize_admits_wide_recurrent():
     np.testing.assert_array_equal(
         np.asarray(z16.astype(jnp.float32)), np.asarray(z32)
     )
+
+
+def test_wide_k_shrink_preserves_numerics(monkeypatch):
+    """The wide-shape time-block shrink (_wide_max_k: wide resident
+    weights + f32 grad accumulators squeeze the revolving trace blocks,
+    so K shrinks instead of Mosaic VMEM-OOMing) is a pure re-blocking of
+    the grid: logits and every gradient must be BITWISE identical to the
+    default-K run.  Forced here on a small shape via monkeypatch so the
+    shrunken multi-block path (K=3, 4 blocks at T=12) runs in interpret
+    mode."""
+    import snnimageclassification_tpu.ops.pallas_fused as pf
+
+    # Gate arithmetic at the real wide shapes first.
+    assert pf._wide_max_k(784, 128, True, True, 10, 4) == 16   # flagship
+    assert pf._wide_max_k(784, 512, True, True, 10, 4) == 16   # round-3 max
+    k_wide = pf._wide_max_k(784, 1024, True, True, 10, 2)      # bf16 wide
+    assert 1 <= k_wide < 16, k_wide
+    assert pf._wide_max_k(784, 1024, True, True, 10, 4) == 0   # f32 wide: off
+
+    n_steps = 12
+    rng = np.random.default_rng(13)
+    pixels = rng.random((B, F)).astype(np.float32)
+    lat = pixels_to_firing_periods(jnp.asarray(pixels), t_max=float(n_steps))
+    w_in = jnp.asarray(0.5 * rng.standard_normal((F, H)).astype(np.float32))
+    w_rec = jnp.asarray(
+        (0.3 * rng.standard_normal((H, H))).astype(np.float32)
+        * (1 - np.eye(H, dtype=np.float32))
+    )
+    w_out = jnp.asarray(rng.standard_normal((H, O)).astype(np.float32))
+    b_out = jnp.asarray(0.1 * rng.standard_normal((O,)).astype(np.float32))
+    cfg = ALIFConfig(input_size=F, output_size=H)
+    y = jnp.asarray(rng.integers(0, O, B), jnp.int32)
+    common = (n_steps, False, True, cfg.alpha, cfg.rho, cfg.threshold,
+              cfg.gamma, _KAPPA, SpikeFuncType.FastSigmoid, True)
+
+    def loss(wi, wr, wo, bo):
+        lg = fused_encode_rec_scan_head(lat, wi, wr, cfg.beta, wo, bo,
+                                        *common)
+        return -jnp.mean(jax.nn.log_softmax(lg)[jnp.arange(B), y])
+
+    val = jax.value_and_grad(loss, (0, 1, 2, 3))
+    l_def, g_def = val(w_in, w_rec, w_out, b_out)
+    monkeypatch.setattr(pf, "_wide_max_k", lambda *a: 3)
+    l_k3, g_k3 = val(w_in, w_rec, w_out, b_out)
+    np.testing.assert_array_equal(np.asarray(l_def), np.asarray(l_k3))
+    for a, b_, nm in zip(g_def, g_k3, ("w_in", "w_rec", "w_out", "b_out")):
+        if nm == "b_out":
+            # g_b sums its per-K-block s-block partials, so re-blocking
+            # reassociates the f32 reduction: last-ulp differences only.
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=0, atol=5e-7,
+                err_msg="K-shrink grad b_out",
+            )
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b_), err_msg=f"K-shrink grad {nm}"
+            )
