@@ -394,6 +394,95 @@ def main():
             ok &= check(f"{name} grad {jax.tree_util.keystr(path)}", gp, gx,
                         atol=1e-4)
 
+    # Izhikevich + count regularization: the model path returns EMPTY
+    # counts (the reference's isinstance(LIFLayer) filter excludes
+    # Izhikevich, snn.py:268) via the FUSED head, matching the XLA trace
+    # path with the same cfg-aware exclusion; and the beyond-reference
+    # counts kernel (fused_encode_izh_scan_head_counts) must agree with
+    # the layer kernel's summed z trace in values and gradients.
+    for rec in (True, False):
+        n_steps = 24
+        cfg = SNNConfig(
+            input_size=784, output_size=10, n_hidden_neurons=128,
+            int_time_steps=n_steps, hidden_layer_type="Izhikevich",
+            use_recurrent_connection=rec,
+        )
+        cfg_xla = SNNConfig(
+            input_size=784, output_size=10, n_hidden_neurons=128,
+            int_time_steps=n_steps, hidden_layer_type="Izhikevich",
+            use_recurrent_connection=rec, use_pallas=False,
+        )
+        params = dict(M.init(cfg, jax.random.PRNGKey(6)))
+        params["input"] = dict(
+            params["input"], w_in=params["input"]["w_in"] * 3e6
+        )
+        enc = EncodeConfig(n_steps=n_steps, use_periods=False)
+        reg_c = losses_mod.L1TotalSpikeCount(1e-4, cfg=cfg)
+        reg_t = losses_mod.L1TotalSpikeCount(1e-4, cfg=cfg_xla)
+
+        def loss_counts(p, cfg=cfg, enc=enc, reg=reg_c):
+            logits, counts = M.forward_logits_counts_pixels(cfg, p, x, enc)
+            nll = -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(64), y])
+            return nll + reg.from_counts(counts, w_ones)
+
+        def loss_traces(p, cfg=cfg_xla, enc=enc, reg=reg_t):
+            trace, hidden = M.apply_pixels(cfg, p, x, enc,
+                                           return_hidden=True)
+            logits = M.prediction_logits(cfg, trace)
+            nll = -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(64), y])
+            return nll + reg(hidden)
+
+        name = f"izh_counts_empty rec={rec} T={n_steps}"
+        ok &= check(f"{name} loss", jax.jit(loss_counts)(params),
+                    jax.jit(loss_traces)(params), atol=1e-5)
+        gc_ = jax.jit(jax.grad(loss_counts))(params)
+        gt_ = jax.jit(jax.grad(loss_traces))(params)
+        for path, gp in jax.tree_util.tree_leaves_with_path(gc_):
+            gx = gt_
+            for kk in path:
+                gx = gx[kk.key]
+            ok &= check(f"{name} grad {jax.tree_util.keystr(path)}", gp, gx,
+                        atol=1e-4)
+
+        # Beyond-reference izh counts kernel: counts == sum_t z natively,
+        # grads of a counts objective == the layer-kernel-trace objective.
+        from snnimageclassification_tpu.ops.cells import ReadoutConfig
+        from snnimageclassification_tpu.ops.encoding import (
+            pixels_to_firing_periods,
+        )
+        from snnimageclassification_tpu.ops.pallas_fused_izh import (
+            fused_encode_izh_scan,
+            fused_encode_izh_scan_head_counts,
+        )
+        from snnimageclassification_tpu.ops.pallas_izh import (
+            izh_kernel_params,
+        )
+
+        lat = pixels_to_firing_periods(x, t_max=float(n_steps))
+        kp = izh_kernel_params(dict(cfg.layer_configs)["input"])
+        kappa = ReadoutConfig(input_size=128, output_size=10).kappa
+        w_in_k = params["input"]["w_in"]
+        w_rec_k = (
+            params["input"]["w_rec"] * (1 - jnp.eye(128)) if rec else None
+        )
+        w_out_k = params["readout"]["w_in"]
+        b_out_k = params["readout"]["b"]
+        icfg = dict(cfg.layer_configs)["input"]
+        common = (kp, n_steps, False, icfg.gamma, kappa, icfg.spike_func)
+        _, cnts = jax.jit(
+            lambda wi, wr, wo, bo: fused_encode_izh_scan_head_counts(
+                lat, wi, wr, wo, bo, *common
+            )
+        )(w_in_k, w_rec_k, w_out_k, b_out_k)
+        z_tr = jax.jit(
+            lambda wi, wr: fused_encode_izh_scan(
+                lat, wi, wr, kp, n_steps, False, icfg.gamma,
+                icfg.spike_func,
+            )
+        )(w_in_k, w_rec_k)
+        ok &= check(f"izh_counts_kernel rec={rec} counts==sum_t z", cnts,
+                    jnp.sum(z_tr, axis=0), atol=0.0)
+
     # uint8 wire parity (serve.py): a uint8 server normalizing on device
     # (x.astype(f32)/255 inside the compiled program) must produce logits
     # BIT-equal to a float32 server fed host-normalized x/255 -- the

@@ -717,7 +717,17 @@ def forward_logits_counts_pixels(
     from ..ops.encoding import pixels_to_firing_periods
 
     first_cfg = cfg.layer_configs[0][1]
-    if _head_fusible(cfg, enc) and type(first_cfg) is not IzhikevichConfig:
+    if _head_fusible(cfg, enc) and type(first_cfg) is IzhikevichConfig:
+        # Reference parity: the count collector's isinstance(LIFLayer)
+        # filter EXCLUDES Izhikevich (snn.py:268) -- its counts entry
+        # never exists and the reg term is zero.  Return the fused-head
+        # logits with an empty counts dict so a count-regularized
+        # Izhikevich fit KEEPS the whole-network kernel pair (previously
+        # it silently fell back to the composed path).  Users who want
+        # Izhikevich spike counts anyway (beyond-reference) can call
+        # ops.pallas_fused_izh.fused_encode_izh_scan_head_counts.
+        return forward_logits_pixels(cfg, params, pixels, enc), {}
+    if _head_fusible(cfg, enc):
         (first_name, first_cfg), (last_name, last_cfg) = cfg.layer_configs
         latencies = pixels_to_firing_periods(
             jnp.asarray(pixels, jnp.float32),

@@ -43,6 +43,7 @@ from .surrogate import SpikeFuncType
 __all__ = [
     "fused_encode_izh_scan",
     "fused_encode_izh_scan_head",
+    "fused_encode_izh_scan_head_counts",
     "fused_izh_supported",
     "fused_izh_head_supported",
 ]
@@ -73,12 +74,13 @@ def fused_izh_head_supported(
 
 def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
                     v_th, k, a, b, c, d, v_peak, head=False, kappa=0.0,
-                    store_traces=True, t_axis=1):
+                    store_traces=True, t_axis=1, store_counts=False):
     if has_w:
         lat_ref, w_in_ref, w_rec_ref, *rest = refs
     else:
         lat_ref, w_in_ref, *rest = refs
         w_rec_ref = None
+    cnt_ref = None
     if head:
         # The head stores ONLY the f32 v trace: z is recomputed in the
         # backward as (v >= v_peak) -- bit-exact, because the forward
@@ -87,11 +89,16 @@ def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
         # only logits/tstar leave the kernel, same arithmetic.
         if store_traces:
             (w_out_ref, b_out_ref, v_ref, logits_ref, tstar_ref,
-             v_scr, u_scr, z_scr, vr_scr, m_scr, ts_scr) = rest
+             *rest) = rest
         else:
-            (w_out_ref, b_out_ref, logits_ref, tstar_ref,
-             v_scr, u_scr, z_scr, vr_scr, m_scr, ts_scr) = rest
+            (w_out_ref, b_out_ref, logits_ref, tstar_ref, *rest) = rest
             v_ref = None
+        if store_counts:
+            # Per-sample per-neuron spike counts alongside logits -- the
+            # fused-path carrier for the spike regularizers (see
+            # pallas_fused._fused_fwd_kernel).
+            cnt_ref, *rest = rest
+        v_scr, u_scr, z_scr, vr_scr, m_scr, ts_scr = rest
         z_ref = None
     else:
         # Non-head inference keeps z (the next layer consumes it) but
@@ -112,6 +119,8 @@ def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
             vr_scr[:] = jnp.zeros_like(vr_scr)
             m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
             ts_scr[:] = jnp.zeros_like(ts_scr)
+        if cnt_ref is not None:
+            cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
     lat = lat_ref[:]
     w_in = w_in_ref[:]
@@ -154,6 +163,12 @@ def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
     v_scr[:] = v_prev
     u_scr[:] = u_prev
     z_scr[:] = z_prev
+    if cnt_ref is not None:
+        # f32 accumulation: counts reach T (<= a few hundred) exactly.
+        acc = zs[0].astype(jnp.float32)
+        for zr in zs[1:]:
+            acc = acc + zr.astype(jnp.float32)
+        cnt_ref[:] += acc
     if head:
         # Readout leaky integrator + running first-argmax max-over-time,
         # identical to the LIF/ALIF head (pallas_fused._fused_fwd_kernel):
@@ -183,11 +198,14 @@ def _izh_fwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
 
 def _izh_bwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
                     v_th, k, a, b, v_peak, gamma, spike_func, head=False,
-                    kappa=0.0, t_axis=1):
+                    kappa=0.0, t_axis=1, has_gcnt=False):
     i = 0
+    gcnt_ref = None
     if head:
         g_ref = refs[i]; i += 1
         ts_ref = refs[i]; i += 1
+        if has_gcnt:
+            gcnt_ref = refs[i]; i += 1
         gz_ref = None
     else:
         gz_ref = refs[i]; i += 1
@@ -260,6 +278,9 @@ def _izh_bwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=f32,
         ).reshape(K_, bb_, H_)
+        if gcnt_ref is not None:
+            # Count cotangent: d counts / d z_t == I at every step.
+            dz_all = dz_all + gcnt_ref[:].astype(f32)[None]
         z_res = (v_ref[:].astype(f32) >= v_peak).astype(f32)
         zb_row = jnp.where(
             is_first_block, 0.0,
@@ -344,7 +365,7 @@ def _izh_bwd_kernel(refs, *, K, n_steps, use_periods, has_w, dt, C, v_rest,
 
 def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
                   lat_prepadded=None, w_out=None, b_out=None, kappa=0.0,
-                  store_traces=True):
+                  store_traces=True, store_counts=False):
     has_w = w_rec is not None
     head = w_out is not None
     stacked = w_in.ndim == 3  # leading replica axis (pallas_fused._stack_spec)
@@ -385,7 +406,7 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
     kernel = functools.partial(
         _izh_fwd_kernel, K=K, n_steps=T, use_periods=use_periods,
         has_w=has_w, head=head, kappa=kappa, store_traces=store_traces,
-        t_axis=2 if stacked else 1, **kp,
+        t_axis=2 if stacked else 1, store_counts=store_counts, **kp,
     )
     in_specs = [lat_spec, w_in_spec] + ([w_rec_spec] if has_w else [])
     args = [lat, _pad2(w_in, f_pad, h_pad)] + (
@@ -415,6 +436,12 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
             jax.ShapeDtypeStruct((Bp, o_pad), jnp.float32),
             jax.ShapeDtypeStruct((Bp, o_pad), jnp.int32),
         ]
+        if store_counts:
+            out_specs += [
+                pl.BlockSpec((bb, h_pad), lambda bi, t: (bi, 0),
+                             memory_space=pltpu.VMEM)
+            ]
+            out_shape += [jax.ShapeDtypeStruct((Bp, h_pad), jnp.float32)]
         scratch += [
             pltpu.VMEM((bb, o_pad), jnp.float32),
             pltpu.VMEM((bb, o_pad), jnp.float32),
@@ -445,8 +472,13 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
             compiler_params=cparams,
         )(*args)
         v = outs[0][..., :B, :H] if store_traces else None
-        logits, tstar = outs[-2], outs[-1]
+        base = 1 if store_traces else 0
+        logits, tstar = outs[base], outs[base + 1]
         O = w_out.shape[-1]
+        if store_counts:
+            counts = outs[base + 2][..., :B, :H]
+            return (v, lat, logits[..., :B, :O], tstar[..., :B, :O],
+                    counts)
         return v, lat, logits[..., :B, :O], tstar[..., :B, :O]
     n_out_traces = 2 if store_traces else 1
     outs = pl.pallas_call(
@@ -467,7 +499,8 @@ def _izh_fwd_call(latencies, w_in, w_rec, kp, *, T, use_periods, interpret,
 
 def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
                   gamma, spike_func, interpret,
-                  g_logits=None, tstar=None, w_out=None, kappa=0.0):
+                  g_logits=None, tstar=None, w_out=None, kappa=0.0,
+                  g_counts=None):
     has_w = w_rec is not None
     head = w_out is not None
     stacked = w_in.ndim == 3  # leading replica axis (pallas_fused._stack_spec)
@@ -525,7 +558,8 @@ def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
     kernel = functools.partial(
         _izh_bwd_kernel, K=K, n_steps=T, use_periods=use_periods,
         has_w=has_w, gamma=gamma, spike_func=spike_func, head=head,
-        kappa=kappa, t_axis=2 if stacked else 1, **bwd_kp,
+        kappa=kappa, t_axis=2 if stacked else 1,
+        has_gcnt=g_counts is not None, **bwd_kp,
     )
     in_specs = (
         [rev] * len(operands) + [zb, lat_spec, w_in_spec]
@@ -558,8 +592,15 @@ def _izh_bwd_call(g_z, v, z, lat, w_in, w_rec, kp, *, T, use_periods,
         ]
         gl = jnp.pad(g_logits.astype(jnp.float32), pad_bo)
         ts_p = jnp.pad(tstar, pad_bo)
-        in_specs = [head_spec, head_spec] + in_specs
-        args = [gl, ts_p] + args
+        if g_counts is not None:
+            gcnt_spec = pl.BlockSpec((bb, h_pad), lambda bi, t: (bi, 0),
+                                     memory_space=pltpu.VMEM)
+            # Zero-padded rows/cols contribute zero count cotangent.
+            in_specs = [head_spec, head_spec, gcnt_spec] + in_specs
+            args = [gl, ts_p, padbh(g_counts.astype(jnp.float32))] + args
+        else:
+            in_specs = [head_spec, head_spec] + in_specs
+            args = [gl, ts_p] + args
         w_out_spec = pl.BlockSpec((h_pad, o_pad), lambda bi, t: (0, 0),
                                   memory_space=pltpu.VMEM)
         in_specs.append(w_out_spec)
@@ -726,3 +767,66 @@ def _fused_izh_head_bwd(kernel_params, n_steps, use_periods, gamma, kappa,
 
 
 fused_encode_izh_scan_head.defvjp(_fused_izh_head_fwd, _fused_izh_head_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=IZH_HEAD_STATICS)
+def fused_encode_izh_scan_head_counts(
+    latencies: jax.Array,
+    w_in: jax.Array,
+    w_rec,
+    w_out: jax.Array,
+    b_out: jax.Array,
+    kernel_params: tuple,
+    n_steps: int,
+    use_periods: bool,
+    gamma: float,
+    kappa: float,
+    spike_func: SpikeFuncType = SpikeFuncType.FastSigmoid,
+    interpret: bool = False,
+):
+    """Like :func:`fused_encode_izh_scan_head` but returns
+    ``(logits (B, O), spike_counts (B, H))`` with
+    ``spike_counts[b, h] = sum_t z_t[b, h]`` (float32, exact integers) --
+    the Izhikevich counterpart of
+    ``pallas_fused.fused_encode_rec_scan_head_counts``, keeping the fused
+    whole-network path engaged under the reference's sketched spike
+    regularizers (snn.py:401-408).  Differentiable in both outputs: the
+    counts cotangent joins the logits cotangent at dz every step."""
+    _, _, logits, _, counts = _izh_fwd_call(
+        latencies, w_in, w_rec, dict(kernel_params), T=n_steps,
+        use_periods=use_periods, interpret=interpret,
+        w_out=w_out, b_out=b_out, kappa=kappa,
+        store_traces=False, store_counts=True,
+    )
+    return logits, counts
+
+
+def _fused_izh_head_cnt_fwd(latencies, w_in, w_rec, w_out, b_out,
+                            kernel_params, n_steps, use_periods, gamma,
+                            kappa, spike_func, interpret):
+    v, lat, logits, tstar, counts = _izh_fwd_call(
+        latencies, w_in, w_rec, dict(kernel_params), T=n_steps,
+        use_periods=use_periods, interpret=interpret,
+        w_out=w_out, b_out=b_out, kappa=kappa, store_counts=True,
+    )
+    return (logits, counts), (v, lat, tstar, latencies.shape, w_in, w_rec,
+                              w_out)
+
+
+def _fused_izh_head_cnt_bwd(kernel_params, n_steps, use_periods, gamma,
+                            kappa, spike_func, interpret, res, g):
+    g_logits, g_counts = g
+    v, lat, tstar, lat_shape, w_in, w_rec, w_out = res
+    g_w_in, g_w_rec, g_w_out, g_b = _izh_bwd_call(
+        None, v, None, lat, w_in, w_rec, dict(kernel_params), T=n_steps,
+        use_periods=use_periods, gamma=gamma, spike_func=spike_func,
+        interpret=interpret, g_logits=g_logits, tstar=tstar, w_out=w_out,
+        kappa=kappa, g_counts=g_counts,
+    )
+    g_lat = np.zeros(lat_shape, dtype=jax.dtypes.float0)
+    return g_lat, g_w_in, g_w_rec, g_w_out, g_b
+
+
+fused_encode_izh_scan_head_counts.defvjp(
+    _fused_izh_head_cnt_fwd, _fused_izh_head_cnt_bwd
+)

@@ -372,3 +372,141 @@ class TestTPRegularized:
                 _cfg(), checkpoint_folder=str(tmp_path / "x"), mesh=mesh,
                 reg_fn=L.l1_total_spike_count,
             )
+
+
+# ---------------------------------------------------------------------------
+# Izhikevich: the fused head keeps running under count regularization
+# ---------------------------------------------------------------------------
+class TestIzhikevichCounts:
+    """Reference parity: the count collector's isinstance(LIFLayer) filter
+    EXCLUDES Izhikevich (reference snn.py:268, IzhikevichLayer derives
+    from RNNLayer) -- so an Izhikevich network's counts dict is EMPTY and
+    a count-regularized fit must keep the fused whole-network kernel.
+    The count-emitting Izhikevich head kernel itself
+    (ops/pallas_fused_izh.fused_encode_izh_scan_head_counts) is a tested
+    beyond-reference entry for custom objectives."""
+
+    def _setup(self, rec, n_steps=12, seed=21):
+        from snnimageclassification_tpu.ops.cells import IzhikevichConfig
+        from snnimageclassification_tpu.ops.pallas_izh import (
+            izh_kernel_params,
+        )
+
+        rng = np.random.default_rng(seed)
+        pixels = rng.random((B, F)).astype(np.float32)
+        lat = pixels_to_firing_periods(
+            jnp.asarray(pixels), t_max=float(n_steps)
+        )
+        w_in = jnp.asarray(
+            (3e6 * rng.standard_normal((F, H))).astype(np.float32)
+        )
+        w_rec = (
+            jnp.asarray(
+                (5e5 * rng.standard_normal((H, H))).astype(np.float32)
+                * (1 - np.eye(H, dtype=np.float32))
+            )
+            if rec
+            else None
+        )
+        w_out = jnp.asarray(rng.standard_normal((H, O)).astype(np.float32))
+        b_out = jnp.asarray(
+            0.1 * rng.standard_normal((O,)).astype(np.float32)
+        )
+        cfg = IzhikevichConfig(input_size=F, output_size=H,
+                               use_recurrent_connection=rec)
+        y = jnp.asarray(rng.integers(0, O, B), jnp.int32)
+        return (lat, w_in, w_rec, w_out, b_out, cfg,
+                izh_kernel_params(cfg), y)
+
+    @pytest.mark.parametrize("n_steps", [12, 24],
+                             ids=["T12-1block", "T24-2blocks"])
+    @pytest.mark.parametrize("rec", [True, False], ids=["rec", "ff"])
+    def test_izh_head_counts_kernel(self, rec, n_steps):
+        from snnimageclassification_tpu.ops.pallas_fused_izh import (
+            fused_encode_izh_scan,
+            fused_encode_izh_scan_head,
+            fused_encode_izh_scan_head_counts,
+        )
+
+        lat, w_in, w_rec, w_out, b_out, cfg, kp, y = self._setup(rec,
+                                                                 n_steps)
+        kappa = ReadoutConfig(input_size=H, output_size=O).kappa
+        common = (kp, n_steps, False, cfg.gamma, kappa, cfg.spike_func,
+                  True)
+
+        lg_c, counts = fused_encode_izh_scan_head_counts(
+            lat, w_in, w_rec, w_out, b_out, *common
+        )
+        lg = fused_encode_izh_scan_head(lat, w_in, w_rec, w_out, b_out,
+                                        *common)
+        z = fused_encode_izh_scan(lat, w_in, w_rec, kp, n_steps, False,
+                                  cfg.gamma, cfg.spike_func, True)
+        np.testing.assert_array_equal(np.asarray(lg_c), np.asarray(lg))
+        np.testing.assert_array_equal(
+            np.asarray(counts), np.asarray(jnp.sum(z, axis=0))
+        )
+        assert float(jnp.sum(counts)) > 0  # the setup scale makes spikes
+
+        def nll(logits):
+            return -jnp.mean(
+                jax.nn.log_softmax(logits)[jnp.arange(B), y]
+            )
+
+        scale = 1e-3
+
+        def obj_counts(wi, wr, wo, bo):
+            logits, cnts = fused_encode_izh_scan_head_counts(
+                lat, wi, wr, wo, bo, *common
+            )
+            return nll(logits) + scale * jnp.sum(cnts ** 2)
+
+        def obj_trace(wi, wr, wo, bo):
+            logits = fused_encode_izh_scan_head(lat, wi, wr, wo, bo,
+                                                *common)
+            zt = fused_encode_izh_scan(lat, wi, wr, kp, n_steps, False,
+                                       cfg.gamma, cfg.spike_func, True)
+            return nll(logits) + scale * jnp.sum(jnp.sum(zt, axis=0) ** 2)
+
+        argn = (0, 1, 2, 3) if rec else (0, 2, 3)
+        g_c = jax.grad(obj_counts, argn)(w_in, w_rec, w_out, b_out)
+        g_t = jax.grad(obj_trace, argn)(w_in, w_rec, w_out, b_out)
+        for a, b_, nm in zip(
+            g_c, g_t,
+            ("w_in", "w_rec", "w_out", "b_out") if rec
+            else ("w_in", "w_out", "b_out"),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-5,
+                err_msg=f"izh counts grad {nm}",
+            )
+
+    def test_model_counts_empty_and_head_fused_routing(self, monkeypatch):
+        """forward_logits_counts_pixels on a head-fusible Izhikevich
+        config routes to the fused whole-network forward
+        (forward_logits_pixels) with counts == {} (the reference's
+        LIFLayer filter excludes Izhikevich).  Logits correctness of that
+        forward is pinned by the kernel tests above and the native
+        parity legs; this pins the ROUTING (previously a silent fallback
+        to the composed path under count regularization)."""
+        import snnimageclassification_tpu.models.snn as msnn
+
+        monkeypatch.setattr(msnn, "_head_fusible", lambda cfg, enc: True)
+        sentinel = jnp.full((B, O), 7.0)
+        monkeypatch.setattr(
+            msnn, "forward_logits_pixels", lambda *a, **k: sentinel
+        )
+        cfg = st.SNNConfig(
+            input_size=F, output_size=O, n_hidden_neurons=H,
+            hidden_layer_type="Izhikevich", int_time_steps=8,
+        )
+        from snnimageclassification_tpu import models
+
+        params = models.init(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.random((B, F)), jnp.float32)
+        enc = EncodeConfig(n_steps=8)
+        logits, counts = msnn.forward_logits_counts_pixels(
+            cfg, params, x, enc
+        )
+        assert logits is sentinel
+        assert counts == {}
