@@ -35,6 +35,8 @@ __all__ = [
     "pixels_to_firing_periods",
     "firing_times_to_spikes",
     "firing_periods_to_spikes",
+    "firing_periods_to_spikes_loop",
+    "firing_periods_to_spikes_clip",
     "encode_spikes",
     "ToSpikes",
 ]
@@ -84,6 +86,56 @@ def firing_periods_to_spikes(firing_periods: jax.Array, n_steps: int) -> jax.Arr
     t_idx = t_idx.reshape((n_steps,) + (1,) * p.ndim)
     delta = t_idx - p[None]
     spikes = (delta % p[None] == 0) & (delta >= 0)
+    return spikes.astype(jnp.float32)
+
+
+def firing_periods_to_spikes_loop(
+    firing_periods: jax.Array, n_steps: int
+) -> jax.Array:
+    """Dead reference variant #1 (datasets.py:56-62), vectorized.
+
+    Semantics: the first spike lands at ``start = clip(p, 0, n_steps-1)``
+    and repeats with the *unclamped* stride ``p`` (``np.arange(start,
+    n_steps, step=p)``) -- unlike the live variant, which clamps the
+    period into ``[1, n_steps-1]`` for both roles.  Defined for ``p >= 1``;
+    the reference CRASHES on ``p == 0`` (``np.arange`` rejects step 0),
+    which production data hits constantly under quirk Q2 (supra-threshold
+    latencies truncate to 0) -- that crash is *why* this variant is dead.
+    Here ``p == 0`` yields an all-zero row (jit cannot raise
+    data-dependently) and ``p < 0`` yields zeros (an empty ``np.arange``).
+    """
+    p = firing_periods
+    start = jnp.clip(p, 0, n_steps - 1)
+    t_idx = jnp.arange(n_steps, dtype=p.dtype)
+    t_idx = t_idx.reshape((n_steps,) + (1,) * p.ndim)
+    delta = t_idx - start[None]
+    p_safe = jnp.where(p >= 1, p, 1)
+    spikes = (delta % p_safe[None] == 0) & (delta >= 0) & (p[None] >= 1)
+    return spikes.astype(jnp.float32)
+
+
+def firing_periods_to_spikes_clip(
+    firing_periods: jax.Array, n_steps: int
+) -> jax.Array:
+    """Dead reference variant #2 (datasets.py:63-70), vectorized.
+
+    Semantics: the start is clamped to ``[0, n_steps-1]`` (so ``p == 0``
+    starts at t=0, where the live variant clamps to 1) but the modulus
+    uses the *raw* period.  NumPy integer ``x % 0`` evaluates to 0 (with a
+    RuntimeWarning), so ``p == 0`` spikes at EVERY step -- replicated
+    explicitly here because ``lax.rem`` by zero is backend-defined.
+    Negative periods: numpy's floored mod means ``delta % p == 0`` at every
+    multiple of ``|p|`` (e.g. ``4 % -4 == 0``), so ``p < 0`` rasters like
+    ``|p|`` from the clamped start; jnp's mod matches numpy's here.
+    """
+    p = firing_periods
+    start = jnp.clip(p, 0, n_steps - 1)
+    t_idx = jnp.arange(n_steps, dtype=p.dtype)
+    t_idx = t_idx.reshape((n_steps,) + (1,) * p.ndim)
+    delta = t_idx - start[None]
+    p_safe = jnp.where(p == 0, 1, p)
+    hits = jnp.where(p[None] == 0, True, delta % p_safe[None] == 0)
+    spikes = hits & (delta >= 0)
     return spikes.astype(jnp.float32)
 
 
@@ -153,6 +205,16 @@ class ToSpikes:
 
     def firing_periods_to_spikes(self, firing_periods) -> jax.Array:
         return firing_periods_to_spikes(jnp.asarray(firing_periods), self.n_steps)
+
+    def firing_periods_to_spikes_loop(self, firing_periods) -> jax.Array:
+        return firing_periods_to_spikes_loop(
+            jnp.asarray(firing_periods), self.n_steps
+        )
+
+    def firing_periods_to_spikes_clip(self, firing_periods) -> jax.Array:
+        return firing_periods_to_spikes_clip(
+            jnp.asarray(firing_periods), self.n_steps
+        )
 
     def __call__(self, x) -> jax.Array:
         x = jnp.asarray(x)

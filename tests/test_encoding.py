@@ -129,3 +129,105 @@ class TestEncodeBatched:
         spikes = encode_spikes(x, n_steps=100)
         assert spikes.shape == (5, 100, 784)
         assert str(spikes.dtype) == "float32"
+
+
+class TestDeadEncoderVariants:
+    """The reference's two dead periodic-raster variants (datasets.py:56-70,
+    never selected by spikes_gen_func).  Oracle = a direct numpy transcription
+    of each variant's semantics; our jnp versions must match wherever the
+    reference code would not crash."""
+
+    @staticmethod
+    def _oracle_loop(fp, n_steps):
+        spikes = np.zeros((n_steps, fp.shape[0]))
+        starts = np.clip(fp, 0, n_steps - 1).astype(int)
+        for i, period in enumerate(fp):
+            if period == 0:
+                continue  # reference raises here (np.arange step 0)
+            idx = np.arange(starts[i], n_steps, step=period, dtype=int)
+            spikes[idx, i] = 1.0
+        return spikes
+
+    @staticmethod
+    def _oracle_clip(fp, n_steps):
+        idx = np.indices((n_steps, fp.shape[0]))
+        starts = np.clip(fp, 0, n_steps - 1).astype(int)
+        rng = idx[0] - starts[idx[1]]
+        with np.errstate(divide="ignore"):
+            hits = (rng % fp[idx[1]]) == 0
+        return (hits * (rng >= 0)).astype(float)
+
+    def test_loop_matches_oracle(self):
+        from snnimageclassification_tpu.ops.encoding import (
+            firing_periods_to_spikes_loop,
+        )
+        fp = np.array([1, 2, 3, 5, 9, 10, 50, 99, 100, 200])
+        got = np.asarray(firing_periods_to_spikes_loop(fp, 10))
+        np.testing.assert_array_equal(got, self._oracle_loop(fp, 10))
+
+    def test_loop_degenerate_periods(self):
+        # p == 0 crashes the reference; p < 0 produces an empty arange.
+        # Our jit-safe contract: zero rows for both.
+        from snnimageclassification_tpu.ops.encoding import (
+            firing_periods_to_spikes_loop,
+        )
+        fp = np.array([0, -3, 4])
+        got = np.asarray(firing_periods_to_spikes_loop(fp, 8))
+        assert got[:, 0].sum() == 0 and got[:, 1].sum() == 0
+        np.testing.assert_array_equal(
+            got[:, 2:], self._oracle_loop(np.array([4]), 8)
+        )
+
+    def test_clip_matches_oracle(self):
+        from snnimageclassification_tpu.ops.encoding import (
+            firing_periods_to_spikes_clip,
+        )
+        fp = np.array([0, 1, 2, 3, 5, 9, 10, 50, 99, 100, 200])
+        got = np.asarray(firing_periods_to_spikes_clip(fp, 10))
+        np.testing.assert_array_equal(got, self._oracle_clip(fp, 10))
+
+    def test_clip_zero_period_spikes_everywhere(self):
+        # numpy x % 0 == 0 -> the p==0 column is all ones from t=0.
+        from snnimageclassification_tpu.ops.encoding import (
+            firing_periods_to_spikes_clip,
+        )
+        got = np.asarray(firing_periods_to_spikes_clip(np.array([0]), 6))
+        np.testing.assert_array_equal(got[:, 0], np.ones(6))
+
+    def test_clip_negative_period_rasters_like_abs(self):
+        # floored mod: t % -4 == 0 at t = 0, 4, 8 -> |p|-periodic raster.
+        from snnimageclassification_tpu.ops.encoding import (
+            firing_periods_to_spikes_clip,
+        )
+        fp = np.array([-4])
+        got = np.asarray(firing_periods_to_spikes_clip(fp, 10))
+        np.testing.assert_array_equal(got, self._oracle_clip(fp, 10))
+        assert got[:, 0].sum() == 3
+
+    def test_variants_agree_in_clamped_regime(self):
+        # For 1 <= p <= n_steps-1 all three periodic variants coincide.
+        from snnimageclassification_tpu.ops.encoding import (
+            firing_periods_to_spikes,
+            firing_periods_to_spikes_clip,
+            firing_periods_to_spikes_loop,
+        )
+        fp = np.arange(1, 10)
+        live = np.asarray(firing_periods_to_spikes(fp, 10))
+        np.testing.assert_array_equal(
+            live, np.asarray(firing_periods_to_spikes_loop(fp, 10))
+        )
+        np.testing.assert_array_equal(
+            live, np.asarray(firing_periods_to_spikes_clip(fp, 10))
+        )
+
+    def test_tospikes_methods(self):
+        ts = ToSpikes(10, 10, tau=20.0, thr=0.2, epsilon=1e-7)
+        fp = np.array([2, 3, 15])
+        np.testing.assert_array_equal(
+            np.asarray(ts.firing_periods_to_spikes_loop(fp)),
+            self._oracle_loop(fp, 10),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ts.firing_periods_to_spikes_clip(fp)),
+            self._oracle_clip(fp, 10),
+        )
