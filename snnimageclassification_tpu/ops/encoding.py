@@ -104,7 +104,9 @@ def firing_periods_to_spikes_loop(
     Here ``p == 0`` yields an all-zero row (jit cannot raise
     data-dependently) and ``p < 0`` yields zeros (an empty ``np.arange``).
     """
-    p = firing_periods
+    # Canonicalize first (matches the ToSpikes wrapper): a raw numpy int64
+    # input would otherwise make jnp.arange request int64 and warn-truncate.
+    p = jnp.asarray(firing_periods)
     start = jnp.clip(p, 0, n_steps - 1)
     t_idx = jnp.arange(n_steps, dtype=p.dtype)
     t_idx = t_idx.reshape((n_steps,) + (1,) * p.ndim)
@@ -128,7 +130,7 @@ def firing_periods_to_spikes_clip(
     multiple of ``|p|`` (e.g. ``4 % -4 == 0``), so ``p < 0`` rasters like
     ``|p|`` from the clamped start; jnp's mod matches numpy's here.
     """
-    p = firing_periods
+    p = jnp.asarray(firing_periods)  # see _loop: avoid int64 arange warnings
     start = jnp.clip(p, 0, n_steps - 1)
     t_idx = jnp.arange(n_steps, dtype=p.dtype)
     t_idx = t_idx.reshape((n_steps,) + (1,) * p.ndim)
