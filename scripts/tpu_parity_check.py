@@ -245,6 +245,112 @@ def main():
                         atol=1e-4,
                     )
 
+    # DEEP-network head fusion (ops/pallas_fused_mid.py head variants):
+    # >= 2 hidden layers run layer-0 fused -> mid kernels -> the mid-HEAD
+    # kernel (last hidden + readout + max in one pair).  Compare
+    # forward_logits_pixels (deep dispatch) against the composed
+    # apply_pixels -> prediction_logits path and the all-XLA path, loss +
+    # grads, at one- and two-block T; plus the counts variant and the
+    # bitwise inference-primal check.
+    for vname, vkw in (
+        ("alif-rec-2h", dict(hidden_layer_type="ALIF",
+                             use_recurrent_connection=True,
+                             n_hidden_neurons=[128, 128])),
+        ("lif-ff-3h", dict(hidden_layer_type="LIF",
+                           use_recurrent_connection=False,
+                           n_hidden_neurons=[128, 128, 96])),
+    ):
+        for n_steps in (12, 24):
+            cfg = SNNConfig(
+                input_size=784, output_size=10, int_time_steps=n_steps,
+                **vkw,
+            )
+            cfg_xla = SNNConfig(
+                input_size=784, output_size=10, int_time_steps=n_steps,
+                use_pallas=False, **vkw,
+            )
+            assert M._deep_head_fusible(cfg, EncodeConfig(n_steps=n_steps)), \
+                f"deep gate unexpectedly off for {vname}"
+            params = M.init(cfg, jax.random.PRNGKey(5))
+            enc = EncodeConfig(n_steps=n_steps, use_periods=True)
+
+            def loss_deep(p, cfg=cfg, enc=enc):
+                logits = M.forward_logits_pixels(cfg, p, x, enc)
+                return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(64), y])
+
+            def loss_composed(p, cfg=cfg, enc=enc):
+                trace, _ = M.apply_pixels(cfg, p, x, enc)
+                logits = M.prediction_logits(cfg, trace)
+                return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(64), y])
+
+            def loss_xla(p, cfg=cfg_xla, enc=enc):
+                trace, _ = M.apply_pixels(cfg, p, x, enc)
+                logits = M.prediction_logits(cfg, trace)
+                return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(64), y])
+
+            name = f"deep_head {vname} T={n_steps}"
+            ld = jax.jit(loss_deep)(params)
+            ok &= check(f"{name} loss vs composed", ld,
+                        jax.jit(loss_composed)(params), atol=1e-5)
+            ok &= check(f"{name} loss vs xla", ld,
+                        jax.jit(loss_xla)(params), atol=1e-5)
+            gd = jax.jit(jax.grad(loss_deep))(params)
+            gx_ = jax.jit(jax.grad(loss_xla))(params)
+            for path, gp in jax.tree_util.tree_leaves_with_path(gd):
+                gxx = gx_
+                for kk in path:
+                    gxx = gxx[kk.key]
+                ok &= check(f"{name} grad {jax.tree_util.keystr(path)}",
+                            gp, gxx, atol=1e-4)
+            # counts variant: regularized loss through the mid-head
+            # _counts kernel vs the XLA trace route.
+            reg = losses_mod.L2SpikesPerNeuron(1e-4)
+
+            def loss_counts(p, cfg=cfg, enc=enc, reg=reg):
+                logits, counts = M.forward_logits_counts_pixels(
+                    cfg, p, x, enc
+                )
+                nll = -jnp.mean(
+                    jax.nn.log_softmax(logits)[jnp.arange(64), y]
+                )
+                return nll + reg.from_counts(counts, w_ones)
+
+            def loss_traces(p, cfg=cfg_xla, enc=enc, reg=reg):
+                trace, hidden = M.apply_pixels(
+                    cfg, p, x, enc, return_hidden=True
+                )
+                logits = M.prediction_logits(cfg, trace)
+                nll = -jnp.mean(
+                    jax.nn.log_softmax(logits)[jnp.arange(64), y]
+                )
+                return nll + reg(hidden)
+
+            ok &= check(f"{name} counts loss", jax.jit(loss_counts)(params),
+                        jax.jit(loss_traces)(params), atol=1e-5)
+            gc_ = jax.jit(jax.grad(loss_counts))(params)
+            gt_ = jax.jit(jax.grad(loss_traces))(params)
+            for path, gp in jax.tree_util.tree_leaves_with_path(gc_):
+                gxx = gt_
+                for kk in path:
+                    gxx = gxx[kk.key]
+                ok &= check(
+                    f"{name} counts grad {jax.tree_util.keystr(path)}",
+                    gp, gxx, atol=1e-4,
+                )
+            # Inference primal bitwise vs the f_fwd training forward.
+            infer_logits = jax.jit(
+                lambda p, cfg=cfg, enc=enc: M.forward_logits_pixels(
+                    cfg, p, x, enc
+                )
+            )(params)
+            fwd_logits = jax.jit(
+                lambda p, cfg=cfg, enc=enc: jax.vjp(
+                    lambda pp: M.forward_logits_pixels(cfg, pp, x, enc), p
+                )[0]
+            )(params)
+            ok &= check(f"{name} infer==train logits", infer_logits,
+                        fwd_logits, atol=0.0, rtol=0.0)
+
     # Fused encode+Izhikevich layer-0 (ops/pallas_fused_izh.py): the
     # model routes Izhikevich first layers through apply_pixels'
     # layer0_fused path; compare against encode-then-apply like above.

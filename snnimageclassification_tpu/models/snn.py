@@ -44,6 +44,7 @@ __all__ = [
     "forward_logits",
     "forward_logits_pixels",
     "forward_logits_counts_pixels",
+    "explain_dispatch",
     "param_labels",
 ]
 
@@ -57,19 +58,24 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _log_fused_fallback(kind: str, reason: str, **shape) -> None:
+def _log_fused_fallback(kind: str, reason: str, _level=logging.INFO,
+                        **shape) -> None:
     """Loudly (once per distinct config) report that a Pallas fast path
     gated off and the model fell back to the XLA composition.
 
-    The fused kernels are a ~3x speedup; a silent fallback (e.g. an input
-    width pushing the W_in block past the VMEM budget) would otherwise be
-    invisible.  Mirrors the loud synthetic-dataset fallback policy."""
+    The fused kernels are a ~3-8x speedup; a silent fallback (e.g. an
+    input width pushing the W_in block past the VMEM budget, or a
+    compute_dtype that disables the kernels entirely) would otherwise be
+    invisible.  Mirrors the loud synthetic-dataset fallback policy.
+    User-chosen config gates (compute_dtype) log at WARNING; shape-budget
+    gates at INFO."""
     key = (kind, reason, tuple(sorted(shape.items())))
     if key in _fallback_logged:
         return
     _fallback_logged.add(key)
     detail = ", ".join(f"{k}={v}" for k, v in sorted(shape.items()))
-    logger.info(
+    logger.log(
+        _level,
         "Pallas %s kernel unavailable (%s; %s): falling back to the XLA "
         "scan path (identical numerics, lower throughput).",
         kind, reason, detail,
@@ -139,8 +145,15 @@ def apply(
     first_layer_currents: Optional[jax.Array] = None,
     first_layer_output: Optional[jax.Array] = None,
     return_spike_counts: bool = False,
+    _upto: Optional[int] = None,
 ):
     """Simulate the network for ``cfg.int_time_steps`` steps.
+
+    ``_upto`` (private, used by the deep fused-head dispatch): process
+    layers ``0.._upto`` only and return the last processed layer's
+    TIME-MAJOR ``(T, B, width)`` output trace (plus the counts dict when
+    ``return_spike_counts``) -- the trunk of a deep network whose last
+    hidden layer + readout run in the fused mid-head kernel instead.
 
     Returns ``(outputs_trace, hidden_states)`` where ``outputs_trace`` is
     the readout trace ``(B, T, output_size)`` (snn.py:218) and
@@ -220,6 +233,8 @@ def apply(
         )
 
     for idx, (name, lcfg) in enumerate(layer_cfgs):
+        if _upto is not None and idx > _upto:
+            break
         if idx == 0 and first_layer_output is not None:
             # Keep the kernel's trace dtype (possibly bf16): mm() below
             # handles operand dtypes for the next layer's matmul.
@@ -288,6 +303,10 @@ def apply(
         x_tm = out_tm  # next layer consumes this layer's full output trace
         _collect_counts(name, lcfg, x_tm)
 
+    if _upto is not None:
+        # Trunk mode: the caller (deep fused-head dispatch) consumes the
+        # time-major trace directly; keep the kernel trace dtype.
+        return (x_tm, counts) if return_spike_counts else x_tm
     outputs_trace = jnp.swapaxes(x_tm, 0, 1).astype(jnp.float32)  # (B, T, out)
     if return_spike_counts:
         return outputs_trace, hidden_states, counts
@@ -335,11 +354,27 @@ def _pallas_layer_eligible(cfg: SNNConfig, lcfg, return_hidden) -> bool:
 
     Covered: LIF/ALIF (feedforward or recurrent) with a static (or absent)
     beta, float32 compute, hidden traces not requested, on a TPU backend.
-    Everything else takes the XLA lax.scan path (identical math).
+    Everything else takes the XLA lax.scan path (identical math) -- and
+    says so: every gate that fires on a TPU backend logs through
+    :func:`_log_fused_fallback` (compute_dtype at WARNING -- it silently
+    disabled EVERY kernel before round 5).
     """
     if not cfg.use_pallas or return_hidden:
+        if cfg.use_pallas and return_hidden and _on_tpu():
+            _log_fused_fallback(
+                "layer scan", "hidden traces requested (return_hidden=True)"
+            )
         return False
     if jnp.dtype(cfg.compute_dtype) != jnp.float32:
+        if _on_tpu():
+            _log_fused_fallback(
+                "layer scan (ALL kernels)",
+                "compute_dtype != float32 disables every Pallas kernel; "
+                "for the fast bf16 recipe keep compute_dtype='float32' and "
+                "set matmul_dtype='bfloat16' (see PARITY.md)",
+                _level=logging.WARNING,
+                compute_dtype=str(cfg.compute_dtype),
+            )
         return False
     from ..ops.cells import ALIFConfig, IzhikevichConfig, LIFConfig
     from ..ops.pallas_scan import pallas_supported
@@ -399,6 +434,7 @@ def apply_pixels(
     *,
     return_hidden: bool = False,
     return_spike_counts: bool = False,
+    _upto: Optional[int] = None,
 ):
     """Simulate directly from raw pixels ``(B, F)`` with the spike encoding
     inside the model graph.
@@ -422,7 +458,7 @@ def apply_pixels(
 
     if not enc.as_timeseries:
         return apply(cfg, params, pixels, return_hidden=return_hidden,
-                     return_spike_counts=return_spike_counts)
+                     return_spike_counts=return_spike_counts, _upto=_upto)
 
     first_name, first_cfg = cfg.layer_configs[0]
     encode_on_device_ok = (
@@ -495,6 +531,7 @@ def apply_pixels(
                     return_hidden=return_hidden,
                     return_spike_counts=return_spike_counts,
                     first_layer_output=z0,
+                    _upto=_upto,
                 )
             alif = type(first_cfg) is ALIFConfig
             beta = (
@@ -518,6 +555,7 @@ def apply_pixels(
                 return_hidden=return_hidden,
                 return_spike_counts=return_spike_counts,
                 first_layer_output=z0,
+                _upto=_upto,
             )
         currents0 = encoded_input_matmul(
             latencies,
@@ -530,6 +568,7 @@ def apply_pixels(
             return_hidden=return_hidden,
             return_spike_counts=return_spike_counts,
             first_layer_currents=currents0,
+            _upto=_upto,
         )
     spikes = encode_spikes(
         jnp.asarray(pixels, jnp.float32),
@@ -545,7 +584,7 @@ def apply_pixels(
     # v5e: 93k -> 145k img/s on the flagship).
     spikes = jax.lax.optimization_barrier(spikes)
     return apply(cfg, params, spikes, return_hidden=return_hidden,
-                 return_spike_counts=return_spike_counts)
+                 return_spike_counts=return_spike_counts, _upto=_upto)
 
 
 def _head_fusible(cfg: SNNConfig, enc) -> bool:
@@ -562,6 +601,19 @@ def _head_fusible(cfg: SNNConfig, enc) -> bool:
     from ..ops.pallas_fused_izh import fused_izh_head_supported
 
     if not (cfg.use_pallas and jnp.dtype(cfg.compute_dtype) == jnp.float32):
+        if (
+            cfg.use_pallas
+            and jnp.dtype(cfg.compute_dtype) != jnp.float32
+            and _on_tpu()
+        ):
+            _log_fused_fallback(
+                "fused whole-network head (ALL kernels)",
+                "compute_dtype != float32 disables every Pallas kernel; "
+                "for the fast bf16 recipe keep compute_dtype='float32' and "
+                "set matmul_dtype='bfloat16' (see PARITY.md)",
+                _level=logging.WARNING,
+                compute_dtype=str(cfg.compute_dtype),
+            )
         return False
     if not (enc.as_timeseries and enc.n_steps == cfg.int_time_steps):
         return False
@@ -598,6 +650,83 @@ def _head_fusible(cfg: SNNConfig, enc) -> bool:
     return ok
 
 
+def _deep_head_fusible(cfg: SNNConfig, enc) -> bool:
+    """Deep-network head fusion: models with >= 2 hidden layers whose
+    LAST hidden layer is LIF/ALIF and whose readout is the default
+    max-over-time run that final (hidden, readout) pair as ONE mid-head
+    Pallas kernel pair (ops/pallas_fused_mid.py) -- the trunk (layers
+    0..N-2) keeps its layer-0-fused / mid-fused dispatch.  Matches the
+    reference's arbitrary-depth surface (snn.py:116-125, 211-213) at
+    fused-path throughput instead of the XLA readout composition."""
+    from ..ops.cells import ALIFConfig, LIFConfig, ReadoutConfig
+    from ..ops.pallas_fused_mid import fused_mid_head_supported
+
+    if not (cfg.use_pallas and jnp.dtype(cfg.compute_dtype) == jnp.float32):
+        return False
+    if cfg.readout_mth != ReadoutMth.RNN:  # RNN = max-over-time (snn.py:228)
+        return False
+    layer_cfgs = cfg.layer_configs
+    if len(layer_cfgs) < 3:
+        return False
+    lh_cfg = layer_cfgs[-2][1]
+    last_cfg = layer_cfgs[-1][1]
+    if type(last_cfg) is not ReadoutConfig:
+        return False
+    if type(lh_cfg) not in (LIFConfig, ALIFConfig):
+        return False
+    ok = fused_mid_head_supported(
+        cfg.int_time_steps, lh_cfg.input_size, lh_cfg.output_size,
+        last_cfg.output_size,
+        recurrent=lh_cfg.use_recurrent_connection,
+        itemsize=jnp.dtype(cfg.matmul_dtype_eff).itemsize,
+    )
+    if not ok and _on_tpu():
+        _log_fused_fallback(
+            "fused mid-head (deep network)",
+            "shape exceeds the kernel's VMEM budget",
+            n_steps=cfg.int_time_steps, hidden_in=lh_cfg.input_size,
+            hidden=lh_cfg.output_size, n_out=last_cfg.output_size,
+        )
+    return ok
+
+
+def _mid_head_call(cfg: SNNConfig, params: Params, x_tm: jax.Array,
+                   counts: bool = False):
+    """Dispatch the last hidden layer + readout to the fused mid-head
+    kernel pair.  ``x_tm`` is the trunk's time-major (T, B, Hin) spike
+    trace; returns logits (B, O), or (logits, counts (B, H)) when
+    ``counts``."""
+    from ..ops.cells import ALIFConfig
+    from ..ops.pallas_fused_mid import (
+        fused_mid_ff_scan_head,
+        fused_mid_ff_scan_head_counts,
+        fused_mid_rec_scan_head,
+        fused_mid_rec_scan_head_counts,
+    )
+
+    (lh_name, lh_cfg), (last_name, last_cfg) = cfg.layer_configs[-2:]
+    matmul_dtype = jnp.dtype(cfg.matmul_dtype_eff)
+    lp = params[lh_name]
+    w_in = lp["w_in"].astype(matmul_dtype)
+    w_out = params[last_name]["w_in"].astype(matmul_dtype)
+    b_out = params[last_name]["b"]
+    alif = type(lh_cfg) is ALIFConfig
+    beta = (lp["beta"] if lh_cfg.learn_beta else lh_cfg.beta) if alif else 0.0
+    rho = lh_cfg.rho if alif else 0.0
+    common = (
+        cfg.int_time_steps, alif, lh_cfg.alpha, rho, lh_cfg.threshold,
+        lh_cfg.gamma, last_cfg.kappa, lh_cfg.spike_func,
+    )
+    w_rec_eff = masked_recurrent(lh_cfg, lp)
+    if w_rec_eff is not None:
+        w_rec_eff = w_rec_eff.astype(matmul_dtype)
+        fn = fused_mid_rec_scan_head_counts if counts \
+            else fused_mid_rec_scan_head
+        return fn(x_tm, w_in, w_rec_eff, beta, w_out, b_out, *common)
+    fn = fused_mid_ff_scan_head_counts if counts else fused_mid_ff_scan_head
+    return fn(x_tm, w_in, beta, w_out, b_out, *common)
+
+
 def forward_logits_pixels(
     cfg: SNNConfig, params: Params, pixels: jax.Array, enc
 ) -> jax.Array:
@@ -609,7 +738,11 @@ def forward_logits_pixels(
     entire network (ops/pallas_fused.py / pallas_fused_izh.py head
     variants): neither the (T, B, H0) currents, the (T, B, O) readout
     trace, nor the (T, B, H0) spike-trace cotangent ever exist in HBM.
-    Everything else composes :func:`apply_pixels` with
+    Deeper networks (>= 2 hidden layers, snn.py:116-125) run the trunk
+    through the layer-0-fused + mid-fused kernels and the final (hidden,
+    readout) pair through the fused mid-head kernel
+    (ops/pallas_fused_mid.py) -- same no-readout-trace property at any
+    depth.  Everything else composes :func:`apply_pixels` with
     :func:`prediction_logits` -- identical semantics.
     """
     from ..ops.cells import ALIFConfig, IzhikevichConfig
@@ -620,6 +753,11 @@ def forward_logits_pixels(
     )
 
     if not _head_fusible(cfg, enc):
+        if _deep_head_fusible(cfg, enc):
+            x_tm = apply_pixels(
+                cfg, params, pixels, enc, _upto=len(cfg.layer_configs) - 3
+            )
+            return _mid_head_call(cfg, params, x_tm)
         trace, _ = apply_pixels(cfg, params, pixels, enc)
         return prediction_logits(cfg, trace)
 
@@ -746,6 +884,21 @@ def forward_logits_counts_pixels(
             enc, counts=True,
         )
         return logits, {first_name: counts}
+    if _deep_head_fusible(cfg, enc):
+        # Deep networks: trunk layers materialize their z traces anyway
+        # (counts are a free time reduction there); the LAST hidden
+        # layer's counts come from the mid-head _counts kernel so the
+        # fused pair survives regularized training.  The gate guarantees
+        # the last hidden layer is LIF/ALIF (the reference's
+        # isinstance(LIFLayer) count filter, snn.py:268, includes it).
+        lh_name = cfg.layer_configs[-2][0]
+        x_tm, counts = apply_pixels(
+            cfg, params, pixels, enc, return_spike_counts=True,
+            _upto=len(cfg.layer_configs) - 3,
+        )
+        logits, cnt_last = _mid_head_call(cfg, params, x_tm, counts=True)
+        counts[lh_name] = cnt_last
+        return logits, counts
     # Izhikevich-first-layer head configs land here too: the layer-0 fused
     # Izhikevich kernel materializes z, and the reference's count filter
     # excludes Izhikevich anyway (its counts dict entry simply never
@@ -838,6 +991,131 @@ def forward_logits(cfg: SNNConfig, params: Params, inputs: jax.Array) -> jax.Arr
     """Convenience: simulate and reduce to logits in one call."""
     outputs_trace, _ = apply(cfg, params, inputs, return_hidden=False)
     return prediction_logits(cfg, outputs_trace)
+
+
+def explain_dispatch(cfg: SNNConfig, enc=None) -> list:
+    """Which kernel each layer gets for the training/eval forward, and why.
+
+    Returns a list of dicts ``{"layer": name or tuple of names, "path":
+    <kernel id>, "reason": <one line>}`` in execution order, replaying the
+    exact gates :func:`forward_logits_pixels` (when ``enc`` is given) /
+    :func:`apply` use.  Paths: ``pallas:whole-network-head`` (encode +
+    hidden + readout + max, ONE kernel pair), ``pallas:fused-encode-
+    layer0``, ``pallas:encode-matmul+scan``, ``pallas:fused-mid``,
+    ``pallas:mid-head``, ``pallas:scan`` (XLA matmul + Pallas time scan),
+    ``xla:scan``.  Purely informational -- calling it never changes
+    dispatch (but it fires the same fallback logs the real dispatch
+    would)."""
+    from ..ops.cells import ALIFConfig, IzhikevichConfig, LIFConfig, ReadoutConfig
+    from ..ops.pallas_encode import encode_matmul_supported
+    from ..ops.pallas_fused import fused_supported
+    from ..ops.pallas_fused_izh import fused_izh_supported
+    from ..ops.pallas_fused_mid import fused_mid_supported
+
+    layer_cfgs = cfg.layer_configs
+    f32 = jnp.dtype(cfg.compute_dtype) == jnp.float32
+    itemsize = jnp.dtype(cfg.matmul_dtype_eff).itemsize
+
+    def _global_block() -> Optional[str]:
+        if not cfg.use_pallas:
+            return "use_pallas=False"
+        if not f32:
+            return (
+                f"compute_dtype={cfg.compute_dtype!r} != float32 disables "
+                "every Pallas kernel (use matmul_dtype='bfloat16' for the "
+                "fast bf16 recipe)"
+            )
+        if not _on_tpu():
+            return f"backend {jax.default_backend()!r} is not TPU"
+        return None
+
+    blocked = _global_block()
+    if blocked is not None:
+        return [
+            {"layer": name, "path": "xla:scan", "reason": blocked}
+            for name, _ in layer_cfgs
+        ]
+
+    if enc is not None and _head_fusible(cfg, enc):
+        return [{
+            "layer": tuple(name for name, _ in layer_cfgs),
+            "path": "pallas:whole-network-head",
+            "reason": "single-hidden-layer classifier with max-over-time "
+                      "readout: encode + scan + readout + max in ONE "
+                      "kernel pair",
+        }]
+
+    deep = enc is not None and _deep_head_fusible(cfg, enc)
+    entries = []
+    n = len(layer_cfgs)
+    encode_fused0 = False
+    for idx, (name, lcfg) in enumerate(layer_cfgs):
+        if deep and idx == n - 2:
+            entries.append({
+                "layer": (name, layer_cfgs[-1][0]),
+                "path": "pallas:mid-head",
+                "reason": "deep network's last hidden layer + readout + "
+                          "max-over-time in ONE kernel pair",
+            })
+            break
+        spiking = type(lcfg) in (LIFConfig, ALIFConfig, IzhikevichConfig)
+        if idx == 0 and enc is not None and enc.as_timeseries:
+            if enc.n_steps != cfg.int_time_steps:
+                entries.append({
+                    "layer": name, "path": "pallas:scan" if spiking else "xla:scan",
+                    "reason": f"enc.n_steps={enc.n_steps} != int_time_steps="
+                              f"{cfg.int_time_steps}: encoding cannot fuse "
+                              "on-device (time padding)",
+                })
+                continue
+            sup = (
+                fused_izh_supported
+                if type(lcfg) is IzhikevichConfig
+                else fused_supported if spiking else None
+            )
+            if sup is not None and sup(
+                cfg.int_time_steps, cfg.input_size, lcfg.output_size,
+                recurrent=lcfg.use_recurrent_connection, itemsize=itemsize,
+            ):
+                encode_fused0 = True
+                entries.append({
+                    "layer": name, "path": "pallas:fused-encode-layer0",
+                    "reason": "encoding + input matmul + time scan in one "
+                              "kernel pair",
+                })
+                continue
+            if encode_matmul_supported(cfg.int_time_steps, lcfg.output_size):
+                entries.append({
+                    "layer": name, "path": "pallas:encode-matmul+scan",
+                    "reason": "layer-0 fusion exceeds the VMEM budget; "
+                              "encode+matmul kernel feeds a separate scan "
+                              "kernel",
+                })
+                continue
+        if spiking and idx > 0 and _mid_layer_fusible(cfg, lcfg, False):
+            entries.append({
+                "layer": name, "path": "pallas:fused-mid",
+                "reason": "input matmul inside the scan kernel (no "
+                          "currents tensor in HBM)",
+            })
+            continue
+        if spiking and _pallas_layer_eligible(cfg, lcfg, False):
+            reason = "XLA matmul + Pallas time-scan kernel"
+            if type(lcfg) is IzhikevichConfig and idx > 0:
+                reason += (
+                    " (Izhikevich mid layers have no fused-mid variant: "
+                    "the currents tensor materializes)"
+                )
+            entries.append({"layer": name, "path": "pallas:scan",
+                            "reason": reason})
+            continue
+        entries.append({
+            "layer": name, "path": "xla:scan",
+            "reason": "readout layer (consumed by prediction_logits)"
+            if type(lcfg) is ReadoutConfig
+            else "no Pallas kernel covers this layer config",
+        })
+    return entries
 
 
 def param_labels(cfg: SNNConfig, params: Params) -> Params:

@@ -113,6 +113,22 @@ def _wlat_fit_bb(bb: int, f_pad: int, w_bytes: int) -> int:
     return max(_SUBLANE, bb)
 
 
+def _wlat_ok(w_bytes, bb, f_pad, F, hidden, recurrent, n_out,
+             itemsize) -> bool:
+    """Weights + double-buffered latency tiles fit their budget -- OR the
+    shape is in the f32 WIDE regime, where _wide_max_k's raised-limit
+    accounting (weights + grad accumulators + latency + trace blocks vs
+    _WIDE_F32_BUDGET) subsumes this check at the floor tile."""
+    if w_bytes + 2 * bb * f_pad * 4 <= _WLAT_BUDGET:
+        return True
+    h_pad = -(-hidden // _LANE) * _LANE
+    o_pad = -(-n_out // _LANE) * _LANE if n_out else 0
+    fixed = _weight_bytes(f_pad, h_pad, recurrent, o_pad,
+                          itemsize=itemsize) + _weight_bytes(
+        f_pad, h_pad, recurrent, o_pad, itemsize=4)
+    return fixed > _WIDE_VMEM_BUDGET  # _wide_max_k owns the admission
+
+
 # Total scoped-VMEM budget for the WIDE-shape time-block shrink
 # (_wide_max_k).  v5e scoped VMEM is 16 MB; leave ~1.5 MB for kernel
 # scratch (state rows, readout tiles) and compiler temporaries.
@@ -125,6 +141,14 @@ _WIDE_VMEM_BUDGET = int(14.5 * 1024 * 1024)
 # default K=16 time block -- every round-3-validated shape lands here,
 # so their compiled programs are bitwise unchanged.
 _WIDE_FIXED_THRESHOLD = 8 * 1024 * 1024
+# f32 WIDE regime (round 5): shapes whose fixed footprint alone exceeds
+# _WIDE_VMEM_BUDGET (f32 H=1024 recurrent: 7.9 MB of weights + 7.9 MB of
+# f32 grad accumulators = 15.7 MB) budget against the raised 32 MB
+# per-kernel scoped-VMEM limit (_wide_compiler_params) instead of losing
+# fusion entirely -- 2 MB headroom for scratch/compiler temporaries.
+# The round-4-validated bf16-wide regime (fixed in (8, 14.5] MB) keeps
+# its budget and therefore its exact compiled programs.
+_WIDE_F32_BUDGET = 30 * 1024 * 1024
 
 
 def _wide_compiler_params(F, hidden, recurrent, head, n_out, itemsize):
@@ -161,11 +185,14 @@ def _wide_max_k(F, hidden, recurrent, head, n_out, itemsize) -> int:
     fixed = w_b + g_b
     if fixed <= _WIDE_FIXED_THRESHOLD:
         return 16
+    budget = (
+        _WIDE_VMEM_BUDGET if fixed <= _WIDE_VMEM_BUDGET else _WIDE_F32_BUDGET
+    )
     bb = 16 if itemsize == 2 else _SUBLANE  # the floor tile these reach
     lat = 2 * bb * f_pad * 4
     n_blocks = _N_BLOCKS + (2 if head else 0)
     per_k = 2 * n_blocks * bb * h_pad * itemsize  # traces follow W dtype
-    return max(0, min(16, (_WIDE_VMEM_BUDGET - fixed - lat) // per_k))
+    return max(0, min(16, (budget - fixed - lat) // per_k))
 
 
 def fused_supported(
@@ -181,7 +208,10 @@ def fused_supported(
     the resident blocks by W's real itemsize -- passing 2 here admits
     shapes the f32 budget rejects, e.g. H=1024 recurrent (8.2 MB of f32
     weights vs 4.1 MB bf16), making wide hidden layers fusible under the
-    bf16 matmul recipe instead of silently falling back to XLA."""
+    bf16 matmul recipe instead of silently falling back to XLA.  f32
+    WIDE shapes whose weights alone exceed the default budget are
+    admitted through the raised-limit accounting (_WIDE_F32_BUDGET),
+    which covers weights + latency + trace blocks in one sum."""
     f_pad = -(-n_features // _LANE) * _LANE
     h_pad = -(-hidden // _LANE) * _LANE
     w_bytes = _weight_bytes(f_pad, h_pad, recurrent, 0, itemsize=itemsize)
@@ -189,7 +219,8 @@ def fused_supported(
     return (
         jax.default_backend() == "tpu"
         and n_steps >= 1
-        and w_bytes + 2 * bb * f_pad * 4 <= _WLAT_BUDGET
+        and _wlat_ok(w_bytes, bb, f_pad, n_features, hidden, recurrent, 0,
+                     itemsize)
         and _wide_max_k(n_features, hidden, recurrent, False, 0,
                         itemsize) >= 1
     )
@@ -212,7 +243,8 @@ def fused_head_supported(
         jax.default_backend() == "tpu"
         and n_steps >= 1
         and o_pad <= 512
-        and w_bytes + 2 * bb * f_pad * 4 <= _WLAT_BUDGET
+        and _wlat_ok(w_bytes, bb, f_pad, n_features, hidden, recurrent,
+                     n_out, itemsize)
         and _wide_max_k(n_features, hidden, recurrent, True, n_out,
                         itemsize) >= 1
     )

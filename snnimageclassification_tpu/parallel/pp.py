@@ -245,10 +245,13 @@ def _stage_apply(cfg, h_tmpl, ro_cfg, stage, n_stages, lp, act_in):
     """One stage's work on one microbatch trace.
 
     ``act_in``: (T, B_mb, F_max) input trace.  Returns
-    ``(act_out (T, B_mb, F_max), logits (B_mb, n_out))`` -- the hidden
-    branch emits its spike trace and zero logits, the readout branch
-    (selected by ``lax.cond`` on the stage index) zero trace and real
-    logits.  Both branches are compiled once; only one executes per tick.
+    ``(act_out (T, B_mb, F_max), logits (B_mb, n_out), counts (B_mb,
+    H_max))`` -- the hidden branch emits its spike trace, zero logits,
+    and its per-sample per-neuron spike counts (the spike-regularizer
+    carrier, reference snn.py:268,401-408); the readout branch (selected
+    by ``lax.cond`` on the stage index) zero trace/counts and real
+    logits.  Both branches are compiled once; only one executes per tick
+    (XLA dead-code-eliminates the count sum when the caller drops it).
     """
     _, f_max, h_max = _geometry(cfg)
     n_out = ro_cfg.output_size
@@ -275,7 +278,14 @@ def _stage_apply(cfg, h_tmpl, ro_cfg, stage, n_stages, lp, act_in):
             step = jax.checkpoint(step)
         state0 = INIT_STATE_FNS[type(lcfg)](lcfg, b_mb, cur_tm.dtype)
         _, z_tm = jax.lax.scan(step, state0, cur_tm)
-        return _fit_width(z_tm, f_max), jnp.zeros((b_mb, n_out), cur_tm.dtype)
+        # Counts from the full-width trace (padded columns never spike:
+        # zero weights -> zero currents -> delta stays -threshold < 0).
+        counts = jnp.sum(z_tm.astype(jnp.float32), axis=0)  # (B_mb, H_max)
+        return (
+            _fit_width(z_tm, f_max),
+            jnp.zeros((b_mb, n_out), cur_tm.dtype),
+            counts,
+        )
 
     def readout_branch(cur_tm):
         b_vec = lp["b"]
@@ -289,16 +299,27 @@ def _stage_apply(cfg, h_tmpl, ro_cfg, stage, n_stages, lp, act_in):
         )
         trace = jnp.swapaxes(trace_tm, 0, 1)[..., :n_out]  # (B_mb, T, O)
         logits = model_lib.prediction_logits(cfg, trace)
-        return jnp.zeros((t_steps, b_mb, f_max), cur_tm.dtype), logits
+        return (
+            jnp.zeros((t_steps, b_mb, f_max), cur_tm.dtype),
+            logits,
+            jnp.zeros((b_mb, h_max), jnp.float32),
+        )
 
     return jax.lax.cond(stage == n_stages - 1, readout_branch, hidden_branch, cur_tm)
 
 
-def _pp_forward_local(cfg, n_micro, enc, stacked, x):
+def _pp_forward_local(cfg, n_micro, enc, stacked, x, w=None):
     """Shard-local GPipe schedule: (B_loc, ...) inputs -> (B_loc, O) logits.
 
     Runs INSIDE shard_map on the ("data", "pipe") mesh.  ``stacked``
     leaves carry a leading local stage axis of length 1 (stage-sharded).
+
+    ``w`` (per-sample weights, data-sharded): when given, additionally
+    return the stage's WEIGHTED per-neuron spike-count vector
+    ``c_loc[h] = sum_{mb, b} w_b * counts[b, h]`` (float32, (H_max,)) --
+    the shard-local carrier for the count-based spike regularizers.
+    Stage ``s`` processes microbatch ``m = t - s`` at tick ``t``
+    (standard GPipe); warm-up/drain ticks are masked out.
     """
     layer_cfgs, f_max, _ = _geometry(cfg)
     n_stages = len(layer_cfgs)
@@ -332,14 +353,21 @@ def _pp_forward_local(cfg, n_micro, enc, stacked, x):
 
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
     apply_stage = partial(_stage_apply, cfg, h_tmpl, ro_cfg, stage, n_stages)
+    _, _, h_max = _geometry(cfg)
+    w_mb = (
+        w.reshape(n_micro, b_mb).astype(jnp.float32) if w is not None else None
+    )
 
     def tick(carry, t):
-        recv, out = carry
+        if w is None:
+            recv, out = carry
+        else:
+            recv, out, c_acc = carry
         x0 = jax.lax.dynamic_index_in_dim(
             x_mb, jnp.clip(t, 0, n_micro - 1), axis=0, keepdims=False
         )
         act_in = jnp.where(stage == 0, x0, recv)
-        act_out, logits = apply_stage(lp, act_in)
+        act_out, logits, counts = apply_stage(lp, act_in)
         m_out = t - (n_stages - 1)
         write = jnp.logical_and(
             stage == n_stages - 1,
@@ -350,22 +378,36 @@ def _pp_forward_local(cfg, n_micro, enc, stacked, x):
         )
         out = jnp.where(write, upd, out)
         recv = jax.lax.ppermute(act_out, PIPE_AXIS, perm)
-        return (recv, out), None
+        if w is None:
+            return (recv, out), None
+        # This tick's microbatch on this stage (warm-up/drain masked).
+        m_in = t - stage
+        valid = jnp.logical_and(m_in >= 0, m_in < n_micro)
+        wv = jax.lax.dynamic_index_in_dim(
+            w_mb, jnp.clip(m_in, 0, n_micro - 1), axis=0, keepdims=False
+        ) * valid.astype(jnp.float32)
+        c_acc = c_acc + wv @ counts
+        return (recv, out, c_acc), None
 
     carry0 = (
         jnp.zeros((t_steps, b_mb, f_max), x.dtype),
         jnp.zeros((n_micro, b_mb, n_out), x.dtype),
     )
-    (recv, out), _ = jax.lax.scan(
+    if w is not None:
+        carry0 = (*carry0, jnp.zeros((h_max,), jnp.float32))
+    carry, _ = jax.lax.scan(
         tick, carry0, jnp.arange(n_micro + n_stages - 1)
     )
-    del recv
+    out = carry[1]
     # Only the last stage's buffer is real; broadcast it along "pipe" so
     # the output is well-defined replicated (psum of the masked buffer).
     out = jax.lax.psum(
         jnp.where(stage == n_stages - 1, out, jnp.zeros_like(out)), PIPE_AXIS
     )
-    return out.reshape(b_loc, n_out)
+    logits = out.reshape(b_loc, n_out)
+    if w is not None:
+        return logits, carry[2]
+    return logits
 
 
 def make_pp_forward(cfg: SNNConfig, mesh: Mesh, enc=None, n_micro: int = None):
@@ -389,8 +431,58 @@ def make_pp_forward(cfg: SNNConfig, mesh: Mesh, enc=None, n_micro: int = None):
     return jax.jit(fwd)
 
 
-def _pp_loss_logits_local(cfg, n_micro, enc, stacked, x, y, w):
-    logits = _pp_forward_local(cfg, n_micro, enc, stacked, x)
+def _check_pp_reg(cfg: SNNConfig, reg):
+    """Validate/normalize a count-based regularizer for the PP paths.
+
+    Returns the reg to use (None when the reference's count filter makes
+    the term identically zero: its ``isinstance(layer, LIFLayer)`` check,
+    snn.py:268, excludes Izhikevich)."""
+    if reg is None:
+        return None
+    from ..ops.cells import ALIFConfig, LIFConfig
+
+    if getattr(reg, "kind", None) not in ("l1", "l2"):
+        raise ValueError(
+            "pipeline parallelism supports count-based spike regularizers "
+            "only (losses.L1TotalSpikeCount / L2SpikesPerNeuron); got "
+            f"{reg!r}"
+        )
+    if type(_hidden_template(cfg)) not in (LIFConfig, ALIFConfig):
+        return None
+    return reg
+
+
+def _pp_reg_term(cfg, reg, c_loc, stage):
+    """Scalar spike-reg term from the stage-local weighted count vector.
+
+    ``c_loc``: (H_max,) = sum_b w_b * counts[b, h] over THIS data shard's
+    samples for THIS stage's layer.  Matches ``reg.from_counts`` on the
+    gathered counts exactly: the full-batch weighted counts are the psum
+    over "data" (BEFORE the l2 square), each hidden layer contributes its
+    own term once via the psum over "pipe" (the readout stage's counts
+    are identically zero), and l2's per-layer mean divides by the REAL
+    layer width (padded neurons never spike).
+    """
+    layer_cfgs, _, _ = _geometry(cfg)
+    n_stages = len(layer_cfgs)
+    c_full = jax.lax.psum(c_loc, DATA_AXIS)
+    if reg.kind == "l1":
+        local = jnp.sum(c_full)
+    else:  # l2 (validated in _check_pp_reg)
+        widths = jnp.asarray(
+            [lcfg.output_size for _, lcfg in layer_cfgs[:-1]] + [1],
+            jnp.float32,
+        )
+        local = jnp.sum(c_full**2) / jnp.take(widths, stage)
+    local = jnp.where(stage < n_stages - 1, local, 0.0)
+    return reg.scale * jax.lax.psum(local, PIPE_AXIS)
+
+
+def _pp_loss_logits_local(cfg, n_micro, enc, reg, stacked, x, y, w):
+    if reg is None:
+        logits = _pp_forward_local(cfg, n_micro, enc, stacked, x)
+    else:
+        logits, c_loc = _pp_forward_local(cfg, n_micro, enc, stacked, x, w)
     per = optax.softmax_cross_entropy_with_integer_labels(logits, y)
     # psum over BOTH axes: the pipe-axis replication cancels in the ratio
     # (every stage holds identical logits after the in-forward psum), and
@@ -399,20 +491,32 @@ def _pp_loss_logits_local(cfg, n_micro, enc, stacked, x, y, w):
     # "data" and reverse-ppermute flows over "pipe".
     num = jax.lax.psum(jnp.sum(per * w), (DATA_AXIS, PIPE_AXIS))
     den = jax.lax.psum(jnp.sum(w), (DATA_AXIS, PIPE_AXIS))
-    return num / jnp.maximum(den, 1.0), logits
+    loss = num / jnp.maximum(den, 1.0)
+    if reg is not None:
+        loss = loss + _pp_reg_term(
+            cfg, reg, c_loc, jax.lax.axis_index(PIPE_AXIS)
+        )
+    return loss, logits
 
 
-def _pp_loss_local(cfg, n_micro, enc, stacked, x, y, w):
-    return _pp_loss_logits_local(cfg, n_micro, enc, stacked, x, y, w)[0]
+def _pp_loss_local(cfg, n_micro, enc, reg, stacked, x, y, w):
+    return _pp_loss_logits_local(cfg, n_micro, enc, reg, stacked, x, y, w)[0]
 
 
-def make_pp_loss_fn(cfg: SNNConfig, mesh: Mesh, enc=None, n_micro: int = None):
-    """``(stacked_params, x, y, w) -> scalar weighted-NLL`` (differentiable)."""
+def make_pp_loss_fn(cfg: SNNConfig, mesh: Mesh, enc=None, n_micro: int = None,
+                    reg=None):
+    """``(stacked_params, x, y, w) -> scalar weighted-NLL`` (differentiable).
+
+    ``reg``: optional COUNT-based spike regularizer object
+    (losses.L1TotalSpikeCount / L2SpikesPerNeuron); the term is computed
+    shard-aware from stage-local weighted counts (:func:`_pp_reg_term`)
+    and equals the single-device ``reg.from_counts`` value.
+    """
     _validate(cfg, mesh)
     if n_micro is None:
         n_micro = 2 * mesh.shape[PIPE_AXIS]
     return jax.shard_map(
-        partial(_pp_loss_local, cfg, n_micro, enc),
+        partial(_pp_loss_local, cfg, n_micro, enc, _check_pp_reg(cfg, reg)),
         mesh=mesh,
         in_specs=(pp_param_specs(),) + (P(DATA_AXIS),) * 3,
         out_specs=P(),
@@ -421,19 +525,21 @@ def make_pp_loss_fn(cfg: SNNConfig, mesh: Mesh, enc=None, n_micro: int = None):
 
 
 def make_pp_loss_logits_fn(cfg: SNNConfig, mesh: Mesh, enc=None,
-                           n_micro: int = None):
+                           n_micro: int = None, reg=None):
     """``(stacked_params, x, y, w) -> (loss, logits)`` under shard_map.
 
     The same weighted-NLL loss as :func:`make_pp_loss_fn` (exactly the
-    Trainer's default criterion) plus the gathered ``(B, n_out)`` logits
-    -- the Trainer's eval path needs both from one forward.
-    Differentiable via ``has_aux=True``.
+    Trainer's default criterion, plus the optional count-based spike-reg
+    term) plus the gathered ``(B, n_out)`` logits -- the Trainer's eval
+    path needs both from one forward.  Differentiable via
+    ``has_aux=True``.
     """
     _validate(cfg, mesh)
     if n_micro is None:
         n_micro = 2 * mesh.shape[PIPE_AXIS]
     return jax.shard_map(
-        partial(_pp_loss_logits_local, cfg, n_micro, enc),
+        partial(_pp_loss_logits_local, cfg, n_micro, enc,
+                _check_pp_reg(cfg, reg)),
         mesh=mesh,
         in_specs=(pp_param_specs(),) + (P(DATA_AXIS),) * 3,
         out_specs=(P(), P(DATA_AXIS)),
@@ -448,6 +554,7 @@ def make_pp_train_step(
     enc=None,
     n_micro: int = None,
     donate: bool = True,
+    reg=None,
 ):
     """jitted full training step over the ("data", "pipe") mesh.
 
@@ -456,7 +563,7 @@ def make_pp_train_step(
     frozen (quirk Q3).  The optimizer update is elementwise, so GSPMD
     keeps every state leaf stage-sharded without annotations.
     """
-    loss_fn = make_pp_loss_fn(cfg, mesh, enc, n_micro)
+    loss_fn = make_pp_loss_fn(cfg, mesh, enc, n_micro, reg=reg)
 
     def train_step(params, opt_state, x, y, w):
         loss, grads = jax.value_and_grad(loss_fn)(params, x, y, w)

@@ -227,12 +227,17 @@ def _stage_apply3(cfg, h_tmpl, ro_cfg, stage, n_stages, n_model, lp, act_in):
             step = jax.checkpoint(step)
         state0 = INIT_STATE_FNS[type(lcfg)](lcfg, b_mb, cur_tm.dtype)
         _, z_tm_loc = jax.lax.scan(step, state0, cur_tm)  # (T, B_mb, H_loc)
+        # Shard-LOCAL per-sample spike counts (the spike-regularizer
+        # carrier, reference snn.py:268,401-408): summed over time before
+        # the gather, so each model shard reports only its own columns.
+        counts = jnp.sum(z_tm_loc.astype(jnp.float32), axis=0)
         # Gather the full trace once per tick, pad to the inter-stage
         # width; the next stage's local columns contract every input row.
         z_tm = jax.lax.all_gather(z_tm_loc, MODEL_AXIS, axis=2, tiled=True)
         return (
             pp_lib._fit_width(z_tm, f3),
             jnp.zeros((b_mb, n_out), cur_tm.dtype),
+            counts,
         )
 
     def readout_branch(cur_tm):
@@ -250,17 +255,23 @@ def _stage_apply3(cfg, h_tmpl, ro_cfg, stage, n_stages, n_model, lp, act_in):
         )  # (T, B_mb, H3)
         trace = jnp.swapaxes(trace_tm, 0, 1)[..., :n_out]  # (B_mb, T, O)
         logits = model_lib.prediction_logits(cfg, trace)
-        return jnp.zeros((t_steps, b_mb, f3), cur_tm.dtype), logits
+        return (
+            jnp.zeros((t_steps, b_mb, f3), cur_tm.dtype),
+            logits,
+            jnp.zeros((b_mb, h_loc), jnp.float32),
+        )
 
     return jax.lax.cond(stage == n_stages - 1, readout_branch, hidden_branch, cur_tm)
 
 
-def _pp3_forward_local(cfg, n_micro, enc, stacked, x):
+def _pp3_forward_local(cfg, n_micro, enc, stacked, x, w=None):
     """Shard-local GPipe schedule with tensor-parallel stages.
 
     Runs INSIDE shard_map on the ("data", "pipe", "model") mesh; same
     tick structure as pp.py's ``_pp_forward_local`` (cited there), with
-    each stage's compute column-sharded over "model".
+    each stage's compute column-sharded over "model".  ``w``: see
+    pp.py -- when given, additionally return the (H_loc,) weighted
+    count vector for this (stage, model-shard)'s neuron columns.
     """
     n_model = jax.lax.axis_size(MODEL_AXIS)
     layer_cfgs, f3, _ = _geometry3(cfg, n_model)
@@ -296,14 +307,22 @@ def _pp3_forward_local(cfg, n_micro, enc, stacked, x):
     apply_stage = partial(
         _stage_apply3, cfg, h_tmpl, ro_cfg, stage, n_stages, n_model
     )
+    _, _, h3 = _geometry3(cfg, n_model)
+    h_loc = h3 // n_model
+    w_mb = (
+        w.reshape(n_micro, b_mb).astype(jnp.float32) if w is not None else None
+    )
 
     def tick(carry, t):
-        recv, out = carry
+        if w is None:
+            recv, out = carry
+        else:
+            recv, out, c_acc = carry
         x0 = jax.lax.dynamic_index_in_dim(
             x_mb, jnp.clip(t, 0, n_micro - 1), axis=0, keepdims=False
         )
         act_in = jnp.where(stage == 0, x0, recv)
-        act_out, logits = apply_stage(lp, act_in)
+        act_out, logits, counts = apply_stage(lp, act_in)
         m_out = t - (n_stages - 1)
         write = jnp.logical_and(
             stage == n_stages - 1,
@@ -314,20 +333,33 @@ def _pp3_forward_local(cfg, n_micro, enc, stacked, x):
         )
         out = jnp.where(write, upd, out)
         recv = jax.lax.ppermute(act_out, PIPE_AXIS, perm)
-        return (recv, out), None
+        if w is None:
+            return (recv, out), None
+        m_in = t - stage  # this tick's microbatch on this stage
+        valid = jnp.logical_and(m_in >= 0, m_in < n_micro)
+        wv = jax.lax.dynamic_index_in_dim(
+            w_mb, jnp.clip(m_in, 0, n_micro - 1), axis=0, keepdims=False
+        ) * valid.astype(jnp.float32)
+        c_acc = c_acc + wv @ counts
+        return (recv, out, c_acc), None
 
     carry0 = (
         jnp.zeros((t_steps, b_mb, f3), x.dtype),
         jnp.zeros((n_micro, b_mb, n_out), x.dtype),
     )
-    (recv, out), _ = jax.lax.scan(
+    if w is not None:
+        carry0 = (*carry0, jnp.zeros((h_loc,), jnp.float32))
+    carry, _ = jax.lax.scan(
         tick, carry0, jnp.arange(n_micro + n_stages - 1)
     )
-    del recv
+    out = carry[1]
     out = jax.lax.psum(
         jnp.where(stage == n_stages - 1, out, jnp.zeros_like(out)), PIPE_AXIS
     )
-    return out.reshape(b_loc, n_out)
+    logits = out.reshape(b_loc, n_out)
+    if w is not None:
+        return logits, carry[2]
+    return logits
 
 
 def make_pp3_forward(cfg: SNNConfig, mesh: Mesh, enc=None, n_micro: int = None):
@@ -349,8 +381,34 @@ def make_pp3_forward(cfg: SNNConfig, mesh: Mesh, enc=None, n_micro: int = None):
     return jax.jit(fwd)
 
 
-def _pp3_loss_logits_local(cfg, n_micro, enc, stacked, x, y, w):
-    logits = _pp3_forward_local(cfg, n_micro, enc, stacked, x)
+def _pp3_reg_term(cfg, reg, c_loc, stage):
+    """Spike-reg term from the (stage, model-shard)-local weighted count
+    vector -- pp.py's ``_pp_reg_term`` with the neuron axis additionally
+    sharded over "model": the full-batch weighted counts are the psum
+    over "data" (before the l2 square; squares are per-neuron, so they
+    stay shard-local), then per-layer terms sum over ("pipe", "model").
+    Equals the single-device ``reg.from_counts`` value exactly.
+    """
+    layer_cfgs = cfg.layer_configs
+    n_stages = len(layer_cfgs)
+    c_full = jax.lax.psum(c_loc, DATA_AXIS)
+    if reg.kind == "l1":
+        local = jnp.sum(c_full)
+    else:  # l2 (validated by pp_lib._check_pp_reg)
+        widths = jnp.asarray(
+            [lcfg.output_size for _, lcfg in layer_cfgs[:-1]] + [1],
+            jnp.float32,
+        )
+        local = jnp.sum(c_full**2) / jnp.take(widths, stage)
+    local = jnp.where(stage < n_stages - 1, local, 0.0)
+    return reg.scale * jax.lax.psum(local, (PIPE_AXIS, MODEL_AXIS))
+
+
+def _pp3_loss_logits_local(cfg, n_micro, enc, reg, stacked, x, y, w):
+    if reg is None:
+        logits = _pp3_forward_local(cfg, n_micro, enc, stacked, x)
+    else:
+        logits, c_loc = _pp3_forward_local(cfg, n_micro, enc, stacked, x, w)
     per = optax.softmax_cross_entropy_with_integer_labels(logits, y)
     # psum over ALL THREE axes: pipe x model replication cancels in the
     # ratio; well-definedness under check_vma=False gives autodiff the DP
@@ -359,20 +417,34 @@ def _pp3_loss_logits_local(cfg, n_micro, enc, stacked, x, y, w):
     axes = (DATA_AXIS, PIPE_AXIS, MODEL_AXIS)
     num = jax.lax.psum(jnp.sum(per * w), axes)
     den = jax.lax.psum(jnp.sum(w), axes)
-    return num / jnp.maximum(den, 1.0), logits
+    loss = num / jnp.maximum(den, 1.0)
+    if reg is not None:
+        loss = loss + _pp3_reg_term(
+            cfg, reg, c_loc, jax.lax.axis_index(PIPE_AXIS)
+        )
+    return loss, logits
 
 
-def _pp3_loss_local(cfg, n_micro, enc, stacked, x, y, w):
-    return _pp3_loss_logits_local(cfg, n_micro, enc, stacked, x, y, w)[0]
+def _pp3_loss_local(cfg, n_micro, enc, reg, stacked, x, y, w):
+    return _pp3_loss_logits_local(
+        cfg, n_micro, enc, reg, stacked, x, y, w
+    )[0]
 
 
-def make_pp3_loss_fn(cfg: SNNConfig, mesh: Mesh, enc=None, n_micro: int = None):
-    """``(stacked_params, x, y, w) -> scalar weighted-NLL`` (differentiable)."""
+def make_pp3_loss_fn(cfg: SNNConfig, mesh: Mesh, enc=None, n_micro: int = None,
+                     reg=None):
+    """``(stacked_params, x, y, w) -> scalar weighted-NLL`` (differentiable).
+
+    ``reg``: optional COUNT-based spike regularizer object; see
+    ``pp.make_pp_loss_fn`` -- the term is shard-aware over all three axes
+    (:func:`_pp3_reg_term`) and equals ``reg.from_counts``.
+    """
     _validate(cfg, mesh)
     if n_micro is None:
         n_micro = 2 * mesh.shape[PIPE_AXIS]
     return jax.shard_map(
-        partial(_pp3_loss_local, cfg, n_micro, enc),
+        partial(_pp3_loss_local, cfg, n_micro, enc,
+                pp_lib._check_pp_reg(cfg, reg)),
         mesh=mesh,
         in_specs=(pp3_param_specs(),) + (P(DATA_AXIS),) * 3,
         out_specs=P(),
@@ -381,7 +453,7 @@ def make_pp3_loss_fn(cfg: SNNConfig, mesh: Mesh, enc=None, n_micro: int = None):
 
 
 def make_pp3_loss_logits_fn(cfg: SNNConfig, mesh: Mesh, enc=None,
-                            n_micro: int = None):
+                            n_micro: int = None, reg=None):
     """``(stacked_params, x, y, w) -> (loss, logits)`` under shard_map.
 
     The same weighted-NLL loss as :func:`make_pp3_loss_fn` (exactly the
@@ -394,7 +466,8 @@ def make_pp3_loss_logits_fn(cfg: SNNConfig, mesh: Mesh, enc=None,
     if n_micro is None:
         n_micro = 2 * mesh.shape[PIPE_AXIS]
     return jax.shard_map(
-        partial(_pp3_loss_logits_local, cfg, n_micro, enc),
+        partial(_pp3_loss_logits_local, cfg, n_micro, enc,
+                pp_lib._check_pp_reg(cfg, reg)),
         mesh=mesh,
         in_specs=(pp3_param_specs(),) + (P(DATA_AXIS),) * 3,
         out_specs=(P(), P(DATA_AXIS)),
@@ -409,6 +482,7 @@ def make_pp3_train_step(
     enc=None,
     n_micro: int = None,
     donate: bool = True,
+    reg=None,
 ):
     """jitted full DP x PP x TP training step over the 3-D mesh.
 
@@ -417,7 +491,7 @@ def make_pp3_train_step(
     stays frozen (quirk Q3).  The optimizer update is elementwise, so
     GSPMD keeps every state leaf (pipe, model)-sharded without help.
     """
-    loss_fn = make_pp3_loss_fn(cfg, mesh, enc, n_micro)
+    loss_fn = make_pp3_loss_fn(cfg, mesh, enc, n_micro, reg=reg)
 
     def train_step(params, opt_state, x, y, w):
         loss, grads = jax.value_and_grad(loss_fn)(params, x, y, w)

@@ -336,26 +336,25 @@ class Trainer:
         return self.reg_fn is not None and hasattr(self.reg_fn, "from_counts")
 
     def _check_inside_shardmap_loss(self):
-        """TP/PP compute the weighted-NLL loss inside shard_map
-        (parallel/tp.py, parallel/pp.py); custom criteria and trace-based
-        regularizers need a data-only mesh.  COUNT-based regularizers
-        (losses.L1TotalSpikeCount / L2SpikesPerNeuron) are supported under
-        tensor parallelism: the TP forward emits shard-local spike counts
-        and the reg term is psum'd over the mesh (parallel/tp.py)."""
+        """TP/PP/3-D compute the weighted-NLL loss inside shard_map
+        (parallel/tp.py, parallel/pp.py, parallel/pp3.py); custom criteria
+        and trace-based regularizers need a data-only mesh.  COUNT-based
+        regularizers (losses.L1TotalSpikeCount / L2SpikesPerNeuron) are
+        supported under EVERY strategy: the sharded forwards emit
+        shard-local spike counts and the reg term is psum'd over the mesh
+        (parallel/tp.py _tp_reg_term; parallel/pp.py _pp_reg_term;
+        parallel/pp3.py _pp3_reg_term)."""
         if self.reg_fn is not None:
-            tp_reg_ok = (
-                self._tp
-                and not self._pp
-                and self._reg_count_based()
+            reg_ok = (
+                self._reg_count_based()
                 and getattr(self.reg_fn, "kind", None) in ("l1", "l2")
             )
-            if not tp_reg_ok:
+            if not reg_ok:
                 raise ValueError(
                     "trace-based reg_fn needs the full hidden traces, which "
                     "the tensor-/pipeline-parallel paths keep sharded; use "
-                    "a data-only mesh, or (under TP) a count-based "
-                    "regularizer (losses.L1TotalSpikeCount / "
-                    "L2SpikesPerNeuron)"
+                    "a data-only mesh, or a count-based regularizer "
+                    "(losses.L1TotalSpikeCount / L2SpikesPerNeuron)"
                 )
         if self.criterion is not default_criterion:
             raise ValueError(
@@ -565,6 +564,7 @@ class Trainer:
             loss_fn = make_pp3_loss_logits_fn(
                 cfg, self.mesh, enc if enc.as_timeseries else None,
                 self._pp_n_micro,
+                reg=reg_fn if count_based else None,
             )
         elif self._tp:
             # Tensor parallelism: the whole forward+loss runs inside
@@ -592,6 +592,7 @@ class Trainer:
             loss_fn = make_pp_loss_logits_fn(
                 cfg, self.mesh, enc if enc.as_timeseries else None,
                 self._pp_n_micro,
+                reg=reg_fn if count_based else None,
             )
 
         def train_step_fn(params, opt_state, x, y, w):

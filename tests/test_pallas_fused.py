@@ -961,15 +961,26 @@ def test_bf16_itemsize_admits_wide_recurrent():
 
     f_pad = 896  # F=784 padded
     for itemsize, o_pad, expect in (
-        (4, 128, False),  # f32 head: stays gated off (unchanged)
-        (2, 128, True),   # bf16 head: admitted
-        (4, 0, False),    # f32 layer-0: gated off
-        (2, 0, True),     # bf16 layer-0: admitted
+        (4, 128, False),  # f32 head: default budget insufficient
+        (2, 128, True),   # bf16 head: fits the default budget
+        (4, 0, False),    # f32 layer-0: default budget insufficient
+        (2, 0, True),     # bf16 layer-0: fits the default budget
     ):
         w_bytes = _weight_bytes(f_pad, 1024, True, o_pad, itemsize=itemsize)
         bb = _wlat_fit_bb(_MAX_BLOCK_B, f_pad, w_bytes)
         fits = w_bytes + 2 * bb * f_pad * 4 <= _WLAT_BUDGET
         assert fits == expect, (itemsize, o_pad, bb)
+    # Round 5: shapes past the default budget no longer gate off -- the
+    # f32 WIDE regime admits them through the raised-limit accounting
+    # (_wlat_ok + _WIDE_F32_BUDGET), at the floor batch tile.
+    import unittest.mock as mock
+
+    import snnimageclassification_tpu.ops.pallas_fused as pf
+
+    with mock.patch.object(pf.jax, "default_backend", lambda: "tpu"):
+        assert pf.fused_supported(50, 784, 1024, True, itemsize=4)
+        assert pf.fused_head_supported(50, 784, 1024, 10, True, itemsize=4)
+        assert not pf.fused_supported(50, 8192, 4096, True, itemsize=4)
 
     H2, T2, B2 = 1024, 6, 256  # bb shrinks to 128 -> 2 tiles at B=256
     rng = np.random.default_rng(77)
@@ -1012,7 +1023,11 @@ def test_wide_k_shrink_preserves_numerics(monkeypatch):
     assert pf._wide_max_k(784, 512, True, True, 10, 4) == 16   # round-3 max
     k_wide = pf._wide_max_k(784, 1024, True, True, 10, 2)      # bf16 wide
     assert 1 <= k_wide < 16, k_wide
-    assert pf._wide_max_k(784, 1024, True, True, 10, 4) == 0   # f32 wide: off
+    # f32 wide (round 5): admitted through the raised-limit budget at the
+    # floor tile -- must come back with a usable time block, and the
+    # round-4 bf16-wide K must be UNCHANGED by the new budget tier.
+    assert pf._wide_max_k(784, 1024, True, True, 10, 4) >= 1
+    assert k_wide == 4, k_wide  # calibrated round-4 value
 
     n_steps = 12
     rng = np.random.default_rng(13)
