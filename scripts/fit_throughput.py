@@ -22,6 +22,28 @@ sys.path.insert(0, str(Path(__file__).parents[1]))
 import numpy as np
 
 
+def _retry_transient(fn, attempts=3):
+    """Relay-attached TPUs occasionally surface transient backend errors
+    (one FAILED_PRECONDITION observed in round 4, plus 1-10 min
+    contention stalls); retry the whole timed leg instead of letting one
+    blip kill an N-leg measurement session."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # jaxlib.XlaRuntimeError and friends
+            msg = str(e)
+            transient = any(
+                s in msg
+                for s in ("FAILED_PRECONDITION", "UNAVAILABLE",
+                          "DEADLINE_EXCEEDED", "INTERNAL: Failed to get")
+            )
+            if not transient or i == attempts - 1:
+                raise
+            print(f"transient backend error (attempt {i + 1}): "
+                  f"{msg[:200]} -- retrying", file=sys.stderr, flush=True)
+            time.sleep(10.0 * (i + 1))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=10)
@@ -164,22 +186,31 @@ def main() -> None:
             return r
 
         tr.loss_history.concat = timed_concat
-        if args.early_stopping:
-            tr.fit(train, val, nb_epochs=2 + args.epochs,
-                   epoch_block=args.epoch_block,
-                   checkpoint_every=args.checkpoint_every,
-                   early_stopping=True, early_stopping_patience=5,
-                   load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH)
-        elif args.warm:
-            tr.fit(train, val, nb_epochs=2 + args.epochs,
-                   epoch_block=args.epoch_block,
-                   checkpoint_every=args.checkpoint_every,
-                   load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH)
-        else:
-            tr.fit(train, val, nb_epochs=args.epochs, force_overwrite=True,
-                   epoch_block=args.epoch_block,
-                   checkpoint_every=args.checkpoint_every)
-        wall = time.perf_counter() - t0
+
+        def timed_leg():
+            nonlocal t0
+            t0 = time.perf_counter()
+            marks.clear()
+            done[0] = 0
+            if args.early_stopping:
+                tr.fit(train, val, nb_epochs=2 + args.epochs,
+                       epoch_block=args.epoch_block,
+                       checkpoint_every=args.checkpoint_every,
+                       early_stopping=True, early_stopping_patience=5,
+                       load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH)
+            elif args.warm:
+                tr.fit(train, val, nb_epochs=2 + args.epochs,
+                       epoch_block=args.epoch_block,
+                       checkpoint_every=args.checkpoint_every,
+                       load_checkpoint_mode=LoadCheckpointMode.LAST_EPOCH)
+            else:
+                tr.fit(train, val, nb_epochs=args.epochs,
+                       force_overwrite=True,
+                       epoch_block=args.epoch_block,
+                       checkpoint_every=args.checkpoint_every)
+            return time.perf_counter() - t0
+
+        wall = _retry_transient(timed_leg)
     n_train = train.n_samples
     e2e = n_train * args.epochs / wall
     # The blocked path concats a whole block's epochs in one host loop:
