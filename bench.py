@@ -167,12 +167,19 @@ def main():
         result["bf16_value"] = round(
             measure(SNNConfig(**variants, compute_dtype="bfloat16"))[0], 1
         )
-        # Two hidden layers: layer 0 runs the fused encode head-less
-        # kernel, layer 1 the fused mid-layer kernel (z@W + scan in one
-        # pair, ops/pallas_fused_mid.py), readout composes on top.
-        twolayer = dict(variants)
+        # Two hidden layers on the full flagship recipe: layer 0 runs the
+        # fused encode head-less kernel, layer 1 the fused mid-HEAD kernel
+        # (z@W + scan + readout kappa-integrator + first-argmax max in one
+        # pair, ops/pallas_fused_mid.py) -- the whole deep network is two
+        # kernel pairs, no readout trace or z-cotangent in HBM.
+        twolayer = dict(FLAGSHIP)
         twolayer["n_hidden_neurons"] = [128, 128]
         result["twolayer_value"] = round(measure(SNNConfig(**twolayer))[0], 1)
+        twolayer_f32 = dict(variants)
+        twolayer_f32["n_hidden_neurons"] = [128, 128]
+        result["twolayer_f32_value"] = round(
+            measure(SNNConfig(**twolayer_f32))[0], 1
+        )
         # Izhikevich whole-network head kernel (ops/pallas_fused_izh.py).
         izh = dict(variants)
         izh["hidden_layer_type"] = "Izhikevich"

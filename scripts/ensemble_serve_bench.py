@@ -100,19 +100,26 @@ def main():
         )
 
     try:
-        # --- bitwise: server probabilities == predict_proba -------------
+        # --- correctness: server probabilities == predict_proba ---------
+        # The server's one-jit program (stacked forward + fused
+        # softmax/mean at the padded batch shape) and predict_proba
+        # (native-shape logits, softmax outside jit) tile their MXU
+        # reductions differently, so agreement is to float rounding (one
+        # ULP observed, 6e-8), not bitwise.
         probe = mk("f32", (256, 784))
         got = np.asarray(
             servers[f"ens{args.seeds}-f32"].submit(probe).result(3600)
         )
         want = np.asarray(ens.predict_proba(probe, encode_config=enc))
         assert got.shape == want.shape, (got.shape, want.shape)
-        if not np.array_equal(got, want):
+        dmax = float(np.max(np.abs(got - want)))
+        if dmax > 1e-6:
             raise AssertionError(
-                f"server probs != predict_proba: max|d|="
-                f"{np.max(np.abs(got - want))}"
+                f"server probs != predict_proba: max|d|={dmax}"
             )
-        print("bitwise ens-server == predict_proba: OK", flush=True)
+        same_pred = np.array_equal(got.argmax(-1), want.argmax(-1))
+        print(f"ens-server vs predict_proba: max|d|={dmax:.2e} "
+              f"(<=1e-6), argmax identical: {same_pred}", flush=True)
 
         # --- warm every server's compiled batch program ------------------
         for name, srv in servers.items():
