@@ -149,6 +149,15 @@ _WIDE_FIXED_THRESHOLD = 8 * 1024 * 1024
 # The round-4-validated bf16-wide regime (fixed in (8, 14.5] MB) keeps
 # its budget and therefore its exact compiled programs.
 _WIDE_F32_BUDGET = 30 * 1024 * 1024
+# Batch tile for the f32 WIDE regime.  The first round-5 admission let
+# _wlat_fit_bb collapse the tile to the sublane floor (weights alone
+# exceed its 5 MB budget at any bb), which measured 0.35x of XLA -- the
+# serial chain is latency-bound, so an 8-row tile starves every link.
+# Pin the tile at the bf16-wide-measured 64 rows instead and shrink K
+# against _WIDE_F32_BUDGET (H=1024 rec head: fixed 16 MB + K=2 trace
+# blocks 8.4 MB + latency 0.45 MB = 24.9 MB under the raised 32 MB
+# per-kernel limit).
+_WIDE_F32_BB = 64
 
 
 def _wide_compiler_params(F, hidden, recurrent, head, n_out, itemsize):
@@ -188,7 +197,11 @@ def _wide_max_k(F, hidden, recurrent, head, n_out, itemsize) -> int:
     budget = (
         _WIDE_VMEM_BUDGET if fixed <= _WIDE_VMEM_BUDGET else _WIDE_F32_BUDGET
     )
-    bb = 16 if itemsize == 2 else _SUBLANE  # the floor tile these reach
+    # bf16-wide reaches the 16-row floor tile (round-4 calibration);
+    # f32-wide pins the tile at _WIDE_F32_BB (see the constant) so K is
+    # accounted against the tile the kernel actually runs.
+    bb = (16 if itemsize == 2 else _SUBLANE) \
+        if fixed <= _WIDE_VMEM_BUDGET else _WIDE_F32_BB
     lat = 2 * bb * f_pad * 4
     n_blocks = _N_BLOCKS + (2 if head else 0)
     per_k = 2 * n_blocks * bb * h_pad * itemsize  # traces follow W dtype
@@ -554,7 +567,18 @@ def _shapes(B, w_in, F, K, head=False, recurrent=True, n_out=0):
     # use the real itemsize (bf16 W halves the resident cost).
     w_bytes = _weight_bytes(f_pad, h_pad, recurrent, o_pad,
                             itemsize=jnp.dtype(w_in.dtype).itemsize)
-    bb = _wlat_fit_bb(bb, f_pad, w_bytes)
+    fixed = w_bytes + _weight_bytes(f_pad, h_pad, recurrent, o_pad,
+                                    itemsize=4)
+    if fixed > _WIDE_VMEM_BUDGET:
+        # f32 WIDE regime: weights alone exceed _WLAT_BUDGET, so
+        # _wlat_fit_bb would collapse the tile to the sublane floor and
+        # starve the latency-bound serial chain (measured 0.35x of XLA
+        # at bb=8).  _wide_max_k already shrank K against
+        # _WIDE_F32_BUDGET assuming this tile; the raised 32 MB
+        # per-kernel limit (_wide_compiler_params) holds the total.
+        bb = min(bb, _WIDE_F32_BB)
+    else:
+        bb = _wlat_fit_bb(bb, f_pad, w_bytes)
     if w_in.dtype == jnp.bfloat16:
         # Sublane tiling for bf16 needs 16-row multiples; round DOWN so
         # the budget just enforced still holds (16 is the hard floor).

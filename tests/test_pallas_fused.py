@@ -1024,9 +1024,11 @@ def test_wide_k_shrink_preserves_numerics(monkeypatch):
     k_wide = pf._wide_max_k(784, 1024, True, True, 10, 2)      # bf16 wide
     assert 1 <= k_wide < 16, k_wide
     # f32 wide (round 5): admitted through the raised-limit budget at the
-    # floor tile -- must come back with a usable time block, and the
-    # round-4 bf16-wide K must be UNCHANGED by the new budget tier.
-    assert pf._wide_max_k(784, 1024, True, True, 10, 4) >= 1
+    # PINNED _WIDE_F32_BB tile (the first cut budgeted at the 8-row
+    # sublane floor, which measured 0.35x of XLA) -- must come back with
+    # a usable time block, and the round-4 bf16-wide K must be UNCHANGED
+    # by the new budget tier.
+    assert pf._wide_max_k(784, 1024, True, True, 10, 4) == 3
     assert k_wide == 4, k_wide  # calibrated round-4 value
 
     n_steps = 12
@@ -1067,3 +1069,30 @@ def test_wide_k_shrink_preserves_numerics(monkeypatch):
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b_), err_msg=f"K-shrink grad {nm}"
             )
+
+
+def test_wide_shape_plans_pinned():
+    """(K, batch-tile) plan regression for the calibrated shapes.
+
+    The f32-wide tile is pinned at _WIDE_F32_BB -- the first round-5 cut
+    let _wlat_fit_bb collapse it to the 8-row sublane floor (weights
+    alone exceed its budget at any tile), which measured 0.35x of XLA on
+    the latency-bound serial chain; the fixed plan (K=2, bb=64) measured
+    1.45x (PARITY.md).  Every previously-validated plan must be
+    byte-identical."""
+    import snnimageclassification_tpu.ops.pallas_fused as pf
+
+    def plan(H, dtype, T=50, B=4096):
+        itemsize = jnp.dtype(dtype).itemsize
+        K = pf._time_block(
+            T, pf._wide_max_k(784, H, True, True, 10, itemsize)
+        )
+        w = jnp.zeros((784, H), dtype)
+        *_, bb = pf._shapes(B, w, 784, K, head=True, recurrent=True,
+                            n_out=10)
+        return K, bb
+
+    assert plan(1024, jnp.float32) == (2, 64)    # round-5 f32 wide
+    assert plan(1024, jnp.bfloat16) == (2, 64)   # round-4 bf16 wide
+    assert plan(128, jnp.float32, T=100, B=8192) == (10, 128)  # flagship
+    assert plan(512, jnp.float32, T=100, B=8192) == (10, 32)   # round-3 max
