@@ -167,11 +167,12 @@ def main():
         result["bf16_value"] = round(
             measure(SNNConfig(**variants, compute_dtype="bfloat16"))[0], 1
         )
-        # Two hidden layers on the full flagship recipe: layer 0 runs the
-        # fused encode head-less kernel, layer 1 the fused mid-HEAD kernel
-        # (z@W + scan + readout kappa-integrator + first-argmax max in one
-        # pair, ops/pallas_fused_mid.py) -- the whole deep network is two
-        # kernel pairs, no readout trace or z-cotangent in HBM.
+        # Two hidden layers on the full flagship recipe: the whole
+        # network runs as ONE software-pipelined kernel pair
+        # (ops/pallas_fused2.py) -- grid step t advances layer 0 on time
+        # block t and layer 1 + readout on block t-1, so the two
+        # latency-bound serial chains overlap instead of running back to
+        # back (the round-5 mid-head composition they replace).
         twolayer = dict(FLAGSHIP)
         twolayer["n_hidden_neurons"] = [128, 128]
         result["twolayer_value"] = round(measure(SNNConfig(**twolayer))[0], 1)

@@ -43,7 +43,11 @@ def main() -> int:
     enc = EncodeConfig(n_steps=T, use_periods=True)
     for e in msnn.explain_dispatch(cfg, enc):
         print("dispatch:", e)
-    assert msnn._deep_head_fusible(cfg, enc), "deep gate should be ON here"
+    # Round-5 final: 2-hidden configs route through the fused2
+    # whole-network pair (ops/pallas_fused2.py), not the composed
+    # layer-0-fused + mid-head pair.
+    assert msnn._twolayer_head_fusible(cfg, enc), \
+        "twolayer gate should be ON here"
 
     rng = np.random.default_rng(0)
     protos = rng.random((10, 784)).astype(np.float32)
@@ -59,7 +63,7 @@ def main() -> int:
     t0 = time.time()
     tr = Trainer(cfg, checkpoint_folder="/tmp/drive_deep_ckpt", seed=3)
     hist = tr.fit(tl, vl, nb_epochs=8, force_overwrite=True, verbose=True)
-    acc = float(tr.accuracy(vl))
+    acc = float(tr.compute_classification_accuracy(vl))
     print(f"plain deep fit: {time.time()-t0:.1f}s train_loss "
           f"{hist['train'][0]:.4f}->{hist['train'][-1]:.4f} val_acc {acc:.3f}")
     assert hist["train"][-1] < hist["train"][0] * 0.7, "loss did not drop"
@@ -70,7 +74,7 @@ def main() -> int:
     tr2 = Trainer(cfg, checkpoint_folder="/tmp/drive_deep_ckpt_reg", seed=3,
                   reg_fn=L.L2SpikesPerNeuron(1e-5))
     hist2 = tr2.fit(tl, vl, nb_epochs=4, force_overwrite=True, verbose=False)
-    acc2 = float(tr2.accuracy(vl))
+    acc2 = float(tr2.compute_classification_accuracy(vl))
     print(f"count-reg deep fit: {time.time()-t0:.1f}s train_loss "
           f"{hist2['train'][0]:.4f}->{hist2['train'][-1]:.4f} "
           f"val_acc {acc2:.3f}")

@@ -269,8 +269,18 @@ def main():
                 input_size=784, output_size=10, int_time_steps=n_steps,
                 use_pallas=False, **vkw,
             )
-            assert M._deep_head_fusible(cfg, EncodeConfig(n_steps=n_steps)), \
-                f"deep gate unexpectedly off for {vname}"
+            # 2-hidden configs route through the round-5 fused2
+            # whole-network pair (ops/pallas_fused2.py); >= 3 hidden
+            # through layer-0-fused -> mid -> mid-head.  These legs
+            # therefore cover BOTH deep dispatches natively.
+            if len(cfg.layer_configs) == 3:
+                assert M._twolayer_head_fusible(
+                    cfg, EncodeConfig(n_steps=n_steps)
+                ), f"twolayer gate unexpectedly off for {vname}"
+            else:
+                assert M._deep_head_fusible(
+                    cfg, EncodeConfig(n_steps=n_steps)
+                ), f"deep gate unexpectedly off for {vname}"
             params = M.init(cfg, jax.random.PRNGKey(5))
             enc = EncodeConfig(n_steps=n_steps, use_periods=True)
 

@@ -690,6 +690,115 @@ def _deep_head_fusible(cfg: SNNConfig, enc) -> bool:
     return ok
 
 
+def _twolayer_head_fusible(cfg: SNNConfig, enc) -> bool:
+    """Whole-network fusion for EXACTLY two hidden layers: encode ->
+    layer-0 scan -> layer-1 scan -> readout integrator -> max-over-time
+    as ONE software-pipelined kernel pair (ops/pallas_fused2.py) -- the
+    two serial chains overlap inside one grid instead of running back to
+    back as layer-0-fused + mid-head kernels.  Matches the reference's
+    ``n_hidden_neurons=[h1, h2]`` surface (snn.py:116-125, 211-213).
+
+    The kernel bakes ONE scalar parameter set for both hidden layers
+    (how ``SNN._build`` constructs uniform stacks); hand-built configs
+    with per-layer scalar overrides fall back to the composed deep
+    dispatch, which supports them."""
+    from ..ops.cells import ALIFConfig, LIFConfig, ReadoutConfig
+    from ..ops.pallas_fused2 import fused2_head_supported
+
+    if not (cfg.use_pallas and jnp.dtype(cfg.compute_dtype) == jnp.float32):
+        return False
+    if cfg.readout_mth != ReadoutMth.RNN:  # RNN = max-over-time (snn.py:228)
+        return False
+    if not (enc.as_timeseries and enc.n_steps == cfg.int_time_steps):
+        return False
+    layer_cfgs = cfg.layer_configs
+    if len(layer_cfgs) != 3:
+        return False
+    h0_cfg, h1_cfg, last_cfg = (lc for _, lc in layer_cfgs)
+    if type(last_cfg) is not ReadoutConfig:
+        return False
+    if type(h0_cfg) not in (LIFConfig, ALIFConfig):
+        return False
+    if type(h1_cfg) is not type(h0_cfg):
+        return False
+    same_scalars = (
+        h0_cfg.alpha, h0_cfg.threshold, h0_cfg.gamma, h0_cfg.spike_func,
+        h0_cfg.use_recurrent_connection,
+    ) == (
+        h1_cfg.alpha, h1_cfg.threshold, h1_cfg.gamma, h1_cfg.spike_func,
+        h1_cfg.use_recurrent_connection,
+    )
+    if type(h0_cfg) is ALIFConfig:
+        same_scalars = same_scalars and h0_cfg.rho == h1_cfg.rho and (
+            h0_cfg.learn_beta == h1_cfg.learn_beta
+        )
+    if not same_scalars:
+        return False
+    ok = fused2_head_supported(
+        cfg.int_time_steps, h0_cfg.input_size, h0_cfg.output_size,
+        h1_cfg.output_size, last_cfg.output_size,
+        recurrent=h0_cfg.use_recurrent_connection,
+        itemsize=jnp.dtype(cfg.matmul_dtype_eff).itemsize,
+    )
+    if not ok and _on_tpu():
+        _log_fused_fallback(
+            "fused two-layer whole-network head",
+            "shape exceeds the kernel's VMEM budget (composed "
+            "layer-0-fused + mid-head dispatch takes over)",
+            n_steps=cfg.int_time_steps, n_features=h0_cfg.input_size,
+            h1=h0_cfg.output_size, h2=h1_cfg.output_size,
+            n_out=last_cfg.output_size,
+        )
+    return ok
+
+
+def _twolayer_head_call(cfg: SNNConfig, params: Params, pixels, enc,
+                        counts: bool = False):
+    """Dispatch a two-hidden-layer network to the fused2 kernel pair.
+    Returns logits (B, O), or ``(logits, (cnt0, cnt1))`` when
+    ``counts``."""
+    from ..ops.cells import ALIFConfig
+    from ..ops.encoding import pixels_to_firing_periods
+    from ..ops.pallas_fused2 import (
+        fused2_ff_head,
+        fused2_ff_head_counts,
+        fused2_rec_head,
+        fused2_rec_head_counts,
+    )
+
+    (n0, c0), (n1, c1), (nl, cl) = cfg.layer_configs
+    latencies = pixels_to_firing_periods(
+        jnp.asarray(pixels, jnp.float32),
+        t_max=float(cfg.int_time_steps),
+        tau=enc.tau,
+        thr=enc.thr,
+        epsilon=enc.epsilon,
+    )
+    md = jnp.dtype(cfg.matmul_dtype_eff)
+    lp0, lp1 = params[n0], params[n1]
+    w0 = lp0["w_in"].astype(md)
+    w1 = lp1["w_in"].astype(md)
+    w_out = params[nl]["w_in"].astype(md)
+    b_out = params[nl]["b"]
+    alif = type(c0) is ALIFConfig
+    beta0 = (lp0["beta"] if c0.learn_beta else c0.beta) if alif else 0.0
+    beta1 = (lp1["beta"] if c1.learn_beta else c1.beta) if alif else 0.0
+    rho = c0.rho if alif else 0.0
+    common = (
+        cfg.int_time_steps, enc.use_periods, alif, c0.alpha, rho,
+        c0.threshold, c0.gamma, cl.kappa, c0.spike_func,
+    )
+    w0r = masked_recurrent(c0, lp0)
+    if w0r is not None:
+        w0r = w0r.astype(md)
+        w1r = masked_recurrent(c1, lp1).astype(md)
+        fn = fused2_rec_head_counts if counts else fused2_rec_head
+        return fn(latencies, w0, w0r, beta0, w1, w1r, beta1, w_out, b_out,
+                  *common)
+    fn = fused2_ff_head_counts if counts else fused2_ff_head
+    return fn(latencies, w0, beta0, w1, beta1, w_out, b_out, *common)
+
+
 def _mid_head_call(cfg: SNNConfig, params: Params, x_tm: jax.Array,
                    counts: bool = False):
     """Dispatch the last hidden layer + readout to the fused mid-head
@@ -753,6 +862,8 @@ def forward_logits_pixels(
     )
 
     if not _head_fusible(cfg, enc):
+        if _twolayer_head_fusible(cfg, enc):
+            return _twolayer_head_call(cfg, params, pixels, enc)
         if _deep_head_fusible(cfg, enc):
             x_tm = apply_pixels(
                 cfg, params, pixels, enc, _upto=len(cfg.layer_configs) - 3
@@ -884,6 +995,15 @@ def forward_logits_counts_pixels(
             enc, counts=True,
         )
         return logits, {first_name: counts}
+    if _twolayer_head_fusible(cfg, enc):
+        # Two-hidden-layer networks: BOTH layers' counts come from the
+        # fused2 _counts kernel, so regularized training keeps the
+        # single software-pipelined kernel pair.
+        (n0, _), (n1, _) = cfg.layer_configs[:2]
+        logits, (cnt0, cnt1) = _twolayer_head_call(
+            cfg, params, pixels, enc, counts=True
+        )
+        return logits, {n0: cnt0, n1: cnt1}
     if _deep_head_fusible(cfg, enc):
         # Deep networks: trunk layers materialize their z traces anyway
         # (counts are a free time reduction there); the LAST hidden
@@ -1043,6 +1163,15 @@ def explain_dispatch(cfg: SNNConfig, enc=None) -> list:
             "reason": "single-hidden-layer classifier with max-over-time "
                       "readout: encode + scan + readout + max in ONE "
                       "kernel pair",
+        }]
+
+    if enc is not None and _twolayer_head_fusible(cfg, enc):
+        return [{
+            "layer": tuple(name for name, _ in layer_cfgs),
+            "path": "pallas:whole-network-head-2",
+            "reason": "two-hidden-layer classifier with max-over-time "
+                      "readout: encode + both hidden scans + readout + "
+                      "max in ONE software-pipelined kernel pair",
         }]
 
     deep = enc is not None and _deep_head_fusible(cfg, enc)
