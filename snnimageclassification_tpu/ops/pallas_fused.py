@@ -118,7 +118,8 @@ def _wlat_ok(w_bytes, bb, f_pad, F, hidden, recurrent, n_out,
     """Weights + double-buffered latency tiles fit their budget -- OR the
     shape is in the f32 WIDE regime, where _wide_max_k's raised-limit
     accounting (weights + grad accumulators + latency + trace blocks vs
-    _WIDE_F32_BUDGET) subsumes this check at the floor tile."""
+    _WIDE_F32_BUDGET) subsumes this check at the pinned _WIDE_F32_BB
+    tile."""
     if w_bytes + 2 * bb * f_pad * 4 <= _WLAT_BUDGET:
         return True
     h_pad = -(-hidden // _LANE) * _LANE
